@@ -1,0 +1,48 @@
+"""Text-analysis expression library (native Catalyst expressions, no Python UDFs).
+
+Used by the LLM-data-pipeline operators (dedup, language-ID, quality scoring,
+token counting) over the `documents` table. Everything here compiles to JVM
+expressions inside whole-stage codegen — the hot path never enters Python.
+
+All hashing is md5-based so a DuckDB oracle can reproduce it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic uniform in [0,1) from the first 8 hex chars of md5.
+# DuckDB equivalent: (('0x' || substr(md5(x), 1, 8))::BIGINT + 0.5) / 4294967296.0
+def hex_uniform(col: Column) -> Column:
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+# 60-bit integer from md5 (15 hex chars keeps the bigint positive).
+# DuckDB equivalent: ('0x' || substr(md5(x), 1, 15))::BIGINT
+def md5_int60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. DuckDB: regexp_split_to_array(text, '\\s+')."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(toks: Column, k: int) -> Column:
+    """k-gram word shingles as space-joined strings; empty array if < k tokens."""
+    n = F.size(toks)
+    gen = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, gen).otherwise(F.array().cast("array<string>"))
+
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+
+def stopword_hits(toks: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    return F.size(F.array_intersect(toks, sw))

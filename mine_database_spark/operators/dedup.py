@@ -1,0 +1,160 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Exact, MinHash+LSH, n-gram Jaccard, and SimHash near-dup — all as native
+DataFrame plans (no Python UDFs), md5-based so a SQL oracle can reproduce
+them exactly.
+
+Scale notes (100 TB): every variant avoids the quadratic all-pairs join —
+  * exact: single hash-shuffle groupBy on the digest;
+  * minhash-lsh: candidate pairs come from equi-joins on band signatures
+    (shuffle keyed by the band bucket, skew-safe under AQE);
+  * ngram-jaccard: pair generation restricted to LSH candidates (or a shared
+    shingle inverted index), never a cross join;
+  * simhash: fixed 60-bit signature per doc, near-dup = signatures within
+    Hamming distance via banding on signature chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mine_database_spark.functions.text import tokens, word_shingles
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on md5(text): survivor = min id per digest, plus group size."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingle_table(docs: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index building block."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), word_shingles(tokens(F.col(text_col)), k).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, seed, minhash): minhash_i = min over shingles of md5(i || ':' || shingle).
+
+    Lexicographic min over the md5 hex string is a valid random-permutation min.
+    One shuffle: groupBy (doc_id, seed).
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        shingles.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("mh"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, band_sig): md5 of the band's minhashes joined in seed order."""
+    sig = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]),
+                    "|",
+                )
+            ).alias("band_sig")
+        )
+    )
+    return sig
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct (a_id, b_id) pairs sharing at least one band bucket, a < b."""
+    a = band_keys.select("band", "band_sig", F.col("doc_id").alias("a_id"))
+    b = band_keys.select("band", "band_sig", F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 5, num_hashes: int = 16, rows_per_band: int = 4) -> DataFrame:
+    sh = shingle_table(docs, id_col, text_col, k)
+    return lsh_candidate_pairs(lsh_band_keys(minhash_signatures(sh, num_hashes), rows_per_band))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Pairs with shingle-set Jaccard >= threshold.
+
+    Pair generation goes through the shared-shingle inverted index (an
+    equi-join on the shingle), never a cross join; pass `candidates`
+    (e.g. from LSH) to restrict further.
+    Returns (a_id, b_id, jaccard) with jaccard rounded to 6 digits.
+    """
+    sh = shingle_table(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document from whitespace tokens (with multiplicity).
+
+    bit b of md5-int60(token) contributes +1/-1 to position b; the signature
+    bit is the sign of the sum. 60 bits keeps everything in a positive bigint
+    so the SQL oracle can reproduce it without unsigned types.
+    """
+    from mine_database_spark.functions.text import md5_int60
+
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = tok.withColumn("h", md5_int60(F.col("tok")))
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("shiftright(h, b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def first_wins_dedup(df: DataFrame, key_col: str, order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key under a deterministic order.
+
+    Reference semantics: compound dedup across generations, first-generation
+    wins (/root/reference/minedatabase/pickaxe.py:530-556, 1493-1495).
+    Window row_number keeps the plan a single shuffle on the key.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")

@@ -1,0 +1,65 @@
+"""Graph operators: iterative frontier BFS / reachability and pruning.
+
+Reference semantics (studied, not copied): `find_minimal_set` reverse-BFS
+(/root/reference/minedatabase/pickaxe.py:995-1044), `prune_network`
+(pickaxe.py:942-969), pathway BFS (Scripts/pathway_search.py:59-144).
+
+Spark-first design: the graph is an edge DataFrame `(src, dst)`; each BFS
+round is one distributed join + anti-join. The frontier is usually small so
+it is broadcast; the visited set grows monotonically and is localCheckpointed
+every few rounds to truncate lineage (mandatory for iterative Spark jobs).
+At 100 TB the edge table is the big side and stays shuffle-partitioned on
+`src`; only the frontier moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 10,
+    id_col: str = "id",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """All nodes reachable from `seeds` within `max_iter` hops.
+
+    edges: (src, dst); seeds: single-column DF of node ids.
+    Returns (id, hops) with the minimum hop count.
+    Terminates early at fixpoint (empty frontier).
+    """
+    visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
+    frontier = visited.select(id_col)
+    for it in range(1, max_iter + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier).withColumnRenamed(id_col, "src"), "src")
+            .select(F.col("dst").alias(id_col))
+            .distinct()
+            .join(visited.select(id_col), id_col, "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True) if it % checkpoint_every == 0 else nxt.cache()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(it)))
+        frontier = nxt.select(id_col)
+    return visited
+
+
+def prune_to_reachable(nodes: DataFrame, reachable: DataFrame, id_col: str) -> DataFrame:
+    """Whitelist semi-restriction (reference prune_network, pickaxe.py:957-962)."""
+    return nodes.join(reachable.select(F.col(reachable.columns[0]).alias(id_col)), id_col, "left_semi")
+
+
+def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Undirected co-occurrence edges: items sharing a group value.
+
+    Used to build the co-purchase graph from lineitem (group=order, item=part).
+    Self-joins on the group key — an equi-join Catalyst shuffles on group_col;
+    at scale pre-bucket both sides on the group key to avoid the shuffle.
+    """
+    a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src")).distinct()
+    b = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("dst")).distinct()
+    return a.join(b, "g").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()

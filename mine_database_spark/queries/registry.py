@@ -1,0 +1,738 @@
+"""Query registry: every implemented operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) -> DataFrame callable, paired with a DuckDB-runnable ANSI-SQL
+oracle that reproduces it bit-for-bit.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+  * money math in integer cents  — cast(round(x*100) as bigint); sums exact
+  * hashing via md5/sha256       — identical hex output in both engines
+  * doubles only from exact ints — division + round as the final step
+  * every limit/rank has a total-order tiebreak
+
+The TPC-H-ish driver tables stand in for the reference's tables; each query
+maps to a SURVEY §2 operator family (cited per query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mine_database_spark.session import load_tables
+from mine_database_spark.functions.text import hex_uniform, tokens
+from mine_database_spark.operators import dedup as dd
+from mine_database_spark.operators import graph as gr
+from mine_database_spark.operators import sessionize as sz
+from mine_database_spark.operators import similarity as sim
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _cents(col: F.Column) -> F.Column:
+    return F.round(col * 100).cast("bigint")
+
+
+_CENTS_SQL = "CAST(round({c} * 100) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, names)
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Q1 family: scan + aggregate (SURVEY §2.6 A1-A7; TPC-H Q1 shape)
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem. Exact integer-cents arithmetic.
+
+    Scale: single map-side-combinable groupBy on two low-cardinality keys —
+    the canonical 100TB-friendly aggregation (partial agg before shuffle).
+    """
+    (l,) = _t(spark, sf_dir, "lineitem")
+    l = l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
+    tax_c = _cents(F.col("l_tax"))
+    disc_price_e4 = price_c * (F.lit(100).cast("bigint") - disc_c)
+    charge_e6 = disc_price_e4 * (F.lit(100).cast("bigint") + tax_c)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price_e4) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_e6) / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.sum(qty_c) / 100.0 / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(disc_c) / 100.0 / F.count(F.lit(1)), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_quantity')}) AS BIGINT) / 100.0, 2) AS sum_qty,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')}) AS BIGINT) / 100.0, 2) AS sum_base_price,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')} * (100 - {_CENTS_SQL.format(c='l_discount')})) AS BIGINT) / 10000.0, 2) AS sum_disc_price,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')} * (100 - {_CENTS_SQL.format(c='l_discount')}) * (100 + {_CENTS_SQL.format(c='l_tax')})) AS BIGINT) / 1000000.0, 2) AS sum_charge,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_quantity')}) AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_qty,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')}) AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_price,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_discount')}) AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3/Q5: multi-join + agg + top-k (SURVEY §2.5 J1-J9, §2.8 O2-O4)
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue top-10 (TPC-H Q3 shape).
+
+    customer is the small side → broadcast; lineitem→orders join shuffles on
+    orderkey (the natural key at 100TB; AQE handles skew).
+    """
+    c, o, l = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    rev_e4 = _cents(F.col("l_extendedprice")) * (F.lit(100).cast("bigint") - _cents(F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == c.c_custkey)
+        .where((F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")) & (F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")))
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"))
+        .agg(F.round(F.sum(rev_e4) / 10000.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q_TOP_REVENUE_SQL = f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')} * (100 - {_CENTS_SQL.format(c='l_discount')})) AS BIGINT) / 10000.0, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01' AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way dimension join + agg (TPC-H Q5 shape). Dimensions broadcast."""
+    r, n, c, o, l, s = _t(spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier")
+    rev_e4 = _cents(F.col("l_extendedprice")) * (F.lit(100).cast("bigint") - _cents(F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev_e4) / 10000.0, 2).alias("revenue"))
+    )
+
+
+_Q_REGION_REVENUE_SQL = f"""
+SELECT n_name,
+       round(CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')} * (100 - {_CENTS_SQL.format(c='l_discount')})) AS BIGINT) / 10000.0, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frontier selection (SURVEY §2.2 T2: filter + project with pushdown)
+
+def q_frontier_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection — reference frontier select (pickaxe.py:657-664).
+    Filters/pruning reach the parquet scan (PushedFilters + ReadSchema)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & F.col("o_totalprice").between(100000.0, 200000.0)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+        )
+    )
+
+
+_Q_FRONTIER_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_totalprice BETWEEN 100000.0 AND 200000.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# First-wins dedup (SURVEY §2.9 E1: compound dedup, first generation wins)
+
+def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    first = dd.first_wins_dedup(o, "o_custkey", ["o_orderdate", "o_orderkey"])
+    return first.select(
+        "o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate")
+    )
+
+
+_Q_FIRST_WINS_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed ids (SURVEY §1.3 / §2.10 X2: reaction hash = sha256 of
+# canonicalized sorted member list; utils.py:324-379 semantics)
+
+def q_content_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        ".", F.transform(F.array_sort(F.collect_set(F.col("l_partkey"))), lambda x: x.cast("string"))
+    )
+    return l.groupBy("l_orderkey").agg(F.concat(F.lit("R"), F.sha2(canon, 256)).alias("rxn_id"))
+
+
+_Q_CONTENT_HASH_SQL = """
+SELECT l_orderkey,
+       'R' || sha256(array_to_string(list_sort(list(DISTINCT l_partkey)), '.')) AS rxn_id
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set-union aggregation (SURVEY §2.6 A3: Operators set-union on hash collision)
+
+def q_collect_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_suppkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set(F.concat(F.col("l_returnflag"), F.col("l_linestatus"))))).alias(
+            "flag_set"
+        ),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_Q_COLLECT_SET_SQL = """
+SELECT l_suppkey,
+       array_to_string(list_sort(list(DISTINCT l_returnflag || l_linestatus)), ',') AS flag_set,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequential id assignment (SURVEY §2.7 W1 / §2.4 G6: assign_ids,
+# pickaxe.py:1046-1102 — row_number over a global sort + format string)
+
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (s,) = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select("s_suppkey", F.format_string("pks%07d", F.row_number().over(w)).alias("assigned_id"))
+
+
+_Q_ASSIGN_IDS_SQL = """
+SELECT s_suppkey, printf('pks%07d', CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT)) AS assigned_id
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rule-coverage CDF (SURVEY §2.1 S6 / §2.6 A6 / §2.7 W2: rules.py:28-211
+# top-fraction-of-coverage selection via ordered cumulative sum)
+
+def q_rule_coverage_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = _t(spark, sf_dir, "lineitem", "part")
+    counts = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy(F.col("cnt").desc(), F.col("p_brand")).rowsBetween(Window.unboundedPreceding, 0)
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.withColumn("cum", F.sum("cnt").over(w_cum))
+        .crossJoin(F.broadcast(total))
+        .where((F.col("cum") - F.col("cnt")) < 0.9 * F.col("total"))
+        .select("p_brand", "cnt", F.round(F.col("cum") / F.col("total"), 6).alias("cdf"))
+    )
+
+
+_Q_CDF_SQL = """
+WITH counts AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), cum AS (
+  SELECT p_brand, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, p_brand ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS total
+  FROM counts
+)
+SELECT p_brand, cnt, round(cum / CAST(total AS DOUBLE), 6) AS cdf
+FROM cum WHERE (cum - cnt) < 0.9 * total
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval/range join (SURVEY §2.5 J2/J6: metabolomics mass-window search,
+# metabolomics.py:189-271 — broadcast the tiny ranges side → BNLJ is the
+# right physical plan; at 100TB add a bucketed-mass equi-join prefilter)
+
+def q_mass_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, o = _t(spark, sf_dir, "region", "orders")
+    windows = r.select(
+        F.col("r_name").alias("window_name"),
+        (20000.0 + F.col("r_regionkey") * 90000.0).alias("lo"),
+        (70000.0 + F.col("r_regionkey") * 90000.0).alias("hi"),
+    )
+    return (
+        o.join(F.broadcast(windows), (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")))
+        .select("window_name", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+_Q_RANGE_JOIN_SQL = """
+WITH windows AS (
+  SELECT r_name AS window_name, 20000.0 + r_regionkey * 90000.0 AS lo, 70000.0 + r_regionkey * 90000.0 AS hi
+  FROM region
+)
+SELECT window_name, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders JOIN windows ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Provenance scoring (SURVEY §2.5 J9: score_compounds 0.75/0.25 weighting,
+# metabolomics.py:1209-1267 — semi-join flags + when/otherwise arithmetic)
+
+def q_provenance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, l, p = _t(spark, sf_dir, "customer", "orders", "lineitem", "part")
+    native = (
+        l.join(F.broadcast(p.where(F.col("p_size") >= 48)), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+    )
+    big = o.where(F.col("o_totalprice") > 400000.0).select("o_custkey").distinct()
+    return (
+        c.join(native.withColumn("has_native", F.lit(1)), c.c_custkey == native.o_custkey, "left")
+        .drop("o_custkey")
+        .join(big.withColumn("has_big", F.lit(1)), c.c_custkey == big.o_custkey, "left")
+        .drop("o_custkey")
+        .select(
+            "c_custkey",
+            F.round(
+                F.coalesce(F.col("has_native"), F.lit(0)) * 0.75 + F.coalesce(F.col("has_big"), F.lit(0)) * 0.25, 2
+            ).alias("score"),
+        )
+    )
+
+
+_Q_PROVENANCE_SQL = """
+SELECT c_custkey,
+       round(
+         (CASE WHEN c_custkey IN (
+            SELECT o_custkey FROM lineitem
+            JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_size >= 48) THEN 1 ELSE 0 END) * 0.75
+         + (CASE WHEN c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0) THEN 1 ELSE 0 END) * 0.25, 2) AS score
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (SURVEY §2.8 O6 /
+# §2.3 F4: SimilaritySamplingFilter one-pass Efraimidis–Spirakis rewrite —
+# key = ln(u)/w, top-k by key; u derived from md5 so it is reproducible)
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    u = hex_uniform(F.col("o_orderkey"))
+    key = F.log(u) / F.col("o_totalprice")
+    return (
+        o.select("o_orderkey", key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey")
+    )
+
+
+_Q_WEIGHTED_SAMPLE_SQL = """
+SELECT o_orderkey FROM (
+  SELECT o_orderkey,
+         ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0) / o_totalprice AS k
+  FROM orders
+) ORDER BY k DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (SURVEY §2.7 W3: per-peak isomer ranking)
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+_Q_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk, round(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Iterative BFS reachability (SURVEY §2.4 G1/G5: find_minimal_set /
+# pathway search — frontier joins to fixpoint). Fixed 2-hop here so the
+# oracle is plain SQL; the Spark side runs the generic iterative operator.
+
+def q_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = _t(spark, sf_dir, "lineitem", "part")
+    edges = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    seeds = p.where(F.col("p_size") == 50).select("p_partkey")
+    return gr.bfs_reach(edges, seeds, max_iter=2, id_col="id")
+
+
+_Q_REACH_SQL = """
+WITH seed AS (SELECT DISTINCT p_partkey AS id FROM part WHERE p_size = 50),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+hop1 AS (
+  SELECT DISTINCT b.l_partkey AS id
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey IN (SELECT id FROM seed)
+), h1 AS (SELECT id FROM hop1 WHERE id NOT IN (SELECT id FROM seed)),
+hop2 AS (
+  SELECT DISTINCT b.l_partkey AS id
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey IN (SELECT id FROM h1)
+), h2 AS (SELECT id FROM hop2 WHERE id NOT IN (SELECT id FROM seed) AND id NOT IN (SELECT id FROM h1))
+SELECT id, 0 AS hops FROM seed
+UNION ALL SELECT id, 1 AS hops FROM h1
+UNION ALL SELECT id, 2 AS hops FROM h2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + tumbling windows (batch equivalents of the streaming
+# patterns; SURVEY §2.11 — the reference is batch-only, these extend it)
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    return sz.sessionize(e)
+
+
+_Q_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+s AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM s),
+x AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS duration_us
+FROM x GROUP BY user_id, session_id
+"""
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    return sz.tumbling_window_agg(e)
+
+
+_Q_TUMBLING_SQL = """
+SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / COUNT(*) / 100.0, 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: dedup family over documents
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(d)
+
+
+_Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+_SHINGLE_SQL = """
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {km1})) AS i FROM tok WHERE len(toks) >= {k}),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {km1}], ' ') AS shingle FROM pos)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(d, k=5, num_hashes=16, rows_per_band=4)
+
+
+_Q_MINHASH_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=5, km1=4) + """,
+mh AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh)
+  GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+  FROM mh GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2)
+
+
+_Q_NGRAM_JACCARD_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=2, km1=1) + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes na ON inter.a_id = na.doc_id JOIN sizes nb ON inter.b_id = nb.doc_id
+WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.2
+"""
+)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.simhash60(d)
+
+
+_Q_SIMHASH_SQL = """
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM (SELECT doc_id, h, unnest(generate_series(0, 59)) AS b FROM h)
+),
+s AS (SELECT doc_id, b, CAST(SUM(contrib) AS BIGINT) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: text analysis
+
+_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + fingerprinting: token stats, stopword ratio,
+    composite score, md5 fingerprint — all native expressions."""
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars / n_tok, 4).alias("avg_token_len"),
+        F.round(sw_hits / n_tok, 4).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.least(n_tok / 100.0, F.lit(1.0)) + 0.5 * (1.0 - sw_hits / n_tok), 4
+        ).alias("quality_score"),
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+    )
+
+
+_Q_TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), f AS (
+  SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens,
+         CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS INT) AS tok_chars,
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS INT) AS sw_hits
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(tok_chars / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+       round(sw_hits / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+       round(0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (1.0 - sw_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality_score,
+       md5(lower(text)) AS fingerprint
+FROM f
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: stopword-density buckets (deterministic n-gram
+    heuristic; a real model slots into the same column contract)."""
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.2, F.lit("en")).when(ratio >= 0.1, F.lit("mixed")).otherwise(F.lit("other")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+_Q_LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) / CAST(len(toks) AS DOUBLE) AS ratio
+  FROM t
+)
+SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+       CASE WHEN ratio >= 0.2 THEN 'en' WHEN ratio >= 0.1 THEN 'mixed' ELSE 'other' END AS pred_lang
+FROM r
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (d,) = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+    )
+
+
+_Q_TOKEN_STATS_SQL = """
+SELECT source, COUNT(*) AS total_tokens, CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens
+FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: similarity search over embeddings
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+_Q_ANN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM s)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant (random-hyperplane LSH buckets) — the 100TB scale
+    path. No SQL oracle (hyperplanes are generated driver-side): rows-only check."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "frontier_select": q_frontier_select,
+    "first_wins_dedup": q_first_wins_dedup,
+    "content_hash_ids": q_content_hash_ids,
+    "collect_set_union": q_collect_set_union,
+    "assign_ids": q_assign_ids,
+    "rule_coverage_cdf": q_rule_coverage_cdf,
+    "mass_range_join": q_mass_range_join,
+    "provenance_score": q_provenance_score,
+    "weighted_sample": q_weighted_sample,
+    "topk_per_group": q_topk_per_group,
+    "copurchase_reach": q_copurchase_reach,
+    "sessionize": q_sessionize,
+    "tumbling_window": q_tumbling_window,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": _Q_PRICING_SQL,
+    "top_revenue_orders": _Q_TOP_REVENUE_SQL,
+    "region_revenue": _Q_REGION_REVENUE_SQL,
+    "frontier_select": _Q_FRONTIER_SQL,
+    "first_wins_dedup": _Q_FIRST_WINS_SQL,
+    "content_hash_ids": _Q_CONTENT_HASH_SQL,
+    "collect_set_union": _Q_COLLECT_SET_SQL,
+    "assign_ids": _Q_ASSIGN_IDS_SQL,
+    "rule_coverage_cdf": _Q_CDF_SQL,
+    "mass_range_join": _Q_RANGE_JOIN_SQL,
+    "provenance_score": _Q_PROVENANCE_SQL,
+    "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,
+    "topk_per_group": _Q_TOPK_SQL,
+    "copurchase_reach": _Q_REACH_SQL,
+    "sessionize": _Q_SESSIONIZE_SQL,
+    "tumbling_window": _Q_TUMBLING_SQL,
+    "dedup_exact": _Q_DEDUP_EXACT_SQL,
+    "minhash_lsh": _Q_MINHASH_SQL,
+    "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+    "simhash": _Q_SIMHASH_SQL,
+    "text_quality": _Q_TEXT_QUALITY_SQL,
+    "lang_id": _Q_LANG_ID_SQL,
+    "token_stats": _Q_TOKEN_STATS_SQL,
+    "ann_cosine_topk": _Q_ANN_SQL,
+    # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
+}
