@@ -86,7 +86,9 @@ class FakeChemBackend:
         RunReactants enumerating attachment points.
         """
         pat, repl = compiled_rule
-        substrate = reactant_smiles[0]
+        substrate = next((s for s in reactant_smiles if pat in s), None)
+        if substrate is None:
+            return []
         out: list[list[str]] = []
         start = 0
         while len(out) < max_products:

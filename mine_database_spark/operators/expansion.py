@@ -1,0 +1,416 @@
+"""Network-expansion engine — the reference's core batch "query".
+
+Reference semantics (studied at /root/reference, not copied):
+  * generational driver loop            pickaxe.py:610-685  (T1)
+  * frontier selection                  pickaxe.py:657-664  (T2)
+  * per-compound × all-rules expansion  reactions.py:224-398 (T3/T4/T5)
+  * merge, first-generation-wins        pickaxe.py:1489-1522 (T7, E1/E2/A3)
+  * cofactor-redundancy rewrite + GC    pickaxe.py:793-940  (T8)
+  * compound/reaction content hashes    utils.py:115-164, 324-379 (X1/X2)
+
+Spark-first design:
+  * State is two DataFrames (compounds, reactions) + a derived edge table;
+    each generation is one mapInPandas over the frontier followed by purely
+    relational merge/rewrite/GC steps. localCheckpoint every generation cuts
+    the iterative lineage (mandatory on Spark).
+  * Rules and coreactants are tiny dimensions → broadcast variables into the
+    expansion UDF (reference does the same per worker, reactions.py:356-364).
+  * Chemistry runs per Arrow batch inside the UDF (the only Python in the
+    hot path); everything else is Catalyst — hashes are native sha1/sha2
+    over canonicalized arrays, dedup/merge are joins and aggregations.
+  * Scale: the frontier is repartitioned before expansion because molecule
+    cost is wildly skewed (SURVEY §7.4); product dedup shuffles on _id —
+    a content hash, so perfectly distributed; no collect() anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mine_database_spark.chem import get_backend
+from mine_database_spark.schemas import COMPOUND_SCHEMA, STOICH_SCHEMA
+
+# ---------------------------------------------------------------------------
+# identity (X1/X2, utils.py:115-164 & 324-379 semantics)
+
+
+def compound_id(inchi_key: str, ctype: str = "Predicted") -> str:
+    """Type prefix + sha1 of the structure-identity block of the InChIKey."""
+    prefix = {"Coreactant": "X", "Target Compound": "T"}.get(ctype, "C")
+    block = (inchi_key or "").split("-")[0]
+    return prefix + hashlib.sha1(block.encode()).hexdigest()
+
+
+_EXPANSION_OUT = StructType(
+    [
+        StructField("operator", StringType(), False),
+        StructField("rxn_smiles", StringType(), True),
+        StructField("reactants", ArrayType(STOICH_SCHEMA), False),
+        StructField("products", ArrayType(STOICH_SCHEMA), False),
+        StructField(
+            "new_compounds",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("_id", StringType(), False),
+                        StructField("smiles", StringType(), False),
+                        StructField("inchi_key", StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+@dataclass
+class Rule:
+    name: str
+    reactant_roles: list[str]
+    product_roles: list[str]
+    smarts: str
+
+
+def canonical_rxn_hash_col(reactants, products):
+    """'R' + sha256 over the canonical sorted equation text — native Catalyst
+    (array_sort + concat_ws + sha2), no UDF. Order-independent as in the
+    reference (utils.py:324-379)."""
+    def side(col):
+        return F.concat_ws(
+            "+", F.array_sort(F.transform(col, lambda x: F.concat_ws(":", x["stoich"].cast("string"), x["c_id"])))
+        )
+
+    return F.concat(F.lit("R"), F.sha2(F.concat(side(reactants), F.lit("=>"), side(products)), 256))
+
+
+# ---------------------------------------------------------------------------
+# expansion UDF
+
+
+def _make_expand_fn(rules: list[Rule], coreactants: dict[str, tuple[str, str]], max_products: int):
+    """Build the mapInPandas function. `coreactants` maps role name ->
+    (smiles, c_id). The wildcard role 'Any' binds the frontier compound
+    (reference reactions.py:276-278)."""
+
+    def expand(batches):
+        backend = get_backend()
+        compiled = [(r, backend.compile_rule(r.smarts)) for r in rules]
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("operator", "rxn_smiles", "reactants", "products", "new_compounds")}
+            for smiles, sub_id in zip(pdf["smiles"], pdf["_id"]):
+                for rule, crule in compiled:
+                    # bind reactant slots
+                    try:
+                        r_entries = []
+                        r_smiles = []
+                        ok = True
+                        for role in rule.reactant_roles:
+                            if role == "Any":
+                                r_entries.append((1, sub_id))
+                                r_smiles.append(smiles)
+                            else:
+                                co = coreactants.get(role)
+                                if co is None:
+                                    ok = False
+                                    break
+                                r_entries.append((1, co[1]))
+                                r_smiles.append(co[0])
+                        if not ok:
+                            continue
+                        product_sets = backend.run_reaction(crule, r_smiles, max_products)
+                    except Exception:
+                        continue
+                    for pset in product_sets:
+                        p_entries = []
+                        new_cpds = []
+                        p_smiles = []
+                        valid = True
+                        any_idx = 0
+                        for role in rule.product_roles:
+                            if role == "Any":
+                                if any_idx >= len(pset):
+                                    valid = False
+                                    break
+                                psmi = backend.canonical_smiles(pset[any_idx])
+                                any_idx += 1
+                                if not psmi or "." in psmi:
+                                    # reject multi-fragment (reactions.py:142-143)
+                                    valid = False
+                                    break
+                                ikey = backend.inchi_key(psmi)
+                                pid = compound_id(ikey, "Predicted")
+                                p_entries.append((1, pid))
+                                new_cpds.append((pid, psmi, ikey))
+                                p_smiles.append(psmi)
+                            else:
+                                co = coreactants.get(role)
+                                if co is None:
+                                    valid = False
+                                    break
+                                p_entries.append((1, co[1]))
+                                p_smiles.append(co[0])
+                        if not valid or not p_entries:
+                            continue
+                        # self-loop elimination (reactions.py:189-192)
+                        if {e[1] for e in p_entries} == {e[1] for e in r_entries}:
+                            continue
+                        out["operator"].append(rule.name)
+                        out["rxn_smiles"].append(
+                            " + ".join(r_smiles) + " => " + " + ".join(p_smiles)
+                        )
+                        out["reactants"].append([{"stoich": s, "c_id": c} for s, c in r_entries])
+                        out["products"].append([{"stoich": s, "c_id": c} for s, c in p_entries])
+                        out["new_compounds"].append(
+                            [{"_id": i, "smiles": s, "inchi_key": k} for i, s, k in new_cpds]
+                        )
+            if out["operator"]:
+                # an all-empty batch would materialize float64 columns that
+                # Arrow cannot cast to list<struct> — yield nothing instead
+                yield pd.DataFrame(out)
+
+    return expand
+
+
+# ---------------------------------------------------------------------------
+# engine
+
+
+class NetworkExpansion:
+    """DataFrame-state equivalent of the reference Pickaxe object."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        rules: list[Rule],
+        coreactants: dict[str, tuple[str, str]],
+        max_products: int = 10000,
+        frontier_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.rules = rules
+        self.coreactants = coreactants
+        self.max_products = max_products
+        self.frontier_partitions = frontier_partitions
+
+    # -- state constructors -------------------------------------------------
+    def starting_compounds(self, id_smiles: list[tuple[str, str]]) -> DataFrame:
+        backend = get_backend()
+        rows = []
+        seen = set()
+        for name, smi in id_smiles:
+            csmi = backend.canonical_smiles(smi)
+            if not csmi:
+                continue
+            ikey = backend.inchi_key(csmi)
+            cid = compound_id(ikey, "Starting Compound")
+            if cid in seen:
+                continue
+            seen.add(cid)
+            rows.append(
+                (cid, name, csmi, ikey, "Starting Compound", 0, backend.formula(csmi), backend.atom_count(csmi), True, None)
+            )
+        coreactant_rows = []
+        for role, (smi, cid) in self.coreactants.items():
+            if cid in seen:
+                continue
+            seen.add(cid)
+            ikey = backend.inchi_key(smi)
+            coreactant_rows.append(
+                (cid, role, smi, ikey, "Coreactant", 0, backend.formula(smi), backend.atom_count(smi), False, None)
+            )
+        return self.spark.createDataFrame(rows + coreactant_rows, COMPOUND_SCHEMA)
+
+    def empty_reactions(self) -> DataFrame:
+        from mine_database_spark.schemas import REACTION_SCHEMA
+
+        return self.spark.createDataFrame([], REACTION_SCHEMA)
+
+    # -- one generation -----------------------------------------------------
+    def expand_generation(self, compounds: DataFrame, reactions: DataFrame, gen: int):
+        """Run generation `gen` (frontier = expandable gen-1 compounds)."""
+        frontier = compounds.where(
+            (F.col("generation") == gen - 1)
+            & F.col("expand")
+            & ~F.col("type").isin("Coreactant", "Target Compound")
+        ).select("_id", "smiles")
+        nparts = self.frontier_partitions or self.spark.sparkContext.defaultParallelism
+        frontier = frontier.repartition(nparts)  # molecule-cost skew (SURVEY §7.4)
+
+        raw = frontier.mapInPandas(
+            _make_expand_fn(self.rules, self.coreactants, self.max_products), _EXPANSION_OUT
+        )
+        raw = raw.withColumn("_id", canonical_rxn_hash_col(F.col("reactants"), F.col("products")))
+
+        # reaction merge: operator-set union on hash collision (A3)
+        new_rxns = (
+            raw.groupBy("_id")
+            .agg(
+                F.first("reactants").alias("reactants"),
+                F.first("products").alias("products"),
+                F.array_sort(F.array_distinct(F.collect_list("operator"))).alias("operators"),
+                F.first("rxn_smiles").alias("smiles_rxn"),
+            )
+        )
+
+        # compound merge: first-generation-wins via anti-join (E1)
+        backend = get_backend()
+        bname = backend.name
+
+        new_cpds = (
+            raw.select(F.explode("new_compounds").alias("nc"))
+            .select(F.col("nc._id").alias("_id"), F.col("nc.smiles").alias("smiles"), F.col("nc.inchi_key").alias("inchi_key"))
+            .dropDuplicates(["_id"])
+            .join(compounds.select("_id"), "_id", "left_anti")
+        )
+
+        @F.pandas_udf("struct<formula:string, atom_count:map<string,int>>")
+        def descriptors(smiles: pd.Series) -> pd.DataFrame:
+            from mine_database_spark.chem import get_backend as _gb
+
+            b = _gb()
+            return pd.DataFrame(
+                {"formula": smiles.map(b.formula), "atom_count": smiles.map(b.atom_count)}
+            )
+
+        new_cpds = (
+            new_cpds.withColumn("d", descriptors(F.col("smiles")))
+            .select(
+                "_id",
+                F.col("_id").alias("id"),
+                "smiles",
+                "inchi_key",
+                F.lit("Predicted").alias("type"),
+                F.lit(gen).alias("generation"),
+                F.col("d.formula").alias("formula"),
+                F.col("d.atom_count").alias("atom_count"),
+                F.lit(True).alias("expand"),
+                F.lit(None).cast("double").alias("last_similarity"),
+            )
+        )
+
+        compounds_out = compounds.unionByName(new_cpds)
+        reactions_out = merge_reactions(reactions, new_rxns)
+        compounds_out, reactions_out = remove_cofactor_redundancy(compounds_out, reactions_out)
+        return compounds_out.localCheckpoint(eager=True), reactions_out.localCheckpoint(eager=True)
+
+    # -- full run -----------------------------------------------------------
+    def transform_all(self, compounds: DataFrame, generations: int, filters: list | None = None):
+        """Reference transform_all (pickaxe.py:610-685): filter → expand →
+        merge, per generation."""
+        reactions = self.empty_reactions()
+        for gen in range(1, generations + 1):
+            for filt in filters or []:
+                compounds, reactions = filt.apply(compounds, reactions, gen - 1)
+            compounds, reactions = self.expand_generation(compounds, reactions, gen)
+        return compounds, reactions
+
+
+# ---------------------------------------------------------------------------
+# relational merge pieces (shared with IO/persistence layer)
+
+
+def merge_reactions(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Union + operator-set union per reaction hash (pickaxe.py:1500-1502)."""
+    return (
+        existing.unionByName(new)
+        .groupBy("_id")
+        .agg(
+            F.first("reactants").alias("reactants"),
+            F.first("products").alias("products"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("operators")))).alias("operators"),
+            F.first("smiles_rxn").alias("smiles_rxn"),
+        )
+    )
+
+
+def edge_table(reactions: DataFrame) -> DataFrame:
+    """Exploded bipartite adjacency (replaces Reactant_in/Product_of lists)."""
+    r = reactions.select(
+        F.col("_id").alias("rxn_id"), F.explode("reactants").alias("e"), F.lit("reactant").alias("role")
+    )
+    p = reactions.select(
+        F.col("_id").alias("rxn_id"), F.explode("products").alias("e"), F.lit("product").alias("role")
+    )
+    return r.unionByName(p).select(
+        F.col("e.c_id").alias("c_id"), "rxn_id", "role", F.col("e.stoich").alias("stoich")
+    )
+
+
+def remove_cofactor_redundancy(compounds: DataFrame, reactions: DataFrame):
+    """T8 (pickaxe.py:793-940): predicted products that are secretly
+    cofactors (an 'X'-twin exists with the same hash suffix) are replaced by
+    the twin id; reactions are re-hashed and re-deduped; no-op reactions and
+    orphaned predicted compounds are dropped.
+
+    Implemented as: broadcast join against the cofactor suffix set → array
+    transform rewrite → native re-hash → groupBy dedup → anti-join GC.
+    """
+    cofactor_suffixes = compounds.where(F.col("type") == "Coreactant").select(
+        F.expr("substring(_id, 2)").alias("suffix"), F.col("_id").alias("x_id")
+    )
+
+    # rewrite product/reactant arrays via explode + broadcast join + re-collect
+    def rewrite(side: str) -> DataFrame:
+        ex = reactions.select("_id", F.posexplode(side).alias("pos", "e"))
+        ex = (
+            ex.withColumn("suffix", F.expr("substring(e.c_id, 2)"))
+            .join(F.broadcast(cofactor_suffixes), "suffix", "left")
+            .withColumn(
+                "new_cid",
+                F.when(
+                    F.col("x_id").isNotNull() & F.col("e.c_id").startswith("C"), F.col("x_id")
+                ).otherwise(F.col("e.c_id")),
+            )
+        )
+        return ex.groupBy("_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.struct(F.col("e.stoich").alias("stoich"), F.col("new_cid").alias("c_id")).alias("v")))),
+                lambda s: s["v"],
+            ).alias(side)
+        )
+
+    rew = (
+        reactions.select("_id", "operators", "smiles_rxn")
+        .join(rewrite("reactants"), "_id")
+        .join(rewrite("products"), "_id")
+    )
+    rew = rew.withColumn("new_id", canonical_rxn_hash_col(F.col("reactants"), F.col("products")))
+
+    # drop no-op reactions (lhs == rhs after rewrite) and reactions whose
+    # reactants are all cofactors (reference pickaxe.py:856-864)
+    rew = rew.where(
+        F.array_sort(F.transform("reactants", lambda x: x["c_id"]))
+        != F.array_sort(F.transform("products", lambda x: x["c_id"]))
+    ).where(F.exists("reactants", lambda x: ~x["c_id"].startswith("X")))
+
+    reactions_out = (
+        rew.select(F.col("new_id").alias("_id"), "reactants", "products", "operators", "smiles_rxn")
+        .groupBy("_id")
+        .agg(
+            F.first("reactants").alias("reactants"),
+            F.first("products").alias("products"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("operators")))).alias("operators"),
+            F.first("smiles_rxn").alias("smiles_rxn"),
+        )
+    )
+
+    # orphan GC: fully-disconnected predicted compounds (reference
+    # pickaxe.py:928-940 — no Reactant_in AND no Product_of, not Starting)
+    refs = edge_table(reactions_out).select("c_id").distinct()
+    compounds_out = compounds.join(refs, compounds["_id"] == refs["c_id"], "left").where(
+        (F.col("type") != "Predicted") | F.col("c_id").isNotNull()
+    ).drop("c_id")
+    return compounds_out, reactions_out

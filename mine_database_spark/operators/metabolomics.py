@@ -1,0 +1,129 @@
+"""Metabolomics query layer — SURVEY §3.2/§3.3 rebuilt set-oriented.
+
+The reference runs peak-at-a-time Mongo round trips (metabolomics.py:189-271);
+here the whole search is ONE plan: peaks × adducts → mass windows →
+broadcast range join against core compounds → provenance semi-joins →
+scoring. MS2 spectral scoring (dot product / jaccard with ε-tolerant
+two-pointer alignment, metabolomics.py:404-514) runs as a pandas UDF over
+the spectra arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def adduct_windows(peaks: DataFrame, adducts: DataFrame, tolerance: float = 0.001) -> DataFrame:
+    """Peak × adduct candidate neutral-mass windows (X12 arithmetic:
+    (mz − ion_mass)/mass_mult ± tol, metabolomics.py:211-218)."""
+    p = peaks.select("name", "mz", F.col("charge").alias("p_charge"))
+    a = adducts.select("adduct_name", "mass_mult", "ion_mass", F.col("charge").alias("a_charge"))
+    mass = (F.col("mz") - F.col("ion_mass")) / F.col("mass_mult")
+    return (
+        p.crossJoin(F.broadcast(a))
+        .where(F.col("p_charge") == F.col("a_charge"))
+        .select(
+            F.col("name").alias("peak_id"),
+            "adduct_name",
+            (mass - tolerance).alias("lo"),
+            (mass + tolerance).alias("hi"),
+        )
+    )
+
+
+def find_db_hits(
+    peaks: DataFrame,
+    adducts: DataFrame,
+    core_compounds: DataFrame,
+    tolerance: float = 0.001,
+    halogen_filter: bool = False,
+) -> DataFrame:
+    """J2 range join: compounds whose mass falls in any peak/adduct window.
+
+    The windows side is tiny → broadcast nested-loop is the right plan; at
+    100 TB bucket both sides on floor(mass/τ) and join bucket±1 first
+    (SURVEY §4) — same results, equi-join shuffle instead of BNLJ.
+    """
+    w = adduct_windows(peaks, adducts, tolerance)
+    hits = core_compounds.join(
+        F.broadcast(w), (F.col("mass") >= F.col("lo")) & (F.col("mass") <= F.col("hi"))
+    )
+    if halogen_filter:
+        # reference drops halogenated formulas via regex (metabolomics.py:239-241)
+        hits = hits.where(~F.col("formula").rlike("F[^e]|Cl|Br"))
+    return hits.select("peak_id", "adduct_name", "_id", "smiles", "formula", "mass")
+
+
+def spectral_scores(
+    hits_with_spectra: DataFrame,
+    query_ms2: list[tuple[float, float]],
+    metric: str = "dot",
+    tolerance: float = 0.05,
+    spectra_col: str = "spectra",
+) -> DataFrame:
+    """X9-X11: ε-tolerant two-pointer spectral alignment scored per hit,
+    then per-peak ranking (W3). Query spectrum is broadcast into the UDF."""
+    q = sorted(query_ms2)
+
+    @F.pandas_udf("double")
+    def score(spectra: pd.Series) -> pd.Series:
+        qmz = np.array([m for m, _ in q])
+        qi = np.array([i for _, i in q])
+
+        def one(spec):
+            if spec is None or len(spec) == 0:
+                return 0.0
+            smz = np.array([p["mz"] for p in spec])
+            si = np.array([p["intensity"] for p in spec])
+            order = np.argsort(smz)
+            smz, si = smz[order], si[order]
+            # ε-tolerant sorted-merge alignment (metabolomics.py:463-514)
+            ai = bi = 0
+            dot = 0.0
+            na = float(np.dot(qi, qi))
+            nb = float(np.dot(si, si))
+            while ai < len(qmz) and bi < len(smz):
+                d = qmz[ai] - smz[bi]
+                if abs(d) <= tolerance:
+                    dot += qi[ai] * si[bi]
+                    ai += 1
+                    bi += 1
+                elif d < 0:
+                    ai += 1
+                else:
+                    bi += 1
+            if metric == "jaccard":
+                matches = dot
+                return matches / (len(qmz) + len(smz) - matches) if (len(qmz) + len(smz) - matches) else 0.0
+            denom = (na * nb) ** 0.5
+            return dot / denom if denom else 0.0
+
+        return spectra.map(one)
+
+    scored = hits_with_spectra.withColumn("score", F.round(score(F.col(spectra_col)), 6))
+    w = Window.partitionBy("peak_id").orderBy(F.col("score").desc(), F.col("_id"))
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def score_compounds(
+    hits: DataFrame, native_ids: DataFrame, native_product_rxns: DataFrame | None = None
+) -> DataFrame:
+    """J9 (metabolomics.py:1209-1267): 0.75 weight if the compound itself is
+    native, plus 0.25 if produced by a reaction whose reactants include a
+    native compound — two semi-join flags + arithmetic."""
+    nat = native_ids.select(F.col(native_ids.columns[0]).alias("_id")).withColumn("is_native", F.lit(1))
+    out = hits.join(nat, "_id", "left")
+    if native_product_rxns is not None:
+        np_ids = native_product_rxns.select(F.col(native_product_rxns.columns[0]).alias("_id")).withColumn(
+            "is_np", F.lit(1)
+        )
+        out = out.join(np_ids, "_id", "left")
+    else:
+        out = out.withColumn("is_np", F.lit(None).cast("int"))
+    return out.withColumn(
+        "compound_score",
+        F.round(F.coalesce(F.col("is_native"), F.lit(0)) * 0.75 + F.coalesce(F.col("is_np"), F.lit(0)) * 0.25, 4),
+    ).drop("is_native", "is_np")

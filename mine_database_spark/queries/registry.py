@@ -678,6 +678,80 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(e, e.where(F.col("vec_id") < 5), k=10)
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LLM dedup family).
+
+    Exact all-pairs here (correctness baseline); the 100TB path restricts
+    pair generation to LSH buckets first (sim.lsh_bucketed_topk shape) —
+    same scoring, equi-join candidate generation instead of a cross join.
+    """
+    from mine_database_spark.functions.vectors import cosine
+
+    (e,) = _t(spark, sf_dir, "embeddings")
+    v = e.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("score") >= 0.35)
+        .select("a_id", "b_id", "score")
+    )
+
+
+_Q_EMBED_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: multimodal binary columns (decode stubbed; md5-derived
+# fake dimensions are reproducible in SQL, so the Arrow/mapInPandas plumbing
+# gets a full value-level oracle check)
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mine_database_spark.operators.multimodal import extract_media_features
+
+    (d,) = _t(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("blob"))
+    return extract_media_features(media)
+
+
+_Q_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INT) AS blob_bytes,
+       sha256(text) AS fingerprint,
+       CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS INT) AS width,
+       CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 768 + 1 AS INT) AS height
+FROM documents
+"""
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word pieces + punctuation as tokens) —
+    the token-counting contract of an LLM data pipeline."""
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )
+
+
+_Q_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS INT) AS n_distinct_bpe
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -707,6 +781,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embed_neardup": q_embed_neardup,
+    "multimodal_features": q_multimodal_features,
+    "bpe_token_stats": q_bpe_token_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -734,5 +811,8 @@ ORACLES: dict[str, str] = {
     "lang_id": _Q_LANG_ID_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,
     "ann_cosine_topk": _Q_ANN_SQL,
+    "embed_neardup": _Q_EMBED_NEARDUP_SQL,
+    "multimodal_features": _Q_MULTIMODAL_SQL,
+    "bpe_token_stats": _Q_BPE_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

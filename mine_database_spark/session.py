@@ -9,8 +9,36 @@ pandas UDFs), explicit shuffle-partition sizing.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make mine_database_spark importable inside Python workers.
+
+    Pandas-UDF bodies import this package on the executor side; a driver
+    running from outside the repo (or a real cluster) needs the package
+    shipped via addPyFile — the standard py-files deployment path.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), "mine_database_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app)
 
 
 def get_spark(app_name: str = "mine_database_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -33,7 +61,9 @@ def get_spark(app_name: str = "mine_database_spark", shuffle_partitions: int | N
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
@@ -48,4 +78,5 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    ship_package(spark)
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,99 @@
+"""Sinks (SURVEY §2.1 S9-S19): sorted TSV exports, parquet warehouse,
+core-compound upsert merge.
+
+The Mongo-era machinery (16MB-document sharding, 10k-chunk bulk writes,
+databases.py:263-473) is obsolete on columnar storage: adjacency lives in
+the exploded edge table and writes are partitioned parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mine_database_spark.operators.expansion import edge_table
+
+
+def write_compounds_tsv(compounds: DataFrame, path: str) -> None:
+    """S9 (pickaxe.py:1104-1133): deterministic sorted TSV export."""
+    (
+        compounds.orderBy("_id")
+        .select(
+            "id",
+            "_id",
+            "smiles",
+            "inchi_key",
+            "type",
+            "generation",
+            "formula",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def write_reactions_tsv(reactions: DataFrame, path: str) -> None:
+    """S10 (pickaxe.py:1135-1163): sorted TSV with rendered stoich arrays."""
+    def render(side):
+        return F.concat_ws(
+            " + ",
+            F.transform(F.col(side), lambda x: F.concat_ws(" ", x["stoich"].cast("string"), x["c_id"])),
+        )
+
+    (
+        reactions.orderBy("_id")
+        .select(
+            "_id",
+            render("reactants").alias("reactants"),
+            render("products").alias("products"),
+            F.concat_ws(";", F.col("operators")).alias("operators"),
+            "smiles_rxn",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def save_warehouse(compounds: DataFrame, reactions: DataFrame, path: str) -> None:
+    """S11/S17: persist the network as partitioned parquet tables — the
+    'MINE store'. Compounds partition by generation (generational queries
+    prune partitions); edges are written for join-heavy consumers."""
+    compounds.write.mode("overwrite").partitionBy("generation").parquet(os.path.join(path, "compounds"))
+    reactions.write.mode("overwrite").parquet(os.path.join(path, "reactions"))
+    edge_table(reactions).write.mode("overwrite").parquet(os.path.join(path, "edges"))
+
+
+def load_warehouse(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(os.path.join(path, "compounds")),
+        spark.read.parquet(os.path.join(path, "reactions")),
+        spark.read.parquet(os.path.join(path, "edges")),
+    )
+
+
+def merge_core_compounds(existing: DataFrame, new: DataFrame, mine_name: str) -> DataFrame:
+    """S14 (databases.py:477-572): upsert + MINES array-union. Pure-DataFrame
+    merge (Delta MERGE INTO where available — same logical plan)."""
+    new = new.withColumn("mines", F.array(F.lit(mine_name)))
+    return (
+        existing.unionByName(new, allowMissingColumns=True)
+        .groupBy("_id")
+        .agg(
+            F.first("smiles", ignorenulls=True).alias("smiles"),
+            F.first("inchi_key", ignorenulls=True).alias("inchi_key"),
+            F.first("mass", ignorenulls=True).alias("mass"),
+            F.first("charge", ignorenulls=True).alias("charge"),
+            F.first("formula", ignorenulls=True).alias("formula"),
+            F.first("logp", ignorenulls=True).alias("logp"),
+            F.first("rdkit_fp", ignorenulls=True).alias("rdkit_fp"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mines")))).alias("mines"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Structured Streaming wrappers (SURVEY §2.11).
+
+The reference is batch-only; these extend the engine with the streaming
+forms of its incremental units: tumbling/session window aggregation over an
+event stream, and foreachBatch peak annotation (peak matching is
+embarrassingly incremental — each micro-batch of peaks joins the static
+compound dimension independently).
+
+All logic is shared with the batch operators — the streaming functions only
+swap the source/sink and add watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """groupBy(window(ts), type) with a watermark for late data — the
+    streaming form of sessionize.tumbling_window_agg."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows via session_window() — the streaming
+    equivalent of the gap-based batch sessionizer."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def annotate_peaks_foreach_batch(core_compounds: DataFrame, adducts: DataFrame, tolerance: float = 0.001):
+    """Returns a foreachBatch function that annotates each micro-batch of
+    peaks against the static compound dimension (SURVEY §2.11: J2 is
+    per-peak independent, so incremental execution is exact)."""
+    from mine_database_spark.operators.metabolomics import find_db_hits
+
+    def process(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return find_db_hits(batch_df, adducts, core_compounds, tolerance)
+
+    return process

@@ -1,0 +1,197 @@
+"""Engine tests modeled on the reference's test strategy (SURVEY §5):
+exact-cardinality expansion goldens, merge/dedup semantics, cofactor
+rewrite, pruning, id assignment — with the deterministic fake chemistry
+backend (strings as molecules, 'pat>>repl' rules).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mine_database_spark.operators.expansion import (
+    NetworkExpansion,
+    Rule,
+    compound_id,
+    edge_table,
+)
+from mine_database_spark.chem import get_backend
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    backend = get_backend()
+    coreactants = {}
+    for name, smi in [("ATP", "atp"), ("ADP", "adp")]:
+        coreactants[name] = (smi, compound_id(backend.inchi_key(smi), "Coreactant"))
+    rules = [Rule("2.7.1.a", ["ATP", "Any"], ["Any", "ADP"], "ab>>cd")]
+    return NetworkExpansion(spark, rules, coreactants, frontier_partitions=4)
+
+
+def test_expansion_golden_counts(spark, engine):
+    """FADH-fixture analogue: 'abab' + rule ab>>cd for 2 generations.
+    gen1: abab -> {cdab, abcd}; gen2: cdab|abcd -> cdcd.
+    Exact counts, like test_pickaxe.py:108-111."""
+    compounds = engine.starting_compounds([("fadh", "abab")])
+    cpds, rxns = engine.transform_all(compounds, generations=2)
+
+    cdict = {r["smiles"]: r for r in cpds.collect()}
+    assert set(cdict) == {"atp", "adp", "abab", "cdab", "abcd", "cdcd"}
+    assert cdict["cdab"]["generation"] == 1
+    assert cdict["abcd"]["generation"] == 1
+    assert cdict["cdcd"]["generation"] == 2
+    assert cdict["abab"]["type"] == "Starting Compound"
+    assert cdict["cdcd"]["type"] == "Predicted"
+
+    rrows = rxns.collect()
+    assert len(rrows) == 4  # 2 in gen1, 2 in gen2 (distinct hashes)
+    for r in rrows:
+        assert r["_id"].startswith("R") and len(r["_id"]) == 65
+        assert r["operators"] == ["2.7.1.a"]
+
+
+def test_expansion_deterministic(spark, engine):
+    """Parallel == serial invariant (test_pickaxe.py:153-168): rerun
+    produces identical hash sets regardless of partitioning."""
+    compounds = engine.starting_compounds([("fadh", "abab")])
+    c1, r1 = engine.transform_all(compounds, generations=2)
+    ids1 = {r["_id"] for r in r1.collect()}
+    engine2 = NetworkExpansion(spark, engine.rules, engine.coreactants, frontier_partitions=13)
+    c2, r2 = engine2.transform_all(engine2.starting_compounds([("fadh", "abab")]), generations=2)
+    ids2 = {r["_id"] for r in r2.collect()}
+    assert ids1 == ids2
+    assert {r["_id"] for r in c1.collect()} == {r["_id"] for r in c2.collect()}
+
+
+def test_first_generation_wins(spark, engine):
+    """E1: a compound reachable in gen1 and gen2 keeps generation 1
+    (pickaxe.py:530-556 first-writer-wins)."""
+    # 'ababab' -> gen1 contains 'cdabab','abcdab','ababcd'; gen2 re-derives
+    # overlapping products — all keep their first generation.
+    compounds = engine.starting_compounds([("s", "ababab")])
+    cpds, _ = engine.transform_all(compounds, generations=2)
+    rows = {r["smiles"]: r["generation"] for r in cpds.collect()}
+    assert rows["cdabab"] == 1
+    assert rows["cdcdab"] == 2
+
+
+def test_operator_set_union(spark):
+    """A3: same reaction hash from two rules unions the operator set."""
+    backend = get_backend()
+    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant")),
+          "ADP": ("adp", compound_id(backend.inchi_key("adp"), "Coreactant"))}
+    rules = [
+        Rule("r_a", ["ATP", "Any"], ["Any", "ADP"], "ab>>cd"),
+        Rule("r_b", ["ATP", "Any"], ["Any", "ADP"], "ab>>cd"),
+    ]
+    eng = NetworkExpansion(spark, rules, co, frontier_partitions=2)
+    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "ab")]), generations=1)
+    rows = rxns.collect()
+    assert len(rows) == 1
+    assert rows[0]["operators"] == ["r_a", "r_b"]
+
+
+def test_cofactor_redundancy_rewrite(spark):
+    """T8: a predicted product whose hash has an X-twin is rewritten to the
+    twin; no-op reactions are dropped (pickaxe.py:793-940)."""
+    backend = get_backend()
+    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant")),
+          "ADP": ("adp", compound_id(backend.inchi_key("adp"), "Coreactant"))}
+    # rule turns substrate 'q' into the ADP molecule itself
+    rules = [Rule("mk_adp", ["Any"], ["Any"], "q>>adp")]
+    eng = NetworkExpansion(spark, rules, co, frontier_partitions=2)
+    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "q")]), generations=1)
+    rrows = rxns.collect()
+    assert len(rrows) == 1
+    (prod,) = rrows[0]["products"]
+    assert prod["c_id"].startswith("X")  # rewritten to cofactor twin
+    # the predicted 'adp' compound was removed as redundant
+    smiles = {r["smiles"]: r["_id"][0] for r in cpds.collect()}
+    assert smiles["adp"] == "X"
+
+
+def test_prune_to_targets(spark, engine):
+    """G1-G3: pruning to a target keeps only its provenance chain
+    (test_pickaxe.py:218-220 shape)."""
+    from mine_database_spark.operators.network import prune_network
+
+    compounds = engine.starting_compounds([("fadh", "abab")])
+    cpds, rxns = engine.transform_all(compounds, generations=2)
+    target = cpds.where(F.col("smiles") == "cdcd").select("_id")
+    pc, pr = prune_network(cpds, rxns, target)
+    smiles = {r["smiles"] for r in pc.collect()}
+    # cdcd's provenance: cdab/abcd -> abab (+ coreactants kept)
+    assert "cdcd" in smiles and "abab" in smiles
+    assert pr.count() == 4  # all 4 reactions produce something on the path
+    # prune to a gen-1 compound cuts the gen-2 reactions
+    target1 = cpds.where(F.col("smiles") == "cdab").select("_id")
+    pc1, pr1 = prune_network(cpds, rxns, target1)
+    assert pr1.count() == 1
+
+
+def test_assign_ids(spark, engine):
+    """G6/W1: deterministic pkc/pkr ids + equation rendering."""
+    from mine_database_spark.operators.network import assign_ids
+
+    compounds = engine.starting_compounds([("fadh", "abab")])
+    cpds, rxns = engine.transform_all(compounds, generations=1)
+    ca, ra = assign_ids(cpds, rxns)
+    ids = [r["id"] for r in ca.orderBy("generation", "_id").collect()]
+    assert ids == [f"pkc{i + 1:07d}" for i in range(len(ids))]
+    rrow = ra.collect()[0]
+    assert rrow["id"].startswith("pkr")
+    assert "=>" in rrow["id_rxn"]
+
+
+def test_edge_table_roundtrip(spark, engine):
+    compounds = engine.starting_compounds([("fadh", "abab")])
+    _, rxns = engine.transform_all(compounds, generations=1)
+    e = edge_table(rxns)
+    assert e.where(F.col("role") == "reactant").count() == 4  # 2 rxns × (ATP + substrate)
+    assert e.where(F.col("role") == "product").count() == 4   # 2 rxns × (product + ADP)
+
+
+def test_filters_cascade(spark, engine):
+    """F1 + F10: an MW filter that rejects everything empties the predicted
+    frontier and cascades reaction deletion."""
+    from mine_database_spark.operators.filters import MWFilter
+
+    compounds = engine.starting_compounds([("fadh", "abab")])
+    cpds, rxns = engine.transform_all(compounds, generations=1)
+    f = MWFilter(0.0, 0.0001)  # nothing passes
+    c2, r2 = f.apply(cpds, rxns, generation=1)
+    assert c2.where(F.col("type") == "Predicted").count() == 0
+    assert r2.count() == 0
+    # a permissive filter removes nothing
+    f2 = MWFilter(0.0, 1e9)
+    c3, r3 = f2.apply(cpds, rxns, generation=1)
+    assert c3.count() == cpds.count()
+    assert r3.count() == rxns.count()
+
+
+def test_similarity_filter(spark, engine):
+    from mine_database_spark.operators.filters import SimilarityFilter
+
+    compounds = engine.starting_compounds([("fadh", "abab")])
+    cpds, rxns = engine.transform_all(compounds, generations=1)
+    # target == one of the products → that product survives (sim 1.0)
+    f = SimilarityFilter(["cdab"], threshold=0.99)
+    c2, r2 = f.apply(cpds, rxns, generation=1)
+    kept = {r["smiles"] for r in c2.where(F.col("type") == "Predicted").collect()}
+    assert kept == {"cdab"}
+    sims = {r["smiles"]: r["last_similarity"] for r in c2.collect()}
+    assert sims["cdab"] == 1.0
+
+
+def test_weighted_sampling_filter(spark, engine):
+    from mine_database_spark.operators.filters import SimilaritySamplingFilter
+
+    compounds = engine.starting_compounds([("s", "ababab")])
+    cpds, rxns = engine.transform_all(compounds, generations=1)
+    n_pred = cpds.where(F.col("type") == "Predicted").count()
+    f = SimilaritySamplingFilter(["cdabab"], sample_size=2, min_sim=0.0)
+    c2, _ = f.apply(cpds, rxns, generation=1)
+    assert c2.where(F.col("type") == "Predicted").count() <= n_pred
+    # deterministic: same seed-free hash sampling twice
+    c3, _ = f.apply(cpds, rxns, generation=1)
+    assert {r["_id"] for r in c2.collect()} == {r["_id"] for r in c3.collect()}

@@ -1,0 +1,155 @@
+"""Tests for heavy filters, compound_io exports, streaming wrappers,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mine_database_spark.chem import get_backend
+from mine_database_spark.operators.expansion import NetworkExpansion, Rule, compound_id
+
+
+@pytest.fixture(scope="module")
+def network(spark):
+    backend = get_backend()
+    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant")),
+          "ADP": ("adp", compound_id(backend.inchi_key("adp"), "Coreactant"))}
+    eng = NetworkExpansion(spark, [Rule("r1", ["ATP", "Any"], ["Any", "ADP"], "ab>>cd")], co, frontier_partitions=2)
+    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "abab")]), generations=1)
+    return cpds, rxns
+
+
+def test_mcs_filter(spark, network):
+    from mine_database_spark.operators.heavy_filters import MCSFilter
+
+    cpds, rxns = network
+    f = MCSFilter(["cdab"], crit_mcs=0.9)  # only exact-ish overlap survives
+    c2, _ = f.apply(cpds, rxns, generation=1)
+    kept = {r["smiles"] for r in c2.where(F.col("type") == "Predicted").collect()}
+    assert kept == {"cdab"}
+
+
+def test_heavy_filters_gated(spark):
+    from mine_database_spark.operators.heavy_filters import (
+        ReactionFeasibilityFilter,
+        ThermoFilter,
+    )
+
+    with pytest.raises(ImportError, match="equilibrator"):
+        ThermoFilter()
+    with pytest.raises(ImportError, match="torch"):
+        ReactionFeasibilityFilter()
+
+
+def test_np_likeness(spark, network):
+    from mine_database_spark.operators.heavy_filters import np_likeness_score
+
+    cpds, _ = network
+    scored = np_likeness_score(cpds, {"cd": 2.0})
+    vals = {r["smiles"]: r["np_score"] for r in scored.collect()}
+    assert vals["cdab"] > vals["abab"]
+
+
+def test_compound_io_exports(spark, network, tmp_path):
+    from mine_database_spark.sources.compound_io import (
+        export_inchi_rxns,
+        export_modelseed_tsv,
+        export_sbml,
+        export_sdf,
+        export_smiles,
+        import_smiles_file,
+    )
+
+    cpds, rxns = network
+    export_smiles(cpds, str(tmp_path / "smi"))
+    back = import_smiles_file(spark, str(tmp_path / "smi"))
+    assert back.count() == cpds.count()
+
+    export_sdf(cpds, str(tmp_path / "sdf"))
+    sdf_text = "\n".join(r["value"] for r in spark.read.text(str(tmp_path / "sdf")).collect())
+    assert sdf_text.count("$$$$") == cpds.count()
+
+    export_modelseed_tsv(cpds, str(tmp_path / "ms"))
+    ms = spark.read.option("sep", "\t").option("header", True).csv(str(tmp_path / "ms"))
+    assert ms.count() == cpds.count() and "structure" in ms.columns
+
+    export_inchi_rxns(rxns, cpds, str(tmp_path / "irxn"))
+    assert spark.read.text(str(tmp_path / "irxn")).count() == rxns.count()
+
+    export_sbml(cpds, rxns, str(tmp_path / "sbml"))
+    xml = "\n".join(r["value"] for r in spark.read.text(str(tmp_path / "sbml")).collect())
+    assert xml.startswith("<?xml") and "<listOfSpecies>" in xml and xml.rstrip().endswith("</model></sbml>")
+    assert xml.count("<species ") == cpds.count()
+    assert xml.count("<reaction ") == rxns.count()
+
+
+def test_multimodal_plumbing(spark):
+    from mine_database_spark.operators.multimodal import (
+        decode_image_real,
+        extract_media_features,
+        frame_sample_stub,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x" * 2048), "image"), (2, bytearray(b"y" * 100), "image")],
+        "media_id long, blob binary, media_type string",
+    )
+    feats = extract_media_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[1]["blob_bytes"] == 2048
+    assert 1 <= rows[1]["width"] <= 1024 and 1 <= rows[1]["height"] <= 768
+    assert len(rows[2]["fingerprint"]) == 64
+
+    frames = frame_sample_stub(media, every_n=1)
+    assert frames.where(F.col("media_id") == 1).count() == 3  # 2048//1024+1 frames
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"")
+
+
+def test_streaming_tumbling(spark, tmp_path):
+    """Structured Streaming path: file source → windowed agg → memory sink,
+    availableNow trigger; results must match the batch operator."""
+    from mine_database_spark.streaming.windows import stream_tumbling_counts
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        ("2024-01-01T00:10:00", "click", 1.0),
+        ("2024-01-01T00:20:00", "click", 2.0),
+        ("2024-01-01T01:10:00", "view", 3.0),
+    ]
+    (src / "a.csv").write_text("\n".join(",".join(map(str, r)) for r in rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .csv(str(src))
+    )
+    agg = stream_tumbling_counts(stream, window="1 hour", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select event_type, n_events, sum_value_cents from tumbling_test").collect()
+    got = {(r["event_type"]): (r["n_events"], r["sum_value_cents"]) for r in out}
+    assert got == {"click": (2, 300), "view": (1, 300)}
+
+
+def test_streaming_foreach_batch_annotation(spark):
+    from mine_database_spark.schemas import ADDUCT_SCHEMA, CORE_COMPOUND_SCHEMA, PEAK_SCHEMA
+    from mine_database_spark.streaming.windows import annotate_peaks_foreach_batch
+
+    core = spark.createDataFrame(
+        [("Caaa", "m1", "IK1", 426.022124, 0, "C10", 1.0, [1], ["m"])], CORE_COMPOUND_SCHEMA
+    )
+    adducts = spark.createDataFrame([("[M+H]+", 1.0, 1.007276, "+")], ADDUCT_SCHEMA)
+    process = annotate_peaks_foreach_batch(core, adducts)
+    batch = spark.createDataFrame([("p1", None, 427.0294, "+", None, [])], PEAK_SCHEMA)
+    hits = process(batch, 0)
+    assert hits.count() == 1

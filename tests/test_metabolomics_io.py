@@ -1,0 +1,188 @@
+"""Metabolomics layer + readers/writers tests (SURVEY §3.2/§3.3, §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mine_database_spark.schemas import ADDUCT_SCHEMA, CORE_COMPOUND_SCHEMA, PEAK_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def peaks(spark):
+    rows = [
+        ("p1", 5.0, 427.0294, "+", None, [(100.0, 1.0), (200.0, 0.5)]),
+        ("p2", 7.0, 100.1, "+", None, []),
+    ]
+    return spark.createDataFrame(rows, PEAK_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def adducts(spark):
+    # [M+H]+ : mass_mult 1, ion_mass 1.007276 (reference adduct file shape)
+    rows = [("[M+H]+", 1.0, 1.007276, "+"), ("[M+Na]+", 1.0, 22.989218, "+")]
+    return spark.createDataFrame(rows, ADDUCT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def core(spark):
+    rows = [
+        ("Caaa", "mol1", "IK1", 426.022124, 0, "C10", 1.0, [1, 2], ["m"]),
+        ("Cbbb", "mol2", "IK2", 426.022, 0, "C9", 0.5, [3], ["m"]),
+        ("Cccc", "mol3", "IK3", 99.09, 0, "C2", 0.1, [4], ["m"]),
+        ("Cddd", "mol4", "IK4", 500.0, 0, "C50", 2.0, [5], ["m"]),
+    ]
+    return spark.createDataFrame(rows, CORE_COMPOUND_SCHEMA)
+
+
+def test_adduct_math_golden(spark, peaks, adducts):
+    """Adduct mass arithmetic golden (test_metabolomics.py:125-140):
+    mz 427.0294 [M+H]+ → neutral mass 426.022124 ± tol."""
+    from mine_database_spark.operators.metabolomics import adduct_windows
+
+    w = adduct_windows(peaks, adducts, tolerance=0.001)
+    row = [r for r in w.collect() if r["peak_id"] == "p1" and r["adduct_name"] == "[M+H]+"][0]
+    assert abs((row["lo"] + row["hi"]) / 2 - 426.022124) < 1e-9
+
+
+def test_find_db_hits_range_join(spark, peaks, adducts, core):
+    from mine_database_spark.operators.metabolomics import find_db_hits
+
+    hits = find_db_hits(peaks, adducts, core, tolerance=0.001)
+    got = {(r["peak_id"], r["_id"]) for r in hits.collect()}
+    assert ("p1", "Caaa") in got and ("p1", "Cbbb") in got
+    assert not any(cid == "Cddd" for _, cid in got)
+
+
+def test_spectral_scoring(spark):
+    from mine_database_spark.operators.metabolomics import spectral_scores
+
+    rows = [
+        ("p1", "Caaa", [{"mz": 100.0, "intensity": 1.0}, {"mz": 200.0, "intensity": 0.5}]),
+        ("p1", "Cbbb", [{"mz": 300.0, "intensity": 1.0}]),
+    ]
+    df = spark.createDataFrame(rows, "peak_id string, _id string, spectra array<struct<mz:double,intensity:double>>")
+    scored = spectral_scores(df, [(100.0, 1.0), (200.0, 0.5)], metric="dot")
+    res = {r["_id"]: (r["score"], r["rank"]) for r in scored.collect()}
+    assert res["Caaa"][0] == 1.0 and res["Caaa"][1] == 1  # perfect match ranks first
+    assert res["Cbbb"][0] == 0.0
+
+
+def test_score_compounds(spark, peaks, adducts, core):
+    from mine_database_spark.operators.metabolomics import find_db_hits, score_compounds
+
+    hits = find_db_hits(peaks, adducts, core)
+    native = spark.createDataFrame([("Caaa",)], "_id string")
+    scored = score_compounds(hits, native)
+    res = {r["_id"]: r["compound_score"] for r in scored.collect()}
+    assert res["Caaa"] == 0.75
+    assert res["Cbbb"] == 0.0
+
+
+def test_rules_readers(spark, tmp_path):
+    from mine_database_spark.sources.readers import (
+        read_coreactants_tsv,
+        read_rules_tsv,
+        rules_fraction_coverage,
+        rules_top_n,
+    )
+
+    rules_file = tmp_path / "rules.tsv"
+    rules_file.write_text(
+        "Name\tReactants\tSMARTS\tProducts\tComments\tCounts\n"
+        "# a comment line\n"
+        "r1\tATP;Any\tab>>cd\tAny;ADP\t\t10\n"
+        "r2\tAny\tq>>z\tAny\t\t5\n"
+        "r3\tAny\tz>>q\tAny\t\t1\n"
+    )
+    df, rules = read_rules_tsv(spark, str(rules_file))
+    assert len(rules) == 3
+    assert rules[0].reactant_roles == ["ATP", "Any"]
+    assert rules_top_n(df, 2).count() == 2
+    cov = rules_fraction_coverage(df, 0.9)
+    assert [r["name"] for r in cov.orderBy("name").collect()] == ["r1", "r2"]
+
+    co_file = tmp_path / "co.tsv"
+    co_file.write_text("# comment\nATP\tatp\tatp\nADP\tadp\tadp\n")
+    co = read_coreactants_tsv(spark, str(co_file))
+    assert set(co) == {"ATP", "ADP"}
+    assert co["ATP"][1].startswith("X")
+
+
+def test_peak_file_readers(spark, tmp_path):
+    from mine_database_spark.sources.readers import read_adducts, read_mgf, read_msp
+
+    mgf = tmp_path / "t.mgf"
+    mgf.write_text(
+        "BEGIN IONS\nTITLE=peak1\nPEPMASS=427.0294\nRTINSECONDS=300\n"
+        "100.0 1.0\n200.0 0.5\nEND IONS\n"
+    )
+    p = read_mgf(spark, str(mgf))
+    row = p.collect()[0]
+    assert row["name"] == "peak1" and row["mz"] == 427.0294 and len(row["ms2"]) == 2
+
+    msp = tmp_path / "t.msp"
+    msp.write_text(
+        "Name: peakA\nPrecursorMZ: 300.5\nNum Peaks: 2\n100.0 1.0\n150.0 2.0\n\n"
+        "Name: peakB\nPrecursorMZ: 400.5\nNum Peaks: 1\n120.0 1.0\n"
+    )
+    p2 = read_msp(spark, str(msp))
+    rows = {r["name"]: r for r in p2.collect()}
+    assert set(rows) == {"peakA", "peakB"}
+    assert len(rows["peakA"]["ms2"]) == 2
+
+    ad = tmp_path / "adducts.txt"
+    ad.write_text("# name mult mass\n[M+H]+\t1.0\t1.007276\n[M+Na]+ 1.0 22.989218\n")
+    a = read_adducts(spark, str(ad))
+    assert a.count() == 2
+
+
+def test_warehouse_roundtrip(spark, tmp_path):
+    from mine_database_spark.chem import get_backend
+    from mine_database_spark.operators.expansion import (
+        NetworkExpansion,
+        Rule,
+        compound_id,
+    )
+    from mine_database_spark.sources.writers import (
+        load_warehouse,
+        save_warehouse,
+        write_compounds_tsv,
+        write_reactions_tsv,
+    )
+
+    backend = get_backend()
+    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant")),
+          "ADP": ("adp", compound_id(backend.inchi_key("adp"), "Coreactant"))}
+    eng = NetworkExpansion(spark, [Rule("r1", ["ATP", "Any"], ["Any", "ADP"], "ab>>cd")], co, frontier_partitions=2)
+    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "abab")]), generations=1)
+
+    wh = str(tmp_path / "wh")
+    save_warehouse(cpds, rxns, wh)
+    c2, r2, e2 = load_warehouse(spark, wh)
+    assert c2.count() == cpds.count()
+    assert r2.count() == rxns.count()
+    assert e2.count() == 8
+
+    write_compounds_tsv(cpds, str(tmp_path / "cpds_tsv"))
+    write_reactions_tsv(rxns, str(tmp_path / "rxns_tsv"))
+    out = spark.read.option("sep", "\t").option("header", True).csv(str(tmp_path / "cpds_tsv"))
+    assert out.count() == cpds.count()
+
+
+def test_core_compound_merge(spark):
+    from mine_database_spark.sources.writers import merge_core_compounds
+
+    existing = spark.createDataFrame(
+        [("Caaa", "m1", "IK1", 10.0, 0, "C", 0.1, [1], ["run1"])], CORE_COMPOUND_SCHEMA
+    )
+    new = spark.createDataFrame(
+        [("Caaa", "m1", "IK1", 10.0, 0, "C", 0.1, [1]), ("Cbbb", "m2", "IK2", 20.0, 1, "CC", 0.2, [2])],
+        "`_id` string, smiles string, inchi_key string, mass double, charge int, formula string, logp double, rdkit_fp array<int>",
+    )
+    merged = merge_core_compounds(existing, new, "run2")
+    rows = {r["_id"]: r["mines"] for r in merged.collect()}
+    assert rows["Caaa"] == ["run1", "run2"]
+    assert rows["Cbbb"] == ["run2"]
