@@ -39,6 +39,8 @@ HEADLINE = [
     "text_quality",
     "token_stats",
     "ann_cosine_topk",
+    "spectral_cosine",
+    "model_jaccard",
 ]
 
 

