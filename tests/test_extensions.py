@@ -153,3 +153,35 @@ def test_streaming_foreach_batch_annotation(spark):
     batch = spark.createDataFrame([("p1", None, 427.0294, "+", None, [])], PEAK_SCHEMA)
     hits = process(batch, 0)
     assert hits.count() == 1
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: exact dedup across micro-batches. The second
+    batch repeats a text from the first — state must suppress it."""
+    from mine_database_spark.streaming.stateful import exact_dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    (src / "batch1.csv").write_text("1,hello world\n2,goodbye\n3,hello world")
+    (src / "batch2.csv").write_text("4,hello world\n5,fresh text")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select survivor_id from dedup_stream_test").collect()
+    survivors = sorted(r["survivor_id"] for r in out)
+    # 'hello world' deduped to its first id no matter which batch came first;
+    # each distinct text emitted exactly once across the whole stream
+    assert len(survivors) == 3
+    assert 2 in survivors and 5 in survivors
+    assert 1 in survivors or 4 in survivors

@@ -1,0 +1,74 @@
+"""Physical-plan quality gates (SURVEY §4 / 100 TB design rules).
+
+These tests pin the *plan shape*, not the results: filters and projections
+must reach the parquet scan, small dimensions must broadcast, aggregations
+must partial-aggregate before the shuffle, the tiny-ranges interval join must
+stay a broadcast nested loop, and no headline query may fall back to
+row-at-a-time Python evaluation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from mine_database_spark.queries.registry import QUERIES
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_frontier_select_pushdown_and_pruning(spark, sf_smoke):
+    plan = plan_str(QUERIES["frontier_select"](spark, sf_smoke))
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema
+    # only the 5 needed columns are read (key, custkey, status, price, date)
+    assert read_schema.count(",") == 4
+
+
+def test_dimension_joins_broadcast(spark, sf_smoke):
+    for name in ("top_revenue_orders", "region_revenue", "rule_coverage_cdf"):
+        plan = plan_str(QUERIES[name](spark, sf_smoke))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dimension join should not sort-merge"
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_smoke):
+    plan = plan_str(QUERIES["pricing_summary"](spark, sf_smoke), mode="simple")
+    # map-side combine: partial aggregate below the exchange, final above it
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial_sum" in post
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_smoke):
+    plan = plan_str(QUERIES["mass_range_join"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_row_python_udf_in_headline_queries(spark, sf_smoke):
+    """Python enters the plan only via Arrow (pandas UDF / mapInPandas),
+    never via row-at-a-time BatchEvalPython."""
+    import bench
+
+    for name in bench.HEADLINE:
+        plan = plan_str(QUERIES[name](spark, sf_smoke), mode="simple")
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_exact_dedup_single_shuffle(spark, sf_smoke):
+    plan = plan_str(QUERIES["dedup_exact"](spark, sf_smoke), mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_anti_join_orphan_gc_shape(spark, sf_smoke):
+    plan = plan_str(QUERIES["orphan_gc"](spark, sf_smoke))
+    assert "LeftAnti" in plan
+    # quantity filter is pushed into the lineitem scan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48.0)" in plan
