@@ -47,6 +47,70 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Centroids = the n_centroids lowest-id corpus vectors (deterministic; a
+    k-means refinement slots in without changing the plan shape). Corpus
+    vectors are assigned to their nearest centroid in a single scan-side
+    projection (centroids are collected once and inlined as literals — the
+    standard small-codebook pattern; no shuffle, no cross join). Queries
+    probe their n_probe nearest lists; candidates come from an equi-join on
+    the list id.
+
+    Scale: the corpus never shuffles for assignment; the candidate join is
+    keyed by list id, so each query touches ~n_probe/n_centroids of the data.
+    At 100 TB, partition (or Z-order) the corpus by list id so probes prune
+    file scans.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+
+    cents = c.orderBy("vec_id").limit(n_centroids).collect()  # small codebook only
+
+    def dot_lit(col, vec):
+        return F.aggregate(
+            F.zip_with(col, F.array(*[F.lit(float(x)) for x in vec]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def ranked_lists(col):
+        return F.reverse(
+            F.array_sort(
+                F.array(*[
+                    F.struct(dot_lit(col, r["v"]).alias("s"), F.lit(int(r["vec_id"])).alias("cid"))
+                    for r in cents
+                ])
+            )
+        )
+
+    assigned = c.withColumn("list_id", ranked_lists(F.col("v"))[0]["cid"])
+    probes = q.withColumn(
+        "probe", F.explode(F.slice(ranked_lists(F.col("qv")), 1, n_probe))
+    ).select("query_id", "qv", F.col("probe.cid").alias("list_id"))
+
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

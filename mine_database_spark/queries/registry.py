@@ -684,6 +684,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(e, e.where(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN — the other 100TB scale path (candidates from
+    an inverted-list equi-join; corpus partitionable by list id). No SQL
+    oracle (centroid codebook is collected driver-side): rows-only check;
+    recall vs brute force is pinned in tests/test_extensions.py."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LLM dedup family).
 
@@ -914,6 +923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,

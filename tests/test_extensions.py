@@ -185,3 +185,20 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert len(survivors) == 3
     assert 2 in survivors and 5 in survivors
     assert 1 in survivors or 4 in survivors
+
+
+def test_ivf_ann_recall(spark):
+    """IVF candidates must be a high-recall approximation of brute force and
+    agree with it on scores for every returned pair."""
+    from mine_database_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["vec_id"]): r["score"] for r in brute_force_topk(e, q, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"]): r["score"] for r in ivf_topk(e, q, k=10).collect()}
+    assert len(approx) > 0
+    for pair, score in approx.items():
+        if pair in exact:
+            assert abs(score - exact[pair]) < 1e-9
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, recall
