@@ -100,6 +100,45 @@ def bfs_reach_bipartite(
     return visited
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint.
+
+    Returns (id, component) for every node appearing in `edges`, where
+    component = the minimum node id in that node's component. This is the
+    step that turns near-duplicate PAIRS (minhash/simhash/embedding) into
+    dedup CLUSTERS with a canonical survivor per cluster.
+
+    Each round is one join + min-aggregate on the symmetrized edge table,
+    localCheckpointed to truncate lineage; rounds needed = graph diameter
+    (near-dup clusters are shallow, typically 2-4). At 100 TB the edge table
+    stays partitioned by src across rounds; only labels shuffle.
+    """
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().cache()
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")), "dst")
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = new_labels.join(labels, ["id", "label"], "left_anti").count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
     """Undirected co-occurrence edges: items sharing a group value.
 

@@ -521,6 +521,44 @@ FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc
 )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → dedup clusters: every doc in
+    a cluster labeled with the cluster's min doc_id (the survivor). The
+    missing step between pair generation and actually dropping duplicates.
+    Oracle = recursive-CTE transitive closure over the same pairs."""
+    from mine_database_spark.operators.graph import connected_components
+
+    (d,) = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(d, k=5, num_hashes=16, rows_per_band=4)
+    return connected_components(pairs).select(F.col("id").alias("doc_id"), "component")
+
+
+_Q_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_SQL.format(k=5, km1=4) + """,
+mh AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh)
+  GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+  FROM mh GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sym AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, least(src, MIN(dst)) AS component FROM reach GROUP BY src
+"""
+)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2)
@@ -916,6 +954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window": q_tumbling_window,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
+    "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "text_quality": q_text_quality,
@@ -952,6 +991,7 @@ ORACLES: dict[str, str] = {
     "tumbling_window": _Q_TUMBLING_SQL,
     "dedup_exact": _Q_DEDUP_EXACT_SQL,
     "minhash_lsh": _Q_MINHASH_SQL,
+    "dup_clusters": _Q_DUP_CLUSTERS_SQL,
     "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
     "simhash": _Q_SIMHASH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,

@@ -202,3 +202,45 @@ def test_ivf_ann_recall(spark):
             assert abs(score - exact[pair]) < 1e-9
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and a triangle with a shared node; labels must converge to
+    the component minimum regardless of propagation order."""
+    from mine_database_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (21, 22), (22, 20), (22, 40)],
+        "a_id int, b_id int",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20, 40: 20}
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window() streaming agg: two bursts 40min apart with a 30min
+    gap must form two sessions for the same user."""
+    from mine_database_spark.streaming.windows import stream_session_windows
+
+    src = tmp_path / "session_src"
+    src.mkdir()
+    rows = [
+        ("2024-01-01T00:00:00", "u1"),
+        ("2024-01-01T00:10:00", "u1"),
+        ("2024-01-01T00:50:00", "u1"),
+        ("2024-01-01T00:05:00", "u2"),
+    ]
+    (src / "a.csv").write_text("\n".join(",".join(r) for r in rows))
+    stream = spark.readStream.schema("ts timestamp, user_id string").csv(str(src))
+    q = (
+        stream_session_windows(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select user_id, n_events from session_test").collect()
+    per_user = sorted((r["user_id"], r["n_events"]) for r in out)
+    assert per_user == [("u1", 1), ("u1", 2), ("u2", 1)]
