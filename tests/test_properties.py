@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) over the pure-Python kernel functions.
+
+The reference ships only example-based tests (SURVEY §5 "not present:
+property-based/randomized"); these pin the algebraic invariants the engine's
+correctness rests on — identity hashing, sanitization idempotence, rule
+application — without spinning Spark per example.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mine_database_spark.chem.fake import FakeChemBackend
+from mine_database_spark.operators.expansion import compound_id
+
+B = FakeChemBackend()
+
+smiles_text = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters="."),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(smiles_text)
+@settings(max_examples=200)
+def test_inchi_key_shape_and_determinism(s):
+    k1, k2 = B.inchi_key(s), B.inchi_key(s)
+    assert k1 == k2
+    assert re.fullmatch(r"[A-Z]{14}-[A-Z]{10}-N", k1)
+
+
+@given(smiles_text)
+@settings(max_examples=200)
+def test_compound_id_uses_structure_block_only(s):
+    """Identity is the first InChIKey block (utils.py:115-164): ids must agree
+    for keys sharing the block and differ by declared type prefix."""
+    key = B.inchi_key(s)
+    block = key.split("-")[0]
+    assert compound_id(key) == compound_id(block + "-ZZZZZZZZZZ-M")
+    assert compound_id(key, "Coreactant")[0] == "X"
+    assert compound_id(key, "Target Compound")[0] == "T"
+    assert compound_id(key)[0] == "C"
+    assert compound_id(key)[1:] == compound_id(key, "Coreactant")[1:]
+
+
+@given(smiles_text)
+@settings(max_examples=200)
+def test_neutralize_idempotent(s):
+    n = B.neutralize(s)
+    assert "+" not in n and "-" not in n
+    assert B.neutralize(n) == n
+
+
+@given(smiles_text)
+@settings(max_examples=200)
+def test_atom_count_is_alpha_multiset(s):
+    counts = B.atom_count(s)
+    assert sum(counts.values()) == sum(c.isalpha() for c in s)
+    assert all(k.isupper() and v > 0 for k, v in counts.items())
+    assert B.formula(s) == B.formula(s)
+
+
+@given(smiles_text)
+@settings(max_examples=200)
+def test_fingerprint_sorted_unique_bounded(s):
+    fp = B.fingerprint(s)
+    assert fp == sorted(set(fp))
+    assert all(0 <= b < 512 for b in fp)
+
+
+def test_compile_rule_splits_on_first_arrow():
+    assert B.compile_rule("ab>>cd") == ("ab", "cd")
+    assert B.compile_rule("a>>c>>d") == ("a", "c>>d")
+
+
+@given(smiles_text, smiles_text, smiles_text)
+@settings(max_examples=200)
+def test_run_reaction_enumerates_every_match_position(sub, pat, repl):
+    """One product set per (overlapping) occurrence of the pattern, each the
+    substrate rewritten at that position — RunReactants attachment-point
+    semantics (reference reactions.py:44-220). The compiled form is the
+    (pat, repl) tuple; rule-string parsing is covered separately."""
+    out = B.run_reaction((pat, repl), [sub])
+    occurrences = []
+    start = 0
+    while True:
+        i = sub.find(pat, start)
+        if i < 0:
+            break
+        occurrences.append(i)
+        start = i + 1
+    assert len(out) == len(occurrences)
+    for pos, products in zip(occurrences, out):
+        assert products == [sub[:pos] + repl + sub[pos + len(pat):]]
+
+
+def test_reaction_hash_order_invariant(spark):
+    """'R'+sha256 equation hash must not depend on array order
+    (utils.py:324-379 canonical sort semantics)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.expansion import canonical_rxn_hash_col
+
+    rows = [
+        ([(1, "Ca"), (2, "Cb")], [(1, "Cc")]),
+        ([(2, "Cb"), (1, "Ca")], [(1, "Cc")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "reactants array<struct<stoich:int,c_id:string>>, products array<struct<stoich:int,c_id:string>>",
+    )
+    hashes = [r[0] for r in df.select(canonical_rxn_hash_col(F.col("reactants"), F.col("products"))).collect()]
+    assert hashes[0] == hashes[1]
