@@ -86,9 +86,13 @@ def bfs_reach_bipartite(
     visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
     frontier = visited.select(id_col)
     for it in range(1, max_iter + 1):
-        groups = m.join(F.broadcast(frontier), id_col).select("__g").distinct()
+        # left_semi instead of join+distinct: duplicates in a broadcast build
+        # side are harmless, and skipping the distinct removes one shuffle
+        # per hop (the distinct on the new frontier below stays — hop labels
+        # must be unique).
+        groups = m.join(F.broadcast(frontier), id_col, "left_semi").select("__g")
         nxt = (
-            m.join(F.broadcast(groups), "__g")
+            m.join(F.broadcast(groups), "__g", "left_semi")
             .select(id_col)
             .distinct()
             .join(visited.select(id_col), id_col, "left_anti")

@@ -823,16 +823,20 @@ def q_spectral_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("qinten"))
     )
     qnorm = qspec.agg(F.sqrt(F.sum(F.col("qinten") * F.col("qinten"))).alias("qn"))
-    dots = (
-        spec.join(F.broadcast(qspec), "mz")
+    # one pass over spec: left-join the broadcast query spectrum, then a
+    # single groupBy computes dot product and self-norm together (the
+    # dots⋈norms two-aggregate form scans spec twice and adds a join)
+    scored = (
+        spec.join(F.broadcast(qspec), "mz", "left")
         .groupBy("l_orderkey")
-        .agg(F.sum(F.col("inten") * F.col("qinten")).alias("dot"))
+        .agg(
+            F.sum(F.col("inten") * F.coalesce("qinten", F.lit(0))).alias("dot"),
+            F.sqrt(F.sum(F.col("inten") * F.col("inten"))).alias("n"),
+        )
+        .where(F.col("dot") > 0)  # inner-join row set: only matched orders
     )
-    norms = spec.groupBy("l_orderkey").agg(F.sqrt(F.sum(F.col("inten") * F.col("inten"))).alias("n"))
-    return (
-        dots.join(norms, "l_orderkey")
-        .crossJoin(F.broadcast(qnorm))
-        .select("l_orderkey", F.round(F.col("dot") / (F.col("n") * F.col("qn")), 6).alias("cosine_score"))
+    return scored.crossJoin(F.broadcast(qnorm)).select(
+        "l_orderkey", F.round(F.col("dot") / (F.col("n") * F.col("qn")), 6).alias("cosine_score")
     )
 
 

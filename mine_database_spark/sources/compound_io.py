@@ -161,3 +161,81 @@ def import_smiles_file(spark, path: str) -> DataFrame:
     return df.select(parts.getItem(1).alias("name"), parts.getItem(0).alias("smiles")).where(
         F.col("smiles").isNotNull() & (F.col("smiles") != "")
     )
+
+
+def import_sdf(spark, path: str) -> DataFrame:
+    """S20 (reference compound_io.py:423-466 import_sdf): SDF file(s) →
+    (name, smiles) DataFrame.
+
+    Records split on the '$$$$' separator. Distributed shape: whole files
+    arrive via spark.read.text(wholetext=True) — one row per file, Spark
+    parallelizes across files — then records explode into rows; per-record
+    parsing is a native split/filter, no Python loop on the driver.
+    Structure perception from a real molblock needs RDKit; under the fake
+    backend the SMILES is taken from the '> <SMILES>' property block that
+    our own export_sdf writes (round-trip faithful).
+    """
+    raw = spark.read.text(path, wholetext=True)
+    rec = raw.select(F.explode(F.split(F.col("value"), r"\$\$\$\$\s*")).alias("rec")).where(
+        F.trim(F.col("rec")) != ""
+    )
+    lines = F.split(F.col("rec"), "\n")
+    # SMILES = the line after the '>  <SMILES>' tag; name = first non-empty line
+    return (
+        rec.select(
+            F.filter(lines, lambda x: F.trim(x) != "")[0].alias("name"),
+            F.try_element_at(
+                lines, F.array_position(F.transform(lines, lambda x: F.trim(x)), ">  <SMILES>").cast("int") + 1
+            ).alias("smiles"),
+        )
+        .where(F.col("smiles").isNotNull() & (F.col("smiles") != ""))
+        .select(F.trim(F.col("name")).alias("name"), F.trim(F.col("smiles")).alias("smiles"))
+    )
+
+
+def import_mol_dir(spark, dir_path: str) -> DataFrame:
+    """S20 (reference compound_io.py:469-538 import_mol_dir): directory of
+    .mol files → (name, smiles); name = file basename. Files parallelize via
+    wholetext reads with input_file_name(); molblock perception degrades to
+    the embedded SMILES property line under the fake backend.
+    """
+    raw = spark.read.text(dir_path + "/*.mol", wholetext=True).withColumn("file", F.input_file_name())
+    lines = F.split(F.col("value"), "\n")
+    return raw.select(
+        F.regexp_extract(F.col("file"), r"([^/]+)\.mol$", 1).alias("name"),
+        F.trim(
+            F.try_element_at(
+                lines, F.array_position(F.transform(lines, lambda x: F.trim(x)), ">  <SMILES>").cast("int") + 1
+            )
+        ).alias("smiles"),
+    ).where(F.col("smiles").isNotNull() & (F.col("smiles") != ""))
+
+
+def export_images(compounds: DataFrame, dir_path: str, fmt: str = "svg") -> int:
+    """S23 (reference databases.py:175-243 generate_image_files): per-compound
+    structure images as a foreachPartition side-effect sink.
+
+    Real drawing needs RDKit/molconvert (not in this container) — the fake
+    backend emits a deterministic SVG placeholder so the distributed sink
+    plumbing (partition iteration, per-row file writes, executor-side import)
+    is real and tested. Returns the number of images written.
+    """
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        # executor-side: one file per compound, named by content hash id
+        from mine_database_spark.chem import get_backend
+
+        backend = get_backend()
+        for row in rows:
+            svg = (
+                '<svg xmlns="http://www.w3.org/2000/svg"><text y="12">'
+                f"{row['smiles']} [{backend.formula(row['smiles'])}]</text></svg>"
+            )
+            with open(os.path.join(dir_path, f"{row['_id']}.{fmt}"), "w") as fh:
+                fh.write(svg)
+
+    compounds.select("_id", "smiles").foreachPartition(write_partition)
+    return len([f for f in os.listdir(dir_path) if f.endswith("." + fmt)])

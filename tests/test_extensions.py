@@ -244,3 +244,33 @@ def test_streaming_session_windows(spark, tmp_path):
     out = spark.sql("select user_id, n_events from session_test").collect()
     per_user = sorted((r["user_id"], r["n_events"]) for r in out)
     assert per_user == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+def test_sdf_roundtrip_and_mol_import(spark, tmp_path, network):
+    """export_sdf → import_sdf round-trips (id, smiles); import_mol_dir reads
+    per-file molblocks; export_images writes one file per compound."""
+    from mine_database_spark.sources.compound_io import (
+        export_images,
+        export_sdf,
+        import_mol_dir,
+        import_sdf,
+    )
+
+    compounds, _ = network
+    sdf_dir = str(tmp_path / "sdf_out")
+    export_sdf(compounds, sdf_dir)
+    back = import_sdf(spark, sdf_dir)
+    orig = {(r["_id"], r["smiles"]) for r in compounds.select("_id", "smiles").collect()}
+    got = {(r["name"], r["smiles"]) for r in back.collect()}
+    assert got == orig
+
+    mol_dir = tmp_path / "mols"
+    mol_dir.mkdir()
+    (mol_dir / "acp.mol").write_text("acp\n  prog\n\nM  END\n>  <SMILES>\nCCO\n")
+    (mol_dir / "bdq.mol").write_text("bdq\n  prog\n\nM  END\n>  <SMILES>\nNCC(=O)O\n")
+    mols = {(r["name"], r["smiles"]) for r in import_mol_dir(spark, str(mol_dir)).collect()}
+    assert mols == {("acp", "CCO"), ("bdq", "NCC(=O)O")}
+
+    img_dir = str(tmp_path / "imgs")
+    n = export_images(compounds, img_dir)
+    assert n == compounds.count()
