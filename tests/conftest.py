@@ -30,3 +30,17 @@ def sf_smoke():
 @pytest.fixture(scope="session")
 def sf_t2():
     return SF_T2
+
+
+@pytest.fixture(scope="session")
+def network(spark):
+    """Small expanded fake-chemistry network shared across test modules."""
+    from mine_database_spark.chem import get_backend
+    from mine_database_spark.operators.expansion import NetworkExpansion, Rule, compound_id
+
+    backend = get_backend()
+    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant")),
+          "ADP": ("adp", compound_id(backend.inchi_key("adp"), "Coreactant"))}
+    eng = NetworkExpansion(spark, [Rule("r1", ["ATP", "Any"], ["Any", "ADP"], "ab>>cd")], co, frontier_partitions=2)
+    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "abab")]), generations=1)
+    return cpds, rxns

@@ -12,16 +12,6 @@ from mine_database_spark.chem import get_backend
 from mine_database_spark.operators.expansion import NetworkExpansion, Rule, compound_id
 
 
-@pytest.fixture(scope="module")
-def network(spark):
-    backend = get_backend()
-    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant")),
-          "ADP": ("adp", compound_id(backend.inchi_key("adp"), "Coreactant"))}
-    eng = NetworkExpansion(spark, [Rule("r1", ["ATP", "Any"], ["Any", "ADP"], "ab>>cd")], co, frontier_partitions=2)
-    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "abab")]), generations=1)
-    return cpds, rxns
-
-
 def test_mcs_filter(spark, network):
     from mine_database_spark.operators.heavy_filters import MCSFilter
 

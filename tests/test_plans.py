@@ -72,3 +72,23 @@ def test_anti_join_orphan_gc_shape(spark, sf_smoke):
     assert "LeftAnti" in plan
     # quantity filter is pushed into the lineitem scan
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48.0)" in plan
+
+
+def test_bucketed_warehouse_join_has_no_shuffle(spark, tmp_path, network):
+    """Bucketed compounds⋈edges on the compound hash must read co-located:
+    no Exchange on either side of the join."""
+    from mine_database_spark.sources.writers import save_warehouse_bucketed
+
+    compounds, reactions = network
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    save_warehouse_bucketed(compounds, reactions, "bucket_test", n_buckets=4)
+    try:
+        c = spark.table("bucket_test.compounds")
+        e = spark.table("bucket_test.edges")
+        joined = c.hint("merge").join(e, c["_id"] == e["c_id"])
+        plan = plan_str(joined, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucket_test CASCADE")
