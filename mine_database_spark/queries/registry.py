@@ -867,11 +867,14 @@ FROM dots JOIN norms USING (l_orderkey) CROSS JOIN qn
 # array_intersect/union sizes; at 100 TB swap to the MinHash-LSH path above).
 
 def q_model_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mine_database_spark.operators.skew import salted_collect_set
+
     l, p = _t(spark, sf_dir, "lineitem", "part")
-    models = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(F.collect_set("l_suppkey").alias("supps"))
+    # hot brands would bottleneck a single collect_set reducer at scale —
+    # salted two-stage aggregation spreads each brand over 8 partials
+    models = salted_collect_set(
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey),
+        ["p_brand"], "l_suppkey", n_salts=8, out_col="supps",
     )
     a = models.select(F.col("p_brand").alias("a_brand"), F.col("supps").alias("sa"))
     b = models.select(F.col("p_brand").alias("b_brand"), F.col("supps").alias("sb"))

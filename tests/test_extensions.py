@@ -264,3 +264,24 @@ def test_sdf_roundtrip_and_mol_import(spark, tmp_path, network):
     img_dir = str(tmp_path / "imgs")
     n = export_images(compounds, img_dir)
     assert n == compounds.count()
+
+
+def test_salted_aggregation_equivalence(spark):
+    """Salted two-stage collect_set / count-distinct must equal the direct
+    aggregates on skewed data (one key holds 90% of rows)."""
+    from mine_database_spark.operators.skew import salted_collect_set, salted_count_distinct
+
+    rows = [("hot", i % 137) for i in range(900)] + [(f"k{i % 7}", i % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    direct = {
+        r["k"]: (sorted(r["s"]), r["n"])
+        for r in df.groupBy("k").agg(
+            F.collect_set("v").alias("s"), F.countDistinct("v").alias("n")
+        ).collect()
+    }
+    salted_sets = {r["k"]: r["v_set"] for r in salted_collect_set(df, ["k"], "v", n_salts=4).collect()}
+    salted_counts = {r["k"]: r["n_distinct"] for r in salted_count_distinct(df, ["k"], "v", n_salts=4).collect()}
+    assert set(direct) == set(salted_sets) == set(salted_counts)
+    for k, (s, n) in direct.items():
+        assert salted_sets[k] == s, k
+        assert salted_counts[k] == n, k
