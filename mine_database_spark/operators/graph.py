@@ -78,11 +78,10 @@ def bfs_reach_bipartite(
     (/root/reference/minedatabase/pickaxe.py:995-1044) over the implicit
     compound–reaction bipartite graph (pickaxe.py:546-547).
     """
-    m = (
-        membership.select(F.col(group_col).alias("__g"), F.col(id_col).alias(id_col))
-        .distinct()
-        .cache()
-    )
+    # no distinct on membership: reachability is duplicate-insensitive
+    # (left_semi probe sides and the per-hop frontier distinct absorb dups),
+    # so the (group, id) dedup shuffle would be pure overhead
+    m = membership.select(F.col(group_col).alias("__g"), F.col(id_col).alias(id_col)).cache()
     visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
     frontier = visited.select(id_col)
     for it in range(1, max_iter + 1):
