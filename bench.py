@@ -50,8 +50,13 @@ def main() -> None:
     spark = get_spark("mine-database-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM/codegen paths outside the timed region
-    QUERIES["pricing_summary"](spark, sf_dir).collect()
+    # Steady-state measurement (JMH/TPC style): run every query shape once
+    # to warm JVM JIT + whole-stage-codegen compilation, then DROP all
+    # data-level caches so the timed pass re-reads and re-computes every
+    # result — only code-path warmth carries over, never cached data.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
