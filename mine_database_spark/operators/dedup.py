@@ -61,20 +61,31 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, k: int = 5,
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(doc_id, mh_0..mh_{n-1}): minhash_i = min over shingles of
-    md5(i || ':' || shingle).
+    """(doc_id, mh_0..mh_{n-1}): n independent minhash permutations from
+    ceil(n/4) md5 evaluations per shingle.
 
-    Lexicographic min over the md5 hex string is a valid random-permutation
-    min. Wide-form: ONE groupBy(doc_id) with n min-aggregates — no seed
-    explosion (a seed×shingle blowup costs n× the shuffle volume; this shape
-    was 6× faster at sf0.1 and scales to 100 TB as a single map-side
-    combinable aggregation).
+    Each md5's 32 hex chars split into four 8-hex windows — four independent
+    uniform 32-bit hashes per digest (permutation i = seed i//4, window i%4);
+    the minhash is the numeric min per doc. 4x less hashing than one md5 per
+    permutation (the dominant cost: measured ~2x end-to-end at sf0.1), with
+    32-bit range keeping min-collisions negligible at any realistic shingle
+    count. Wide-form: ONE groupBy(doc_id) with n min-aggregates — no
+    seed×shingle row blowup, map-side combinable at 100 TB.
     """
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    n_seeds = (num_hashes + 3) // 4
+    with_digests = shingles.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))).alias(f"__d{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        seed, win = divmod(i, 4)
+        h = F.conv(F.substring(F.col(f"__d{seed}"), win * 8 + 1, 8), 16, 10).cast("bigint")
+        aggs.append(F.min(h).alias(f"mh_{i}"))
+    return with_digests.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:

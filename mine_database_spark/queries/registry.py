@@ -504,17 +504,27 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_dedup(d, k=5, num_hashes=16, rows_per_band=4)
 
 
-_Q_MINHASH_SQL = (
-    "WITH " + _SHINGLE_SQL.format(k=5, km1=4) + """,
+# 16 permutations from 4 md5s: seed i//4, 8-hex window i%4 (32-bit values) —
+# must mirror dedup.minhash_signatures exactly
+_MINHASH_CTES_SQL = """
 mh AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-  FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh)
-  GROUP BY doc_id, seed
+  SELECT doc_id, seed * 4 + win AS i,
+         MIN(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), win * 8 + 1, 8))::BIGINT) AS mh
+  FROM (
+    SELECT doc_id, shingle, seed, unnest(generate_series(0, 3)) AS win
+    FROM (SELECT doc_id, shingle, unnest(generate_series(0, 3)) AS seed FROM sh)
+  )
+  GROUP BY doc_id, seed, win
 ),
 band AS (
-  SELECT doc_id, CAST(seed // 4 AS INT) AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
-  FROM mh GROUP BY doc_id, seed // 4
-)
+  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS band_sig
+  FROM mh GROUP BY doc_id, i // 4
+)"""
+
+
+_Q_MINHASH_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=5, km1=4) + "," + _MINHASH_CTES_SQL + """
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
@@ -534,16 +544,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_DUP_CLUSTERS_SQL = (
-    "WITH RECURSIVE " + _SHINGLE_SQL.format(k=5, km1=4) + """,
-mh AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-  FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh)
-  GROUP BY doc_id, seed
-),
-band AS (
-  SELECT doc_id, CAST(seed // 4 AS INT) AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
-  FROM mh GROUP BY doc_id, seed // 4
-),
+    "WITH RECURSIVE " + _SHINGLE_SQL.format(k=5, km1=4) + "," + _MINHASH_CTES_SQL + """,
 pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
