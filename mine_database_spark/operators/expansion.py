@@ -303,7 +303,9 @@ class NetworkExpansion:
 
         compounds_out = compounds.unionByName(new_cpds)
         reactions_out = merge_reactions(reactions, new_rxns)
-        compounds_out, reactions_out = remove_cofactor_redundancy(compounds_out, reactions_out)
+        compounds_out, reactions_out = remove_cofactor_redundancy(
+            compounds_out, reactions_out, [cid for _, cid in self.coreactants.values()]
+        )
         return compounds_out.localCheckpoint(eager=True), reactions_out.localCheckpoint(eager=True)
 
     # -- full run -----------------------------------------------------------
@@ -349,44 +351,53 @@ def edge_table(reactions: DataFrame) -> DataFrame:
     )
 
 
-def remove_cofactor_redundancy(compounds: DataFrame, reactions: DataFrame):
+def remove_cofactor_redundancy(compounds: DataFrame, reactions: DataFrame,
+                               cofactor_ids: list[str] | None = None):
     """T8 (pickaxe.py:793-940): predicted products that are secretly
     cofactors (an 'X'-twin exists with the same hash suffix) are replaced by
     the twin id; reactions are re-hashed and re-deduped; no-op reactions and
     orphaned predicted compounds are dropped.
 
-    Implemented as: broadcast join against the cofactor suffix set → array
-    transform rewrite → native re-hash → groupBy dedup → anti-join GC.
+    The suffix→twin mapping is inlined as a map literal (the cofactor set is
+    the coreactant file — bounded at ~tens of rows), so the whole rewrite is
+    ONE projection with an array transform: no explode, no join, no
+    re-collect. The previous join-based form cost 2 posexplodes + 3 joins
+    per generation — pure overhead at this cardinality.
+
+    cofactor_ids: coreactant ids ('X…'); collected from `compounds` (tiny
+    dimension) when not supplied.
     """
-    cofactor_suffixes = compounds.where(F.col("type") == "Coreactant").select(
-        F.expr("substring(_id, 2)").alias("suffix"), F.col("_id").alias("x_id")
-    )
+    if cofactor_ids is None:
+        cofactor_ids = [
+            r["_id"] for r in compounds.where(F.col("type") == "Coreactant").select("_id").collect()
+        ]
 
-    # rewrite product/reactant arrays via explode + broadcast join + re-collect
-    def rewrite(side: str) -> DataFrame:
-        ex = reactions.select("_id", F.posexplode(side).alias("pos", "e"))
-        ex = (
-            ex.withColumn("suffix", F.expr("substring(e.c_id, 2)"))
-            .join(F.broadcast(cofactor_suffixes), "suffix", "left")
-            .withColumn(
-                "new_cid",
-                F.when(
-                    F.col("x_id").isNotNull() & F.col("e.c_id").startswith("C"), F.col("x_id")
-                ).otherwise(F.col("e.c_id")),
+    if cofactor_ids:
+        cmap = F.create_map(*[F.lit(v) for x in cofactor_ids for v in (x[1:], x)])
+
+        def rewrite(col):
+            return F.transform(
+                col,
+                lambda x: F.struct(
+                    x["stoich"].alias("stoich"),
+                    F.when(
+                        x["c_id"].startswith("C"),
+                        F.coalesce(F.element_at(cmap, F.substring(x["c_id"], 2, 128)), x["c_id"]),
+                    )
+                    .otherwise(x["c_id"])
+                    .alias("c_id"),
+                ),
             )
-        )
-        return ex.groupBy("_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", F.struct(F.col("e.stoich").alias("stoich"), F.col("new_cid").alias("c_id")).alias("v")))),
-                lambda s: s["v"],
-            ).alias(side)
-        )
 
-    rew = (
-        reactions.select("_id", "operators", "smiles_rxn")
-        .join(rewrite("reactants"), "_id")
-        .join(rewrite("products"), "_id")
-    )
+        rew = reactions.select(
+            "_id",
+            "operators",
+            "smiles_rxn",
+            rewrite(F.col("reactants")).alias("reactants"),
+            rewrite(F.col("products")).alias("products"),
+        )
+    else:
+        rew = reactions
     rew = rew.withColumn("new_id", canonical_rxn_hash_col(F.col("reactants"), F.col("products")))
 
     # drop no-op reactions (lhs == rhs after rewrite) and reactions whose
