@@ -301,11 +301,20 @@ class NetworkExpansion:
             )
         )
 
+        # cofactor rewrite on THIS generation's reactions only — the rewrite
+        # is idempotent, old reactions were rewritten when they were new, and
+        # new reactions can only reference new or coreactant ids. Keeps the
+        # per-generation cost proportional to the frontier's output instead
+        # of the whole accumulated network.
+        cof_ids = [cid for _, cid in self.coreactants.values()]
+        new_rxns = rewrite_cofactor_reactions(new_rxns, cof_ids)
+        # orphan GC likewise scopes to the new compounds: a new predicted
+        # compound survives only if a surviving new reaction references it
+        new_refs = edge_table(new_rxns).select("c_id").distinct()
+        new_cpds = new_cpds.join(new_refs, new_cpds["_id"] == new_refs["c_id"], "left_semi")
+
         compounds_out = compounds.unionByName(new_cpds)
         reactions_out = merge_reactions(reactions, new_rxns)
-        compounds_out, reactions_out = remove_cofactor_redundancy(
-            compounds_out, reactions_out, [cid for _, cid in self.coreactants.values()]
-        )
         return compounds_out.localCheckpoint(eager=True), reactions_out.localCheckpoint(eager=True)
 
     # -- full run -----------------------------------------------------------
@@ -351,27 +360,18 @@ def edge_table(reactions: DataFrame) -> DataFrame:
     )
 
 
-def remove_cofactor_redundancy(compounds: DataFrame, reactions: DataFrame,
-                               cofactor_ids: list[str] | None = None):
-    """T8 (pickaxe.py:793-940): predicted products that are secretly
-    cofactors (an 'X'-twin exists with the same hash suffix) are replaced by
-    the twin id; reactions are re-hashed and re-deduped; no-op reactions and
-    orphaned predicted compounds are dropped.
+def rewrite_cofactor_reactions(reactions: DataFrame, cofactor_ids: list[str]):
+    """T8 reaction half (pickaxe.py:793-927): products/reactants whose hash
+    suffix has an 'X'-twin among the coreactants are rewritten to the twin
+    id; reactions are re-hashed and re-deduped; no-op (lhs==rhs) and
+    all-cofactor-reactant reactions are dropped. Idempotent.
 
     The suffix→twin mapping is inlined as a map literal (the cofactor set is
     the coreactant file — bounded at ~tens of rows), so the whole rewrite is
     ONE projection with an array transform: no explode, no join, no
     re-collect. The previous join-based form cost 2 posexplodes + 3 joins
     per generation — pure overhead at this cardinality.
-
-    cofactor_ids: coreactant ids ('X…'); collected from `compounds` (tiny
-    dimension) when not supplied.
     """
-    if cofactor_ids is None:
-        cofactor_ids = [
-            r["_id"] for r in compounds.where(F.col("type") == "Coreactant").select("_id").collect()
-        ]
-
     if cofactor_ids:
         cmap = F.create_map(*[F.lit(v) for x in cofactor_ids for v in (x[1:], x)])
 
@@ -407,7 +407,7 @@ def remove_cofactor_redundancy(compounds: DataFrame, reactions: DataFrame,
         != F.array_sort(F.transform("products", lambda x: x["c_id"]))
     ).where(F.exists("reactants", lambda x: ~x["c_id"].startswith("X")))
 
-    reactions_out = (
+    return (
         rew.select(F.col("new_id").alias("_id"), "reactants", "products", "operators", "smiles_rxn")
         .groupBy("_id")
         .agg(
@@ -417,6 +417,24 @@ def remove_cofactor_redundancy(compounds: DataFrame, reactions: DataFrame,
             F.first("smiles_rxn").alias("smiles_rxn"),
         )
     )
+
+
+def remove_cofactor_redundancy(compounds: DataFrame, reactions: DataFrame,
+                               cofactor_ids: list[str] | None = None):
+    """T8 (pickaxe.py:793-940), whole-network form: cofactor rewrite over all
+    reactions plus orphan GC over all compounds. The generation loop uses the
+    incremental form (rewrite_cofactor_reactions on the new reactions only —
+    the rewrite is idempotent); this entry point serves one-shot cleanup of
+    an assembled network.
+
+    cofactor_ids: coreactant ids ('X…'); collected from `compounds` (tiny
+    dimension) when not supplied.
+    """
+    if cofactor_ids is None:
+        cofactor_ids = [
+            r["_id"] for r in compounds.where(F.col("type") == "Coreactant").select("_id").collect()
+        ]
+    reactions_out = rewrite_cofactor_reactions(reactions, cofactor_ids)
 
     # orphan GC: fully-disconnected predicted compounds (reference
     # pickaxe.py:928-940 — no Reactant_in AND no Product_of, not Starting)
