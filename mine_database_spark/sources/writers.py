@@ -119,6 +119,24 @@ def save_warehouse_bucketed(
     )
 
 
+def write_mass_sorted(core_compounds: DataFrame, path: str, n_files: int = 8) -> None:
+    """S14 layout for the mass-range access path (SURVEY §2.5 J2): core
+    compounds range-partitioned AND sorted on `mass`.
+
+    Every file then covers a disjoint mass interval, so parquet min/max
+    statistics prune all but the files overlapping a query window — the
+    storage-level replacement for Mongo's Mass index (databases.py:245-250).
+    At 100 TB this is the difference between scanning the fleet and scanning
+    a handful of files per adduct window.
+    """
+    (
+        core_compounds.repartitionByRange(n_files, F.col("mass"))
+        .sortWithinPartitions("mass")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def merge_core_compounds(existing: DataFrame, new: DataFrame, mine_name: str) -> DataFrame:
     """S14 (databases.py:477-572): upsert + MINES array-union. Pure-DataFrame
     merge (Delta MERGE INTO where available — same logical plan)."""

@@ -92,3 +92,39 @@ def test_bucketed_warehouse_join_has_no_shuffle(spark, tmp_path, network):
         assert joined.count() > 0
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucket_test CASCADE")
+
+
+def test_mass_sorted_layout_prunes_files(spark, tmp_path):
+    """Range-partitioned mass layout: files cover disjoint mass intervals
+    (parquet min/max stats prune windows), and a window query pushes its
+    filter to the scan."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.sources.writers import write_mass_sorted
+
+    df = spark.range(10000).select(
+        F.concat(F.lit("C"), F.col("id")).alias("_id"),
+        (F.col("id") * 0.05).alias("mass"),
+    )
+    out = str(tmp_path / "core_by_mass")
+    write_mass_sorted(df, out, n_files=4)
+
+    import glob
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(1)
+        assert col.path_in_schema == "mass"
+        lo = min(md.row_group(g).column(1).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(1).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {ranges}"
+
+    q = spark.read.parquet(out).where(F.col("mass").between(100.0, 101.0))
+    plan = plan_str(q)
+    assert "GreaterThanOrEqual(mass,100.0)" in plan and "LessThanOrEqual(mass,101.0)" in plan
+    assert q.count() == 21
