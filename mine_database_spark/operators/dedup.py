@@ -187,6 +187,40 @@ def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    rolling hash of character k-grams, keep the minimum hash of every
+    w-length window, emit the distinct selected hashes per document.
+
+    Robust to local edits (an edit perturbs only nearby windows) — the
+    rolling-hash fingerprinting entry of the text-analysis family, next to
+    md5 (exact) and simhash (global near-dup). One shuffle on doc_id (the
+    window), one for the final distinct; hashes are md5-derived 32-bit ints
+    so the SQL oracle reproduces them exactly.
+    """
+    n = F.length(F.col(text_col)) - (k - 1)
+    gram_arr = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.col(text_col).substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    grams = grams.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("bigint")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = Window.partitionBy("doc_id")
+    return (
+        grams.withColumn("win_min", F.min("h").over(win))
+        .withColumn("__n", F.max("pos").over(n_grams))
+        .where(F.col("pos") <= F.col("__n") - (w - 1))  # only full windows
+        .select("doc_id", F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def first_wins_dedup(df: DataFrame, key_col: str, order_cols: list[str]) -> DataFrame:
     """Keep the first row per key under a deterministic order.
 

@@ -649,6 +649,33 @@ FROM f
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): min hash per
+    sliding window over character 5-grams — edit-robust local fingerprints,
+    complementing md5 (exact) and simhash (global)."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.winnow_fingerprints(d, k=5, w=4)
+
+
+_Q_WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, strlen(text) - 4)) AS i
+    FROM documents WHERE strlen(text) >= 5
+  )
+),
+m AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         MAX(pos) OVER (PARTITION BY doc_id) AS n
+  FROM g
+)
+SELECT DISTINCT doc_id, win_min AS fingerprint FROM m WHERE pos <= n - 3
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: stopword-density buckets (deterministic n-gram
     heuristic; a real model slots into the same column contract)."""
@@ -966,6 +993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "text_quality": q_text_quality,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1003,6 +1031,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
     "simhash": _Q_SIMHASH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
+    "winnow_fingerprints": _Q_WINNOW_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,
     "ann_cosine_topk": _Q_ANN_SQL,
