@@ -142,6 +142,47 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def enumerate_paths(edges: DataFrame, starts: DataFrame, max_depth: int = 5) -> DataFrame:
+    """Depth-capped simple-path enumeration from `starts` over directed
+    `edges(src, dst)` — the reference's PathwaySearch carries exactly this
+    growing path per frontier row (Scripts/pathway_search.py:59-144).
+
+    Returns one row per path prefix: (node, path, length) where `path` is the
+    '->'-joined node sequence and `node` its tail. Each round is one join on
+    the frontier's tail node; cycles are cut by a substring guard on the
+    rendered path. At 100 TB the edge table is the big side, partitioned on
+    `src`; only the (small) frontier with its path strings shuffles, and each
+    round localCheckpoints to keep lineage flat across iterations.
+    """
+    start_col = starts.columns[0]
+    frontier = starts.select(
+        F.col(start_col).alias("node"), F.array(F.col(start_col)).alias("nodes")
+    ).distinct()
+    levels = [frontier]
+    for it in range(max_depth - 1):
+        frontier = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .where(~F.array_contains(F.col("nodes"), F.col("dst")))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("nodes"), F.array(F.col("dst"))).alias("nodes"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "node",
+        F.array_join(F.transform(F.col("nodes"), lambda x: x.cast("string")), "->").alias("path"),
+        F.size("nodes").cast("int").alias("length"),
+    )
+
+
 def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
     """Undirected co-occurrence edges: items sharing a group value.
 

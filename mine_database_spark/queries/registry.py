@@ -444,6 +444,90 @@ UNION ALL SELECT id, 2 AS hops FROM h2
 """
 
 
+def q_order_chain_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5/O5 pathway enumeration (Scripts/pathway_search.py:59-144): each
+    customer's orders form a date-ordered chain; enumerate every path prefix
+    from the first order, depth-capped at 5, carrying the rendered path.
+    Oracle = a genuine WITH RECURSIVE CTE — the same iterative-join plan
+    Spark runs round-by-round with localCheckpoint."""
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordn = o.select("o_custkey", "o_orderkey", "o_orderdate").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    edges = (
+        ordn.withColumn("dst", F.lead("o_orderkey").over(w))
+        .where(F.col("dst").isNotNull())
+        .select(F.col("o_orderkey").alias("src"), "dst")
+    )
+    starts = ordn.where(F.col("rn") == 1).select("o_orderkey")
+    return gr.enumerate_paths(edges, starts, max_depth=5)
+
+
+_Q_ORDER_CHAIN_SQL = """
+WITH RECURSIVE ord AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+edges AS (
+  SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+  FROM ord a JOIN ord b ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+),
+p AS (
+  SELECT o_orderkey AS node, CAST(o_orderkey AS VARCHAR) AS path, 1 AS length
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT e.dst, p.path || '->' || CAST(e.dst AS VARCHAR), p.length + 1
+  FROM p JOIN edges e ON p.node = e.src
+  WHERE p.length < 5
+)
+SELECT node, path, CAST(length AS INT) AS length FROM p
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style top-3 terms per document with an integer rarity weight
+    tf·(N−df) (exact under any partitioning; no libm log whose last bit
+    could differ between engines). Three map-side-combinable shuffles:
+    tf groupBy(doc,tok), df groupBy(tok), then the tok-keyed join + per-doc
+    window rank."""
+    (d,) = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "tok").select(
+        "doc_id", "tok", (F.col("tf") * (F.lit(n_docs).cast("bigint") - F.col("df"))).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "score")
+    )
+
+
+_Q_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * (n.n - dfreq.df) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, tok, score,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rank
+  FROM s
+)
+SELECT doc_id, rank, tok, score FROM r WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization + tumbling windows (batch equivalents of the streaming
 # patterns; SURVEY §2.11 — the reference is batch-only, these extend it)
@@ -985,6 +1069,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "topk_per_group": q_topk_per_group,
     "copurchase_reach": q_copurchase_reach,
+    "order_chain_paths": q_order_chain_paths,
+    "tfidf_topk": q_tfidf_topk,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
     "dedup_exact": q_dedup_exact,
@@ -1032,6 +1118,8 @@ ORACLES: dict[str, str] = {
     "simhash": _Q_SIMHASH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "winnow_fingerprints": _Q_WINNOW_SQL,
+    "order_chain_paths": _Q_ORDER_CHAIN_SQL,
+    "tfidf_topk": _Q_TFIDF_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,
     "ann_cosine_topk": _Q_ANN_SQL,
