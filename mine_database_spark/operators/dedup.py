@@ -164,27 +164,31 @@ def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     bit b of md5-int60(token) contributes +1/-1 to position b; the signature
     bit is the sign of the sum. 60 bits keeps everything in a positive bigint
     so the SQL oracle can reproduce it without unsigned types.
+
+    Wide-form plan: ONE groupBy(doc_id) carrying 60 conditional-sum
+    aggregates (per-bit +1/-1 tallies), instead of exploding each token into
+    60 bit rows. The shuffle moves 60 longs per doc (map-side combined), not
+    60 rows per token — at 100 TB the explode form shuffles ~60× the token
+    count while this form shuffles O(docs).
     """
     from mine_database_spark.functions.text import md5_int60
 
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("h", md5_int60(F.col("tok")))
-    bits = tok.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("shiftright(h, b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0).cast("bigint")),
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(60)
+    ]
+    per_bit = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(60):
+        bitval = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+        sig = bitval if sig is None else sig + bitval
+    return per_bit.select("doc_id", sig.alias("simhash"))
 
 
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
