@@ -1052,6 +1052,135 @@ WHERE regexp_matches(p_name, 'widget|gear') AND NOT regexp_matches(p_name, 'red'
 
 
 # ---------------------------------------------------------------------------
+# J3 check_product_of_native (metabolomics.py:273-352; near-identical
+# Scripts/native_pipeline.py:22-130): the reference's 11-stage Mongo
+# aggregation — unwind producing reactions, lookup their reactants, flag hits
+# whose producing reaction draws on the native set — as one set-oriented plan.
+# TPC-H shape: hit parts → orders containing them → do those orders also draw
+# on "native" (region-0) suppliers?
+
+def q_product_of_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage provenance pipeline: explode/lookup chain → per-hit
+    producer census with native flags.
+
+    Scale: the native supplier set is a broadcast semi-join (tiny dim ⋈
+    lineitem, no shuffle); the two big joins share the l_orderkey shuffle
+    key; the final groupBy shuffles once on part_id. The reference runs this
+    peak-at-a-time (one Mongo round trip per compound) — here it is one plan
+    over all hits.
+    """
+    n, s, l, p = _t(spark, sf_dir, "nation", "supplier", "lineitem", "part")
+    hits = p.where(F.col("p_retailprice") > 915.0).select("p_partkey")
+    native = s.join(
+        F.broadcast(n.where(F.col("n_regionkey") == 0)), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    li = l.select("l_orderkey", "l_partkey", "l_suppkey")
+    native_orders = (
+        li.join(F.broadcast(native), li.l_suppkey == native.s_suppkey, "left_semi")
+        .select("l_orderkey")
+        .distinct()
+    )
+    producing = (
+        li.join(F.broadcast(hits), li.l_partkey == hits.p_partkey, "left_semi")
+        .select("l_partkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        producing.join(native_orders.withColumn("nat", F.lit(1)), "l_orderkey", "left")
+        .groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("producers"),
+            F.sum(F.coalesce(F.col("nat"), F.lit(0))).alias("native_producers"),
+            F.max(F.coalesce(F.col("nat"), F.lit(0))).cast("int").alias("native_hit"),
+        )
+    )
+
+
+_Q_PRODUCT_OF_NATIVE_SQL = """
+WITH native AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 0
+),
+native_orders AS (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM native)
+),
+producing AS (
+  SELECT DISTINCT l_partkey, l_orderkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_retailprice > 915.0)
+)
+SELECT l_partkey AS part_id,
+       COUNT(*) AS producers,
+       CAST(SUM(CASE WHEN l_orderkey IN (SELECT l_orderkey FROM native_orders) THEN 1 ELSE 0 END) AS BIGINT) AS native_producers,
+       CAST(MAX(CASE WHEN l_orderkey IN (SELECT l_orderkey FROM native_orders) THEN 1 ELSE 0 END) AS INT) AS native_hit
+FROM producing GROUP BY l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# E3 anti-set (similarity.py:209-210, filters/metabolomics.py:262-263:
+# cpds_remove = all_ids − matched): customers with no high-value order.
+
+def q_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti against a filtered subquery — the reference's set-difference
+    removal list as one shuffle-hash anti-join (AQE broadcasts the small
+    filtered side at this SF)."""
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    big = o.where(F.col("o_totalprice") > 400000.0).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_Q_QUIET_CUSTOMERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 fingerprint-bit prevalence (Scripts/db_plots.py:57-67: explode fp set
+# bits, group by generation × bit): simhash set-bit census per language.
+
+def q_bit_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(set bits) → groupBy(lang, bit) count.
+
+    The bit explode happens AFTER the per-doc signature aggregation, so at
+    most 60 rows per document enter the final low-cardinality groupBy
+    (map-side combined to ≤ langs×60 rows per task).
+    """
+    (d,) = _t(spark, sf_dir, "documents")
+    sig = dd.simhash60(d).join(d.select("doc_id", "lang"), "doc_id")
+    bits = sig.select(
+        "lang",
+        F.explode(
+            F.expr("filter(sequence(0, 59), b -> (shiftright(simhash, b) & 1) = 1)")
+        ).alias("bit"),
+    )
+    return bits.groupBy("lang", "bit").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_Q_BIT_PREVALENCE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM (SELECT doc_id, h, unnest(generate_series(0, 59)) AS b FROM h)
+),
+s AS (SELECT doc_id, b, CAST(SUM(contrib) AS BIGINT) AS s FROM bits GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id
+)
+SELECT d.lang, CAST(g.b AS INT) AS bit, COUNT(*) AS n_docs
+FROM sig JOIN documents d USING (doc_id)
+CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+WHERE (sig.simhash >> g.b) & 1 = 1
+GROUP BY d.lang, g.b
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1071,6 +1200,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_reach": q_copurchase_reach,
     "order_chain_paths": q_order_chain_paths,
     "tfidf_topk": q_tfidf_topk,
+    "product_of_native": q_product_of_native,
+    "quiet_customers": q_quiet_customers,
+    "bit_prevalence": q_bit_prevalence,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
     "dedup_exact": q_dedup_exact,
@@ -1119,6 +1251,9 @@ ORACLES: dict[str, str] = {
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "winnow_fingerprints": _Q_WINNOW_SQL,
     "order_chain_paths": _Q_ORDER_CHAIN_SQL,
+    "product_of_native": _Q_PRODUCT_OF_NATIVE_SQL,
+    "quiet_customers": _Q_QUIET_CUSTOMERS_SQL,
+    "bit_prevalence": _Q_BIT_PREVALENCE_SQL,
     "tfidf_topk": _Q_TFIDF_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,
