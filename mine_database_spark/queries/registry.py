@@ -1055,6 +1055,114 @@ WHERE regexp_matches(p_name, 'widget|gear') AND NOT regexp_matches(p_name, 'red'
 
 
 # ---------------------------------------------------------------------------
+# §3.2 ms_adduct_search composite (metabolomics.py:937-966 → 189-271 →
+# 1209-1267 → 671-679): the reference's second entry point as ONE plan —
+# peak × adduct mass windows (X12) → broadcast range join (J2) → regex
+# exclusion (halogen filter analog) → provenance semi-join flag (J9) →
+# weighted score → per-peak isomer ranking (W3). The reference runs this
+# peak-at-a-time with one Mongo round trip per peak.
+
+def q_adduct_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """peaks = high-value orders (mz = o_totalprice); adducts = region rows;
+    core compounds = part (mass = p_retailprice). Top-3 isomers per peak.
+
+    Scale: windows side is tiny → broadcast nested-loop range join (the
+    right plan; bucketed-mass equi-join at 100 TB per SURVEY §4); native
+    flag is a broadcast semi-join; the only real shuffle is the per-peak
+    rank window, and WindowGroupLimit pushes the top-3 below it.
+    """
+    r, o, p, s, n, l = _t(
+        spark, sf_dir, "region", "orders", "part", "supplier", "nation", "lineitem"
+    )
+    peaks = o.where(F.col("o_totalprice") > 80000.0).select(
+        F.col("o_orderkey").alias("peak_id"), F.col("o_totalprice").alias("mz")
+    )
+    adducts = r.select(
+        F.col("r_name").alias("adduct_name"),
+        (F.col("r_regionkey") * 1000.0).alias("ion_mass"),
+        F.lit(100.0).alias("mass_mult"),
+    )
+    mass = (F.col("mz") - F.col("ion_mass")) / F.col("mass_mult")
+    windows = (
+        peaks.crossJoin(F.broadcast(adducts))
+        .select("peak_id", "adduct_name", (mass - 0.05).alias("lo"), (mass + 0.05).alias("hi"))
+        .where((F.col("hi") >= 900.0) & (F.col("lo") <= 1000.0))
+    )
+    native_parts = (
+        l.join(
+            F.broadcast(
+                s.join(F.broadcast(n.where(F.col("n_regionkey") == 0)), s.s_nationkey == n.n_nationkey)
+                .select("s_suppkey")
+            ),
+            l.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("l_partkey")
+        .distinct()
+    )
+    hits = (
+        p.where(~F.col("p_name").rlike("red"))
+        .join(F.broadcast(windows), (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") <= F.col("hi")))
+        .join(native_parts.withColumn("nat", F.lit(1)), p.p_partkey == native_parts.l_partkey, "left")
+        .withColumn(
+            "score",
+            F.coalesce(F.col("nat"), F.lit(0)) * 0.75
+            + F.when(F.col("p_size") >= 25, 1).otherwise(0) * 0.25,
+        )
+    )
+    w = Window.partitionBy("peak_id").orderBy(F.desc("score"), F.asc("p_partkey"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "peak_id",
+            "rank",
+            "adduct_name",
+            "p_partkey",
+            F.round("score", 2).alias("score"),
+            F.round("p_retailprice", 2).alias("mass"),
+        )
+    )
+
+
+_Q_ADDUCT_SEARCH_SQL = """
+WITH peaks AS (
+  SELECT o_orderkey AS peak_id, o_totalprice AS mz FROM orders WHERE o_totalprice > 80000.0
+),
+adducts AS (
+  SELECT r_name AS adduct_name, r_regionkey * 1000.0 AS ion_mass, 100.0 AS mass_mult FROM region
+),
+windows AS (
+  SELECT peak_id, adduct_name,
+         (mz - ion_mass) / mass_mult - 0.05 AS lo,
+         (mz - ion_mass) / mass_mult + 0.05 AS hi
+  FROM peaks CROSS JOIN adducts
+  WHERE (mz - ion_mass) / mass_mult + 0.05 >= 900.0
+    AND (mz - ion_mass) / mass_mult - 0.05 <= 1000.0
+),
+native_parts AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 0)
+),
+hits AS (
+  SELECT w.peak_id, w.adduct_name, p.p_partkey, p.p_retailprice,
+         (CASE WHEN p.p_partkey IN (SELECT l_partkey FROM native_parts) THEN 1 ELSE 0 END) * 0.75
+         + (CASE WHEN p.p_size >= 25 THEN 1 ELSE 0 END) * 0.25 AS score
+  FROM part p JOIN windows w ON p.p_retailprice >= w.lo AND p.p_retailprice <= w.hi
+  WHERE NOT regexp_matches(p.p_name, 'red')
+)
+SELECT peak_id, rank, adduct_name, p_partkey, round(score, 2) AS score,
+       round(p_retailprice, 2) AS mass
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY peak_id ORDER BY score DESC, p_partkey) AS INT) AS rank
+  FROM hits
+)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # J3 check_product_of_native (metabolomics.py:273-352; near-identical
 # Scripts/native_pipeline.py:22-130): the reference's 11-stage Mongo
 # aggregation — unwind producing reactions, lookup their reactants, flag hits
@@ -1203,6 +1311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_reach": q_copurchase_reach,
     "order_chain_paths": q_order_chain_paths,
     "tfidf_topk": q_tfidf_topk,
+    "adduct_search": q_adduct_search,
     "product_of_native": q_product_of_native,
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
@@ -1254,6 +1363,7 @@ ORACLES: dict[str, str] = {
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "winnow_fingerprints": _Q_WINNOW_SQL,
     "order_chain_paths": _Q_ORDER_CHAIN_SQL,
+    "adduct_search": _Q_ADDUCT_SEARCH_SQL,
     "product_of_native": _Q_PRODUCT_OF_NATIVE_SQL,
     "quiet_customers": _Q_QUIET_CUSTOMERS_SQL,
     "bit_prevalence": _Q_BIT_PREVALENCE_SQL,
