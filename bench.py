@@ -41,6 +41,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "spectral_cosine",
     "model_jaccard",
+    "tfidf_topk",
+    "winnow_fingerprints",
+    "adduct_search",
+    "product_of_native",
+    "order_chain_paths",
 ]
 
 
