@@ -207,6 +207,26 @@ def test_connected_components_known_graph(spark):
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20, 40: 20}
 
 
+def test_enumerate_paths_branching_and_cycles(spark):
+    """Depth-capped simple-path enumeration on a branching graph with a
+    cycle: 1→{2,3}, 2→4, 4→1 (cycle back to the start must be cut), 3→5.
+    Every path prefix from node 1 appears exactly once."""
+    from mine_database_spark.operators.graph import enumerate_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (4, 1), (3, 5)], "src int, dst int"
+    )
+    starts = spark.createDataFrame([(1,)], "n int")
+    got = {(r["path"], r["length"]) for r in enumerate_paths(edges, starts, max_depth=4).collect()}
+    assert got == {
+        ("1", 1),
+        ("1->2", 2),
+        ("1->3", 2),
+        ("1->2->4", 3),
+        ("1->3->5", 3),
+    }
+
+
 def test_streaming_session_windows(spark, tmp_path):
     """session_window() streaming agg: two bursts 40min apart with a 30min
     gap must form two sessions for the same user."""
