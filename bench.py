@@ -44,6 +44,7 @@ HEADLINE = [
     "tfidf_topk",
     "winnow_fingerprints",
     "adduct_search",
+    "ms2_search",
     "product_of_native",
     "order_chain_paths",
 ]

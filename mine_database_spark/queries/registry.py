@@ -1179,6 +1179,87 @@ WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# §3.3 ms2_search composite (metabolomics.py:1047-1117 → 636-679): score
+# every candidate's spectrum against each peak's query spectrum, rank
+# isomers per peak (W3). Five query spectra (one per region-peak) broadcast;
+# candidate spectra aggregate from lineitem; integer intensities so the
+# cosine is bit-reproducible.
+
+def q_ms2_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-peak isomer ranking by spectral cosine.
+
+    Scale: candidate spectra aggregate once on (orderkey, mz) with map-side
+    partials; ALL peaks' query spectra ship as one broadcast (5×~100 rows),
+    so scoring every peak×candidate pair costs one more groupBy on the same
+    orderkey-keyed rows, never a re-scan; the final rank is a per-peak
+    window with WindowGroupLimit capping rows below its shuffle.
+    """
+    l, p, r = _t(spark, sf_dir, "lineitem", "part", "region")
+    spec = l.groupBy("l_orderkey", (F.col("l_partkey") % 100).alias("mz")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("inten")
+    )
+    qspec = (
+        p.join(F.broadcast(r), (F.col("p_size") % 5) == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("peak_id"), (F.col("p_partkey") % 100).alias("mz"))
+        .agg(F.count(F.lit(1)).alias("qinten"))
+    )
+    qnorm = qspec.groupBy("peak_id").agg(
+        F.sqrt(F.sum(F.col("qinten") * F.col("qinten"))).alias("qn")
+    )
+    norms = spec.groupBy("l_orderkey").agg(
+        F.sqrt(F.sum(F.col("inten") * F.col("inten"))).alias("n")
+    )
+    dots = (
+        spec.join(F.broadcast(qspec), "mz")
+        .groupBy("peak_id", "l_orderkey")
+        .agg(F.sum(F.col("inten") * F.col("qinten")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "l_orderkey")
+        .join(F.broadcast(qnorm), "peak_id")
+        .select(
+            "peak_id",
+            "l_orderkey",
+            F.round(F.col("dot") / (F.col("n") * F.col("qn")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("peak_id").orderBy(F.desc("score"), F.asc("l_orderkey"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("peak_id", "rank", "l_orderkey", "score")
+    )
+
+
+_Q_MS2_SEARCH_SQL = f"""
+WITH spec AS (
+  SELECT l_orderkey, l_partkey % 100 AS mz,
+         CAST(SUM({_CENTS_SQL.format(c='l_quantity')}) AS BIGINT) AS inten
+  FROM lineitem GROUP BY 1, 2
+),
+qspec AS (
+  SELECT r_name AS peak_id, p_partkey % 100 AS mz, CAST(COUNT(*) AS BIGINT) AS qinten
+  FROM part JOIN region ON p_size % 5 = r_regionkey GROUP BY 1, 2
+),
+qn AS (SELECT peak_id, sqrt(CAST(SUM(qinten * qinten) AS DOUBLE)) AS qn FROM qspec GROUP BY 1),
+norms AS (SELECT l_orderkey, sqrt(CAST(SUM(inten * inten) AS DOUBLE)) AS n FROM spec GROUP BY 1),
+dots AS (
+  SELECT peak_id, l_orderkey, CAST(SUM(inten * qinten) AS BIGINT) AS dot
+  FROM spec JOIN qspec USING (mz) GROUP BY 1, 2
+),
+scored AS (
+  SELECT peak_id, l_orderkey, round(dot / (n * qn), 6) AS score
+  FROM dots JOIN norms USING (l_orderkey) JOIN qn USING (peak_id)
+)
+SELECT peak_id, rank, l_orderkey, score FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY peak_id ORDER BY score DESC, l_orderkey) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # J3 check_product_of_native (metabolomics.py:273-352; near-identical
 # Scripts/native_pipeline.py:22-130): the reference's 11-stage Mongo
 # aggregation — unwind producing reactions, lookup their reactants, flag hits
@@ -1328,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_chain_paths": q_order_chain_paths,
     "tfidf_topk": q_tfidf_topk,
     "adduct_search": q_adduct_search,
+    "ms2_search": q_ms2_search,
     "product_of_native": q_product_of_native,
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
@@ -1380,6 +1462,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _Q_WINNOW_SQL,
     "order_chain_paths": _Q_ORDER_CHAIN_SQL,
     "adduct_search": _Q_ADDUCT_SEARCH_SQL,
+    "ms2_search": _Q_MS2_SEARCH_SQL,
     "product_of_native": _Q_PRODUCT_OF_NATIVE_SQL,
     "quiet_customers": _Q_QUIET_CUSTOMERS_SQL,
     "bit_prevalence": _Q_BIT_PREVALENCE_SQL,
