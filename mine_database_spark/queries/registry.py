@@ -1189,10 +1189,12 @@ def q_ms2_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-peak isomer ranking by spectral cosine.
 
     Scale: candidate spectra aggregate once on (orderkey, mz) with map-side
-    partials; ALL peaks' query spectra ship as one broadcast (5×~100 rows),
-    so scoring every peak×candidate pair costs one more groupBy on the same
-    orderkey-keyed rows, never a re-scan; the final rank is a per-peak
-    window with WindowGroupLimit capping rows below its shuffle.
+    partials; the query spectra pivot WIDE (one broadcast row per mz, one
+    intensity column per peak), so the join is 1:1 — no per-peak row fanout
+    — and every dot product plus the self-norm folds into a single groupBy
+    on l_orderkey. The per-peak rows only materialize after aggregation
+    (≤ n_peaks per order); the final rank is a per-peak window with
+    WindowGroupLimit capping rows below its shuffle.
     """
     l, p, r = _t(spark, sf_dir, "lineitem", "part", "region")
     spec = l.groupBy("l_orderkey", (F.col("l_partkey") % 100).alias("mz")).agg(
@@ -1203,19 +1205,36 @@ def q_ms2_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("peak_id"), (F.col("p_partkey") % 100).alias("mz"))
         .agg(F.count(F.lit(1)).alias("qinten"))
     )
+    qwide = qspec.groupBy("mz").pivot("peak_id").agg(F.first("qinten"))
+    peak_ids = sorted(c for c in qwide.columns if c != "mz")
     qnorm = qspec.groupBy("peak_id").agg(
         F.sqrt(F.sum(F.col("qinten") * F.col("qinten"))).alias("qn")
     )
-    norms = spec.groupBy("l_orderkey").agg(
-        F.sqrt(F.sum(F.col("inten") * F.col("inten"))).alias("n")
+    per_order = (
+        spec.join(F.broadcast(qwide), "mz", "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sqrt(F.sum(F.col("inten") * F.col("inten"))).alias("n"),
+            *[
+                F.sum(F.col("inten") * F.coalesce(F.col(pk), F.lit(0))).alias(f"dot_{i}")
+                for i, pk in enumerate(peak_ids)
+            ],
+        )
     )
-    dots = (
-        spec.join(F.broadcast(qspec), "mz")
-        .groupBy("peak_id", "l_orderkey")
-        .agg(F.sum(F.col("inten") * F.col("qinten")).alias("dot"))
-    )
+    stacked = per_order.select(
+        "l_orderkey",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(pk).alias("peak_id"), F.col(f"dot_{i}").alias("dot"))
+                    for i, pk in enumerate(peak_ids)
+                ]
+            )
+        ).alias("pd"),
+    ).select("l_orderkey", "n", F.col("pd.peak_id").alias("peak_id"), F.col("pd.dot").alias("dot"))
     scored = (
-        dots.join(norms, "l_orderkey")
+        stacked.where(F.col("dot") > 0)
         .join(F.broadcast(qnorm), "peak_id")
         .select(
             "peak_id",
