@@ -23,6 +23,11 @@ from collections import Counter
 
 class FakeChemBackend:
     name = "fake"
+    # substring-rewrite "chemistry" does not conserve the letter multiset, so
+    # the reference's atom-balance rejection (reactions.py:194-198) would veto
+    # nearly every fake reaction; the engine therefore skips the balance check
+    # under this backend unless a test opts in with check_balance=True
+    conserves_atoms = False
 
     # --- identity ---------------------------------------------------------
     def canonical_smiles(self, smiles: str) -> str | None:

@@ -16,6 +16,9 @@ from rdkit.Chem import AllChem, Descriptors, rdMolDescriptors
 
 class RDKitBackend:
     name = "rdkit"
+    # real chemistry conserves atoms → the engine's balance rejection
+    # (reference reactions.py:194-198) is always on under this backend
+    conserves_atoms = True
 
     def canonical_smiles(self, smiles: str) -> str | None:
         mol = Chem.MolFromSmiles(smiles or "")

@@ -100,41 +100,102 @@ def canonical_rxn_hash_col(reactants, products):
 # expansion UDF
 
 
-def _make_expand_fn(rules: list[Rule], coreactants: dict[str, tuple[str, str]], max_products: int):
+def _fold_half_rxn(occurrences: list[tuple[str, str]]):
+    """Duplicate-compound stoichiometry folding (reference _make_half_rxn,
+    reactions.py:87-118): a role list binding the same compound twice yields
+    ONE (stoich=2, c_id) entry, first-occurrence order. Returns
+    [(stoich, c_id)] plus the unique (c_id, smiles) pairs for atom counting."""
+    counter: dict[str, int] = {}
+    order: list[tuple[str, str]] = []
+    for cid, smi in occurrences:
+        if cid not in counter:
+            counter[cid] = 0
+            order.append((cid, smi))
+        counter[cid] += 1
+    return [(counter[cid], cid) for cid, _ in order], order
+
+
+def _side_atoms(backend, folded, uniques, cache):
+    """Charge-corrected element counts of one half-reaction (reference
+    reactions.py:106-113): sum(atom_count × stoich) with H -= Σ formal
+    charge × stoich."""
+    from collections import Counter
+
+    atoms: Counter = Counter()
+    charge = 0
+    stoich_by_id = dict((cid, s) for s, cid in folded)
+    for cid, smi in uniques:
+        if smi not in cache:
+            cache[smi] = (backend.atom_count(smi), backend.formal_charge(smi))
+        ac, ch = cache[smi]
+        s = stoich_by_id[cid]
+        for el, n in ac.items():
+            atoms[el] += n * s
+        charge += ch * s
+    atoms["H"] -= charge
+    # return the RAW counter — a negative H (charge correction without H
+    # atoms) must stay visible to the symmetric-difference test, exactly as
+    # the reference's Counter arithmetic behaves
+    return atoms
+
+
+def _make_expand_fn(
+    rules: list[Rule],
+    coreactants: dict[str, tuple[str, str]],
+    max_products: int,
+    check_balance: bool | None = None,
+):
     """Build the mapInPandas function. `coreactants` maps role name ->
     (smiles, c_id). The wildcard role 'Any' binds the frontier compound
-    (reference reactions.py:276-278)."""
+    (reference reactions.py:276-278).
+
+    check_balance: element-balance rejection (reference reactions.py:194-198
+    — Counter symmetric difference over charge-corrected atom counts). None
+    (default) defers to `backend.conserves_atoms`: the RDKit path always
+    checks, like the reference; the fake backend's substring chemistry is
+    non-conservative by construction, so it defaults off there."""
 
     def expand(batches):
         backend = get_backend()
+        balance = (
+            check_balance
+            if check_balance is not None
+            else getattr(backend, "conserves_atoms", True)
+        )
         compiled = [(r, backend.compile_rule(r.smarts)) for r in rules]
+        atom_cache: dict[str, tuple[dict, int]] = {}
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in ("operator", "rxn_smiles", "reactants", "products", "new_compounds")}
             for smiles, sub_id in zip(pdf["smiles"], pdf["_id"]):
                 for rule, crule in compiled:
                     # bind reactant slots
                     try:
-                        r_entries = []
+                        r_occ = []
                         r_smiles = []
                         ok = True
                         for role in rule.reactant_roles:
                             if role == "Any":
-                                r_entries.append((1, sub_id))
+                                r_occ.append((sub_id, smiles))
                                 r_smiles.append(smiles)
                             else:
                                 co = coreactants.get(role)
                                 if co is None:
                                     ok = False
                                     break
-                                r_entries.append((1, co[1]))
+                                r_occ.append((co[1], co[0]))
                                 r_smiles.append(co[0])
                         if not ok:
                             continue
+                        r_entries, r_uniq = _fold_half_rxn(r_occ)
+                        r_atoms = (
+                            _side_atoms(backend, r_entries, r_uniq, atom_cache) if balance else None
+                        )
                         product_sets = backend.run_reaction(crule, r_smiles, max_products)
                     except Exception:
                         continue
+                    r_ids = {cid for cid, _ in r_uniq}
                     for pset in product_sets:
-                        p_entries = []
+                        p_occ = []
                         new_cpds = []
                         p_smiles = []
                         valid = True
@@ -152,7 +213,7 @@ def _make_expand_fn(rules: list[Rule], coreactants: dict[str, tuple[str, str]], 
                                     break
                                 ikey = backend.inchi_key(psmi)
                                 pid = compound_id(ikey, "Predicted")
-                                p_entries.append((1, pid))
+                                p_occ.append((pid, psmi))
                                 new_cpds.append((pid, psmi, ikey))
                                 p_smiles.append(psmi)
                             else:
@@ -160,13 +221,28 @@ def _make_expand_fn(rules: list[Rule], coreactants: dict[str, tuple[str, str]], 
                                 if co is None:
                                     valid = False
                                     break
-                                p_entries.append((1, co[1]))
+                                p_occ.append((co[1], co[0]))
                                 p_smiles.append(co[0])
-                        if not valid or not p_entries:
+                        if not valid or not p_occ:
                             continue
-                        # self-loop elimination (reactions.py:189-192)
-                        if {e[1] for e in p_entries} == {e[1] for e in r_entries}:
+                        p_entries, p_uniq = _fold_half_rxn(p_occ)
+                        # unchanged-reactant elimination: reject if ANY compound
+                        # appears on both sides (reference reactions.py:186-192
+                        # uses set intersection, not equality)
+                        if r_ids & {cid for cid, _ in p_uniq}:
                             continue
+                        # atom-balance rejection (reactions.py:194-205): the
+                        # symmetric difference of the charge-corrected element
+                        # counters must be empty
+                        if balance:
+                            p_atoms = _side_atoms(backend, p_entries, p_uniq, atom_cache)
+                            if (r_atoms - p_atoms) or (p_atoms - r_atoms):
+                                continue
+                        # dedupe duplicate new-compound occurrences (folded above)
+                        seen_new = set()
+                        new_cpds = [
+                            t for t in new_cpds if not (t[0] in seen_new or seen_new.add(t[0]))
+                        ]
                         out["operator"].append(rule.name)
                         out["rxn_smiles"].append(
                             " + ".join(r_smiles) + " => " + " + ".join(p_smiles)
@@ -198,12 +274,14 @@ class NetworkExpansion:
         coreactants: dict[str, tuple[str, str]],
         max_products: int = 10000,
         frontier_partitions: int | None = None,
+        check_balance: bool | None = None,
     ):
         self.spark = spark
         self.rules = rules
         self.coreactants = coreactants
         self.max_products = max_products
         self.frontier_partitions = frontier_partitions
+        self.check_balance = check_balance
 
     # -- state constructors -------------------------------------------------
     def starting_compounds(self, id_smiles: list[tuple[str, str]]) -> DataFrame:
@@ -250,7 +328,8 @@ class NetworkExpansion:
         frontier = frontier.repartition(nparts)  # molecule-cost skew (SURVEY §7.4)
 
         raw = frontier.mapInPandas(
-            _make_expand_fn(self.rules, self.coreactants, self.max_products), _EXPANSION_OUT
+            _make_expand_fn(self.rules, self.coreactants, self.max_products, self.check_balance),
+            _EXPANSION_OUT,
         )
         raw = raw.withColumn("_id", canonical_rxn_hash_col(F.col("reactants"), F.col("products")))
 

@@ -110,6 +110,76 @@ def test_cofactor_redundancy_rewrite(spark):
     assert smiles["adp"] == "X"
 
 
+def test_stoichiometry_folding(spark):
+    """A2/T5: a rule binding the same coreactant twice folds to stoich=2
+    (reference _make_half_rxn Counter, reactions.py:87-118), on both sides."""
+    backend = get_backend()
+    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant")),
+          "ADP": ("adp", compound_id(backend.inchi_key("adp"), "Coreactant"))}
+    rules = [Rule("kinase2", ["ATP", "ATP", "Any"], ["Any", "ADP", "ADP"], "ab>>cd")]
+    eng = NetworkExpansion(spark, rules, co, frontier_partitions=2)
+    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "ab")]), generations=1)
+    (row,) = rxns.collect()
+    r_stoich = {e["c_id"]: e["stoich"] for e in row["reactants"]}
+    p_stoich = {e["c_id"]: e["stoich"] for e in row["products"]}
+    assert r_stoich[co["ATP"][1]] == 2 and len(row["reactants"]) == 2
+    assert p_stoich[co["ADP"][1]] == 2 and len(row["products"]) == 2
+    # substrate keeps stoich 1
+    assert 1 in r_stoich.values()
+
+
+def test_atom_balance_rejection(spark):
+    """T5: with check_balance on, an element-unbalanced product is rejected
+    and a balanced one survives (reference reactions.py:194-205 Counter
+    symmetric difference)."""
+    # 'ab>>ba' conserves the letter multiset → balanced; 'a>>zz' does not
+    rules = [Rule("swap", ["Any"], ["Any"], "ab>>ba"),
+             Rule("grow", ["Any"], ["Any"], "a>>zz")]
+    eng = NetworkExpansion(spark, rules, {}, frontier_partitions=2, check_balance=True)
+    cpds, rxns = eng.transform_all(eng.starting_compounds([("s", "xaby")]), generations=1)
+    ops = {op for r in rxns.collect() for op in r["operators"]}
+    assert ops == {"swap"}  # 'grow' produced xzzby — unbalanced, vetoed
+    smiles = {r["smiles"] for r in cpds.collect()}
+    assert "xbay" in smiles and "xzzby" not in smiles
+    # default under the fake backend: balance off → both survive
+    eng2 = NetworkExpansion(spark, rules, {}, frontier_partitions=2)
+    _, rxns2 = eng2.transform_all(eng2.starting_compounds([("s", "xaby")]), generations=1)
+    assert {op for r in rxns2.collect() for op in r["operators"]} == {"swap", "grow"}
+
+
+def test_charge_corrected_balance(spark):
+    """T5: balance counters apply H -= Σ formal charge per side (reference
+    reactions.py:105-113). Deprotonation 'h…' → '-…' conserves the corrected
+    count (loses 1 H, gains -1 charge → H_corr unchanged); losing an H with
+    a +1 charge does not."""
+    eng = NetworkExpansion(
+        spark, [Rule("deprot", ["Any"], ["Any"], "h>>-")], {}, frontier_partitions=2,
+        check_balance=True,
+    )
+    # 'ha' {H:1,A:1} → '-a' atoms {A:1} charge -1 → H_corr = 0-(-1) = 1 → balanced
+    _, rxns = eng.transform_all(eng.starting_compounds([("s", "ha")]), generations=1)
+    assert rxns.count() == 1
+    eng2 = NetworkExpansion(
+        spark, [Rule("bad", ["Any"], ["Any"], "h>>+")], {}, frontier_partitions=2,
+        check_balance=True,
+    )
+    # 'ha' {H:1,A:1} → '+a' atoms {A:1} charge +1 → H_corr = -1 ≠ 1 → vetoed
+    _, rxns2 = eng2.transform_all(eng2.starting_compounds([("s", "ha")]), generations=1)
+    assert rxns2.count() == 0
+
+
+def test_unchanged_reactant_rejection(spark):
+    """T5: a compound appearing on BOTH sides vetoes the reaction — the
+    reference tests set intersection (reactions.py:186-192), not equality."""
+    backend = get_backend()
+    co = {"ATP": ("atp", compound_id(backend.inchi_key("atp"), "Coreactant"))}
+    # ATP is both a reactant and a product role → always intersects
+    rules = [Rule("futile", ["ATP", "Any"], ["Any", "ATP"], "ab>>ba")]
+    eng = NetworkExpansion(spark, rules, co, frontier_partitions=2)
+    _, rxns = eng.transform_all(eng.starting_compounds([("s", "xaby")]), generations=1)
+    assert rxns.count() == 0
+
+
 def test_prune_to_targets(spark, engine):
     """G1-G3: pruning to a target keeps only its provenance chain
     (test_pickaxe.py:218-220 shape)."""
