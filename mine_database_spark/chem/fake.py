@@ -72,7 +72,27 @@ class FakeChemBackend:
         return sorted(bits)
 
     def neutralize(self, smiles: str) -> str:
+        # fixpoint charge-strip — the fake analogue of the reference's
+        # 9-pattern neutralise_charges (utils.py:385-438)
         return re.sub(r"[+-]", "", smiles or "")
+
+    def postsanitize_all(self, smiles: str) -> list[str]:
+        """Fake tautomer enumeration (X4 analogue of utils.py:441-517):
+        each 'nh'/'hn' digram is an H-shift site; candidates are the input
+        plus every single-site swap, sorted — callers take [0] as canonical,
+        exactly like the reference's sorted-set-then-first convention."""
+        s = smiles or ""
+        cands = {s}
+        for i in range(len(s) - 1):
+            pair = s[i : i + 2]
+            if pair == "nh":
+                cands.add(s[:i] + "hn" + s[i + 2 :])
+            elif pair == "hn":
+                cands.add(s[:i] + "nh" + s[i + 2 :])
+        return sorted(cands)
+
+    def postsanitize(self, smiles: str) -> str:
+        return self.postsanitize_all(smiles)[0]
 
     # --- reactions --------------------------------------------------------
     def compile_rule(self, smarts: str):

@@ -19,6 +19,9 @@ class RDKitBackend:
     # real chemistry conserves atoms → the engine's balance rejection
     # (reference reactions.py:194-198) is always on under this backend
     conserves_atoms = True
+    # reference skips inorganic (carbon-free) compounds at load
+    # (pickaxe.py:313); meaningless for fake letter-molecules
+    organic_filter = True
 
     def canonical_smiles(self, smiles: str) -> str | None:
         mol = Chem.MolFromSmiles(smiles or "")
@@ -60,11 +63,106 @@ class RDKitBackend:
         fp = Chem.RDKFingerprint(mol, fpSize=n_bits)
         return sorted(fp.GetOnBits())
 
+    # The reference's neutralization table (utils.py:385-438) — the widely
+    # published RDKit cookbook recipe: (charged substructure, neutral form),
+    # each applied to fixpoint.
+    _NEUTRAL_PATTERNS = (
+        ("[n+;H]", "n"),                      # imidazoles
+        ("[N+;!H0]", "N"),                    # amines
+        ("[$([O-]);!$([O-][#7])]", "O"),      # carboxylic acids / alcohols
+        ("[S-;X1]", "S"),                     # thiols
+        ("[$([N-;X2]S(=O)=O)]", "N"),         # sulfonamides
+        ("[$([N-;X2][C,N]=C)]", "N"),         # enamines
+        ("[n-]", "[nH]"),                     # tetrazoles
+        ("[$([S-]=O)]", "S"),                 # sulfoxides
+        ("[$([N-]C=O)]", "N"),                # amides
+    )
+    _neutral_rxns = None
+
     def neutralize(self, smiles: str) -> str:
-        # reference neutralise_charges applies 9 SMARTS patterns to fixpoint
-        # (utils.py:385-438); simplified here — production should port them
+        """X3: charge neutralization to fixpoint (utils.py:385-438)."""
         mol = Chem.MolFromSmiles(smiles or "")
-        return Chem.MolToSmiles(mol) if mol else smiles
+        if not mol:
+            return smiles
+        if RDKitBackend._neutral_rxns is None:
+            RDKitBackend._neutral_rxns = [
+                (Chem.MolFromSmarts(p), Chem.MolFromSmiles(r, sanitize=False))
+                for p, r in self._NEUTRAL_PATTERNS
+            ]
+        for patt, repl in RDKitBackend._neutral_rxns:
+            while mol.HasSubstructMatch(patt):
+                mol = AllChem.ReplaceSubstructs(mol, patt, repl)[0]
+        return Chem.MolToSmiles(mol)
+
+    # X4: post-SMARTS tautomer canonicalization (utils.py:441-517). The
+    # reference enumerates aromatic-N H-shift tautomers and keeps the sorted
+    # set; callers pick the lexicographically first.
+    _TAUTOMER_SMARTS = (
+        "[#7H1X3&a:1]:[#6&a:2]:[#7H0X2&a:3]>>[#7H0X2:1]:[#6:2]:[#7H1X3:3]"
+    )
+
+    def postsanitize_all(self, smiles: str) -> list[str]:
+        """All candidate tautomer SMILES, sorted (utils.py:441-517 for a
+        single molecule; stereo removed as the reference does)."""
+        mol = Chem.MolFromSmiles(smiles, sanitize=False)
+        if mol is None:
+            return [smiles]
+        aromatic_bonds = [
+            b.GetIdx() for b in mol.GetBonds()
+            if b.GetBondType() == Chem.rdchem.BondType.AROMATIC
+        ]
+        for b in mol.GetBonds():
+            if b.GetBondType() == Chem.rdchem.BondType.UNSPECIFIED:
+                b.SetBondType(Chem.rdchem.BondType.SINGLE)
+        base = None
+        try:
+            Chem.SanitizeMol(mol)
+            Chem.rdmolops.RemoveStereochemistry(mol)
+            base = Chem.MolToSmiles(mol)
+        except Exception as exc:
+            if "Can't kekulize mol" not in str(exc):
+                Chem.rdmolops.RemoveStereochemistry(mol)
+                return [Chem.MolToSmiles(mol)]
+            # kekulization fallback: toggle explicit H on each aromatic N
+            # until sanitization succeeds with the ring system unchanged
+            pyrroles = [i[0] for i in mol.GetSubstructMatches(Chem.MolFromSmarts("n"))]
+            for idx in pyrroles:
+                cand = Chem.MolFromSmiles(smiles, sanitize=False)
+                atom = cand.GetAtomWithIdx(idx)
+                atom.SetNumExplicitHs(0 if atom.GetNumExplicitHs() else 1)
+                try:
+                    Chem.SanitizeMol(cand)
+                except Exception:
+                    continue
+                same_rings = (
+                    [i[0] for i in cand.GetSubstructMatches(Chem.MolFromSmarts("n"))] == pyrroles
+                    and [
+                        b.GetIdx() for b in cand.GetBonds()
+                        if b.GetBondType() == Chem.rdchem.BondType.AROMATIC
+                    ] == aromatic_bonds
+                )
+                if not same_rings:
+                    continue
+                Chem.rdmolops.RemoveStereochemistry(cand)
+                base = Chem.MolToSmiles(cand)
+                break
+            if base is None:
+                Chem.rdmolops.RemoveStereochemistry(mol)
+                return [Chem.MolToSmiles(mol)]
+        rxn = AllChem.ReactionFromSmarts(self._TAUTOMER_SMARTS)
+        try:
+            taut = rxn.RunReactants((Chem.MolFromSmiles(base),))
+        except Exception:
+            try:
+                taut = rxn.RunReactants((Chem.MolFromSmiles(base, sanitize=False),))
+            except Exception:
+                return [base]
+        return sorted({Chem.MolToSmiles(t[0]) for t in taut} | {base})
+
+    def postsanitize(self, smiles: str) -> str:
+        """Canonical tautomer — the reference's `postsanitize_smiles([s])[0][0]`
+        (lexicographically first of the sorted tautomer set)."""
+        return self.postsanitize_all(smiles)[0]
 
     def compile_rule(self, smarts: str):
         rxn = AllChem.ReactionFromSmarts(smarts)

@@ -207,6 +207,11 @@ def _make_expand_fn(
                                     break
                                 psmi = backend.canonical_smiles(pset[any_idx])
                                 any_idx += 1
+                                if psmi and "n" in psmi:
+                                    # resolve tautomers, keep the canonical
+                                    # (lexicographically first) choice —
+                                    # reference reactions.py:126-129
+                                    psmi = backend.postsanitize(psmi)
                                 if not psmi or "." in psmi:
                                     # reject multi-fragment (reactions.py:142-143)
                                     valid = False
@@ -284,7 +289,15 @@ class NetworkExpansion:
         self.check_balance = check_balance
 
     # -- state constructors -------------------------------------------------
-    def starting_compounds(self, id_smiles: list[tuple[str, str]]) -> DataFrame:
+    def starting_compounds(
+        self, id_smiles: list[tuple[str, str]], neutralise: bool = True
+    ) -> DataFrame:
+        """Load starting compounds (reference pickaxe.py:296-330 + 480-496):
+        canonicalize → optional charge neutralization (default on, as the
+        reference) → tautomer postsanitize for aromatic-N molecules. The
+        reference's organic-only gate ('C'/'c' in SMILES) applies under real
+        chemistry; the fake backend's molecules are letter strings, so the
+        gate is backend-flagged."""
         backend = get_backend()
         rows = []
         seen = set()
@@ -292,6 +305,14 @@ class NetworkExpansion:
             csmi = backend.canonical_smiles(smi)
             if not csmi:
                 continue
+            if getattr(backend, "organic_filter", False) and not (
+                "C" in csmi or "c" in csmi
+            ):
+                continue
+            if neutralise:
+                csmi = backend.neutralize(csmi)
+            if "n" in csmi:
+                csmi = backend.postsanitize(csmi)
             ikey = backend.inchi_key(csmi)
             cid = compound_id(ikey, "Starting Compound")
             if cid in seen:
