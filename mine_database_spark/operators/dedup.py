@@ -132,15 +132,47 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 5, threshold: float = 0.5,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        df_cap: int | None = None) -> DataFrame:
     """Pairs with shingle-set Jaccard >= threshold.
 
     Pair generation goes through the shared-shingle inverted index (an
-    equi-join on the shingle), never a cross join; pass `candidates`
-    (e.g. from LSH) to restrict further.
+    equi-join on the shingle), never a cross join. Two scale guards:
+
+    * `candidates` (e.g. LSH pairs) restricts the shingle table to candidate
+      documents BEFORE the self-join — the posting lists entering the pair
+      join only contain candidate docs — and the generated pairs are then
+      semi-joined to the exact candidate pair set. Restricting after the
+      join (the old form) still paid the full quadratic hot-shingle fanout.
+    * `df_cap` drops shingles whose document frequency exceeds the cap (stop
+      shingles like "the quick" at k=2 make the self-join quadratic in the
+      posting-list length). Jaccard is then computed consistently over the
+      capped shingle universe: sizes and intersections both exclude capped
+      shingles, so the result is exact for the reduced universe — the
+      standard production near-dup approximation.
+
     Returns (a_id, b_id, jaccard) with jaccard rounded to 6 digits.
     """
-    sh = shingle_table(docs, id_col, text_col, k).cache()
+    sh = shingle_table(docs, id_col, text_col, k)
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("a_id").alias("doc_id"))
+            .unionByName(candidates.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        # no broadcast hint: the candidate doc set is usually small enough
+        # that AQE broadcasts it, but can be huge at 100 TB — let the
+        # runtime stats decide
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -151,7 +183,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
+        inter = inter.join(candidates.select("a_id", "b_id").distinct(), ["a_id", "b_id"], "left_semi")
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
         .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")

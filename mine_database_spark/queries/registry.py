@@ -677,6 +677,34 @@ WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.2
 )
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard with the production df-cap: shingles in more than 50
+    documents are dropped before the pair join (they are stop-shingles that
+    make the self-join quadratic in posting-list length at scale); Jaccard
+    is exact over the capped shingle universe, mirrored in the oracle."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2, df_cap=50)
+
+
+_Q_NGRAM_JACCARD_CAPPED_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=2, km1=1) + """,
+capped AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes na ON inter.a_id = na.doc_id JOIN sizes nb ON inter.b_id = nb.doc_id
+WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.2
+"""
+)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     return dd.simhash60(d)
@@ -1438,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1476,6 +1505,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": _Q_MINHASH_SQL,
     "dup_clusters": _Q_DUP_CLUSTERS_SQL,
     "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+    "ngram_jaccard_capped": _Q_NGRAM_JACCARD_CAPPED_SQL,
     "simhash": _Q_SIMHASH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "winnow_fingerprints": _Q_WINNOW_SQL,

@@ -305,3 +305,49 @@ def test_salted_aggregation_equivalence(spark):
     for k, (s, n) in direct.items():
         assert salted_sets[k] == s, k
         assert salted_counts[k] == n, k
+
+
+def test_ngram_jaccard_candidate_prefilter(spark):
+    """Candidate restriction must shrink the pair-join INPUT, not just the
+    output: the plan carries a doc-id semi-join below the shingle self-join,
+    and restricted results equal the unrestricted results filtered to the
+    candidate pairs."""
+    from mine_database_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        ("d1", "the quick brown fox jumps"),
+        ("d2", "the quick brown fox leaps"),
+        ("d3", "a completely different text body"),
+        ("d4", "the quick brown fox jumps"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    cand = spark.createDataFrame([("d1", "d2")], "a_id string, b_id string")
+
+    full = ngram_jaccard_pairs(docs, k=2, threshold=0.1)
+    restricted = ngram_jaccard_pairs(docs, k=2, threshold=0.1, candidates=cand)
+    want = {(r["a_id"], r["b_id"], r["jaccard"]) for r in full.collect() if (r["a_id"], r["b_id"]) == ("d1", "d2")}
+    got = {(r["a_id"], r["b_id"], r["jaccard"]) for r in restricted.collect()}
+    assert got == want and got
+
+    plan = restricted._jdf.queryExecution().optimizedPlan().toString()
+    # two semi-joins: docs before the self-join (×2 sides) + exact pair set after
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_ngram_jaccard_df_cap(spark):
+    """df_cap drops hot shingles from the pair join and the size counts
+    consistently — docs related ONLY through a stop-shingle produce no pair."""
+    from mine_database_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        ("d1", "xx yy aa bb"),
+        ("d2", "xx yy cc dd"),
+        ("d3", "xx yy ee ff"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # every doc shares only the 'xx yy' shingle → uncapped: 3 pairs
+    uncapped = ngram_jaccard_pairs(docs, k=2, threshold=0.01)
+    assert uncapped.count() == 3
+    # df cap of 2 kills the df=3 stop-shingle → no pairs survive
+    capped = ngram_jaccard_pairs(docs, k=2, threshold=0.01, df_cap=2)
+    assert capped.count() == 0
