@@ -111,49 +111,88 @@ def ivf_topk(
     )
 
 
+def _plane_weight(p: int, i: int) -> float:
+    """Component i of hyperplane p: md5-derived uniform in [-1, 1). Pure
+    Python (no Spark action, no numpy) and bit-for-bit reproducible in SQL as
+    ('0x' || substr(md5(p || '|' || i), 1, 8))::BIGINT / 2^31 - 1, so the
+    DuckDB oracle can rebuild the exact same buckets."""
+    import hashlib
+
+    return int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_alias: str,
+    n_planes: int,
+    rows_per_band: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, band_sig) — banded random-hyperplane signatures.
+
+    Single-bucket sign-LSH has vanishing recall at realistic plane counts
+    (P[all n bits agree] decays exponentially); banding trades candidates
+    for recall exactly like minhash-LSH: two vectors are candidates if ANY
+    band of rows_per_band sign bits matches. Plane constants are inlined
+    literals (no driver-side Spark action at plan build)."""
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(_plane_weight(p, i)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col("__v"), w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    n_bands = n_planes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band]).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .select(id_alias, F.explode(bands).alias("b"))
+        .select(id_alias, F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 24,
+    rows_per_band: int = 3,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket join, then exact cosine
-    within the bucket. The scale path — candidate generation is an equi-join
-    on the bucket signature instead of a cross join.
+    """Approximate top-k: banded hyperplane-LSH candidate generation, then
+    exact cosine rescore. The 100 TB scale path — candidates come from an
+    equi-join on (band, band_sig), never a cross join; recall vs brute force
+    is pinned in tests (recall@10 ≥ 0.8 at the default 8 bands × 3 bits).
 
-    Hyperplanes are deterministic pseudo-random vectors derived from md5 so
-    results are reproducible across runs/engines.
-    """
-    import numpy as np
-
-    dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((n_planes, dim))
-
-    def sig(col):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(col, F.array(*[F.lit(float(x)) for x in planes[p]]), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]
-        return F.concat(*bits)
-
+    `dim` is the embedding dimensionality (callers know their model width);
+    taking it as a parameter keeps plan construction action-free."""
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    cb = c.withColumn("bucket", sig(F.col("v")))
-    qb = q.withColumn("bucket", sig(F.col("qv")))
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
+    cb = lsh_band_table(corpus, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    qb = lsh_band_table(queries, "query_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "band_sig"])
         .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -161,4 +200,45 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def embed_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 24,
+    rows_per_band: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-bucketed: candidate pairs share at
+    least one signature band; survivors are exact-cosine rescored against the
+    threshold. Returns (a_id, b_id, score).
+
+    This is the scale path for embed-cosine dedup: the all-pairs cross join
+    (kept as the exact oracle baseline in the registry) is replaced by a
+    self-equi-join on band signatures — shuffle keyed by bucket, candidate
+    volume governed by (n_planes, rows_per_band), never O(n²)."""
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    cand = (
+        bands.join(
+            bands.select(
+                F.col("vec_id").alias("b_id"), "band", F.col("band_sig").alias("band_sig")
+            ),
+            ["band", "band_sig"],
+        )
+        .where(F.col("vec_id") < F.col("b_id"))
+        .select(F.col("vec_id").alias("a_id"), "b_id")
+        .distinct()
+    )
+    return (
+        cand.join(v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("score") >= threshold)
+        .select("a_id", "b_id", "score")
     )

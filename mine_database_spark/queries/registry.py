@@ -869,10 +869,50 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant (random-hyperplane LSH buckets) — the 100TB scale
-    path. No SQL oracle (hyperplanes are generated driver-side): rows-only check."""
+    """Approximate top-k via banded hyperplane-LSH candidates + exact cosine
+    rescore — the 100TB scale path. Hyperplanes are md5-derived constants, so
+    the DuckDB oracle rebuilds the exact same buckets: full value-level
+    check. Recall@10 vs brute force is additionally pinned in pytest."""
     (e,) = _t(spark, sf_dir, "embeddings")
     return sim.lsh_bucketed_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+# banded hyperplane signatures, bit-exact mirror of similarity._plane_weight:
+# component (p, i) = ('0x'||substr(md5(p||'|'||i),1,8))::BIGINT / 2^31 - 1
+_LSH_BANDS_SQL = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN SUM(x * (('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT / 2147483648.0 - 1.0)) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM comp CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS p) planes
+  GROUP BY vec_id, p
+),
+bands AS (
+  SELECT vec_id, CAST(p // 3 AS INT) AS band, string_agg(bit, '' ORDER BY p) AS band_sig
+  FROM bits GROUP BY vec_id, p // 3
+)"""
+
+
+_Q_ANN_LSH_SQL = (
+    "WITH " + _LSH_BANDS_SQL + """,
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qb AS (SELECT vec_id AS query_id, band, band_sig FROM bands WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id
+  FROM bands b JOIN qb ON b.band = qb.band AND b.band_sig = qb.band_sig
+  WHERE b.vec_id <> qb.query_id
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+  FROM cand JOIN e ON e.vec_id = cand.vec_id JOIN q ON q.query_id = cand.query_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM s)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
+"""
+)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,11 +925,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (LLM dedup family).
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs baseline.
 
-    Exact all-pairs here (correctness baseline); the 100TB path restricts
-    pair generation to LSH buckets first (sim.lsh_bucketed_topk shape) —
-    same scoring, equi-join candidate generation instead of a cross join.
+    This is the small-corpus oracle form; the production query at scale is
+    `embed_neardup_lsh` (banded-LSH candidates + exact rescore, no cross
+    join), whose recall against this exact form is pinned in pytest.
     """
     from mine_database_spark.functions.vectors import cosine
 
@@ -913,6 +953,29 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
 """
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed (the 100TB path): candidates
+    from a band-signature self-equi-join, exact cosine rescore. Oracle
+    rebuilds the identical md5-derived buckets in SQL — full value check."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.embed_neardup_lsh(e, threshold=0.35)
+
+
+_Q_EMBED_NEARDUP_LSH_SQL = (
+    "WITH " + _LSH_BANDS_SQL + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
+       round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS score
+FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+WHERE round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) >= 0.35
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1476,6 +1539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
     "spectral_cosine": q_spectral_cosine,
@@ -1520,6 +1584,8 @@ ORACLES: dict[str, str] = {
     "token_stats": _Q_TOKEN_STATS_SQL,
     "ann_cosine_topk": _Q_ANN_SQL,
     "embed_neardup": _Q_EMBED_NEARDUP_SQL,
+    "embed_neardup_lsh": _Q_EMBED_NEARDUP_LSH_SQL,
+    "ann_lsh_topk": _Q_ANN_LSH_SQL,
     "multimodal_features": _Q_MULTIMODAL_SQL,
     "bpe_token_stats": _Q_BPE_SQL,
     "spectral_cosine": _Q_SPECTRAL_SQL,

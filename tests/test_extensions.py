@@ -351,3 +351,49 @@ def test_ngram_jaccard_df_cap(spark):
     # df cap of 2 kills the df=3 stop-shingle → no pairs survive
     capped = ngram_jaccard_pairs(docs, k=2, threshold=0.01, df_cap=2)
     assert capped.count() == 0
+
+
+def test_lsh_ann_recall_gate(spark):
+    """Banded hyperplane-LSH top-k must return a full k rows per query and
+    recall@10 >= 0.8 vs brute force, with exact-equal scores on shared pairs."""
+    from mine_database_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["vec_id"]): r["score"] for r in brute_force_topk(e, q, k=10).collect()}
+    rows = lsh_bucketed_topk(e, q, k=10).collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], 0)
+        per_query[r["query_id"]] += 1
+    assert set(per_query) == {0, 1, 2, 3, 4} and min(per_query.values()) == 10, per_query
+    approx = {(r["query_id"], r["vec_id"]): r["score"] for r in rows}
+    for pair, score in approx.items():
+        if pair in exact:
+            assert abs(score - exact[pair]) < 1e-9
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_embed_neardup_lsh_recall_gate(spark):
+    """LSH-bucketed near-dup pairs: subset of the exact pairs (no false
+    positives — rescore is exact) with recall >= 0.8."""
+    from mine_database_spark.operators.similarity import embed_neardup_lsh
+    from mine_database_spark.functions.vectors import cosine
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("score") >= 0.35)
+        .collect()
+    }
+    approx = {(r["a_id"], r["b_id"]) for r in embed_neardup_lsh(e, threshold=0.35).collect()}
+    assert approx <= exact  # exact rescore → no false positives
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, recall
