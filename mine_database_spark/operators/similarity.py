@@ -74,29 +74,46 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
 
-    cents = c.orderBy("vec_id").limit(n_centroids).collect()  # small codebook only
-
-    def dot_lit(col, vec):
-        return F.aggregate(
-            F.zip_with(col, F.array(*[F.lit(float(x)) for x in vec]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # codebook as a broadcast ONE-ROW DataFrame (array of (cid, vector)
+    # structs) instead of a driver-side collect: plan construction stays
+    # action-free, and the assignment is a 1-row broadcast cross join whose
+    # per-vector argmax runs as a pure array expression — no row blowup, no
+    # extra shuffle. A k-means-refined codebook snapshot slots in by
+    # replacing `cent_row`.
+    cent_row = (
+        c.orderBy("vec_id")
+        .limit(n_centroids)
+        .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))
+    )
 
     def ranked_lists(col):
+        # [(score, cid)] sorted desc — struct comparison orders by score first
         return F.reverse(
             F.array_sort(
-                F.array(*[
-                    F.struct(dot_lit(col, r["v"]).alias("s"), F.lit(int(r["vec_id"])).alias("cid"))
-                    for r in cents
-                ])
+                F.transform(
+                    F.col("__cents"),
+                    lambda ct: F.struct(
+                        F.aggregate(
+                            F.zip_with(col, ct["cv"], lambda a, b: a * b),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("s"),
+                        ct["cid"].alias("cid"),
+                    ),
+                )
             )
         )
 
-    assigned = c.withColumn("list_id", ranked_lists(F.col("v"))[0]["cid"])
-    probes = q.withColumn(
-        "probe", F.explode(F.slice(ranked_lists(F.col("qv")), 1, n_probe))
-    ).select("query_id", "qv", F.col("probe.cid").alias("list_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent_row))
+        .withColumn("list_id", ranked_lists(F.col("v"))[0]["cid"])
+        .drop("__cents")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_row))
+        .withColumn("probe", F.explode(F.slice(ranked_lists(F.col("qv")), 1, n_probe)))
+        .select("query_id", "qv", F.col("probe.cid").alias("list_id"))
+    )
 
     scored = (
         assigned.join(F.broadcast(probes), "list_id")

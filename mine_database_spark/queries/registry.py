@@ -503,12 +503,14 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf groupBy(doc,tok), df groupBy(tok), then the tok-keyed join + per-doc
     window rank."""
     (d,) = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # corpus size folds in as a broadcast 1-row aggregate (like
+    # rule_coverage_cdf) — no plan-build-time count() action
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "tok").select(
-        "doc_id", "tok", (F.col("tf") * (F.lit(n_docs).cast("bigint") - F.col("df"))).alias("score")
+    scored = tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", "tok", (F.col("tf") * (F.col("__n") - F.col("df"))).alias("score")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
     return (
@@ -917,11 +919,36 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN — the other 100TB scale path (candidates from
-    an inverted-list equi-join; corpus partitionable by list id). No SQL
-    oracle (centroid codebook is collected driver-side): rows-only check;
-    recall vs brute force is pinned in tests/test_extensions.py."""
+    an inverted-list equi-join; corpus partitionable by list id). The
+    codebook (16 lowest-id vectors, lazily broadcast) is deterministic, so
+    the oracle replays assignment + probing exactly: full value check, plus
+    the recall gate in tests/test_extensions.py."""
     (e,) = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+_Q_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+cscore AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS s,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+  FROM e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, cid AS list_id FROM cscore WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS list_id FROM cscore WHERE vec_id < 5 AND rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_dot_product(ec.v, eq.v) / (sqrt(list_dot_product(ec.v, ec.v)) * sqrt(list_dot_product(eq.v, eq.v))), 4) AS score
+  FROM cand JOIN e ec ON ec.vec_id = cand.vec_id JOIN e eq ON eq.vec_id = cand.query_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM s)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
+"""
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,8 +1323,11 @@ def q_ms2_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("peak_id"), (F.col("p_partkey") % 100).alias("mz"))
         .agg(F.count(F.lit(1)).alias("qinten"))
     )
-    qwide = qspec.groupBy("mz").pivot("peak_id").agg(F.first("qinten"))
-    peak_ids = sorted(c for c in qwide.columns if c != "mz")
+    # explicit pivot values — peak ids are the five TPC-H region names (a
+    # fixed spec dimension); without the list, pivot() runs an eager
+    # distinct job at plan-build time
+    peak_ids = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    qwide = qspec.groupBy("mz").pivot("peak_id", peak_ids).agg(F.first("qinten"))
     qnorm = qspec.groupBy("peak_id").agg(
         F.sqrt(F.sum(F.col("qinten") * F.col("qinten"))).alias("qn")
     )
@@ -1586,6 +1616,7 @@ ORACLES: dict[str, str] = {
     "embed_neardup": _Q_EMBED_NEARDUP_SQL,
     "embed_neardup_lsh": _Q_EMBED_NEARDUP_LSH_SQL,
     "ann_lsh_topk": _Q_ANN_LSH_SQL,
+    "ann_ivf_topk": _Q_ANN_IVF_SQL,
     "multimodal_features": _Q_MULTIMODAL_SQL,
     "bpe_token_stats": _Q_BPE_SQL,
     "spectral_cosine": _Q_SPECTRAL_SQL,

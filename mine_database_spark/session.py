@@ -79,4 +79,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     except Exception:
         pass
     ship_package(spark)
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: _read_table(spark, sf_dir, n) for n in names}
+
+
+# (session id, sf_dir, table) → DataFrame. spark.read.parquet runs a
+# schema-inference job per call; memoizing makes repeated plan BUILDS
+# zero-job (the driver's correctness gate builds every registry query in one
+# process), and guarantees one file-listing per table per session at scale.
+_TABLE_CACHE: dict[tuple[int, str, str], "DataFrame"] = {}
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str):
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df

@@ -128,3 +128,25 @@ def test_mass_sorted_layout_prunes_files(spark, tmp_path):
     plan = plan_str(q)
     assert "GreaterThanOrEqual(mass,100.0)" in plan and "LessThanOrEqual(mass,101.0)" in plan
     assert q.count() == 21
+
+
+def test_registry_builds_are_action_free(spark, sf_smoke):
+    """Building a registry DataFrame must trigger ZERO Spark jobs — driver
+    actions at plan-build time (eager pivot-distinct, count(), first()) are
+    hidden full passes at 100 TB. Exception: dup_clusters, whose iterative
+    label propagation must converge to define its result."""
+    from mine_database_spark.session import load_tables
+    from mine_database_spark.queries.registry import QUERIES
+
+    load_tables(spark, sf_smoke)  # warm the memoized table reads
+    st = spark.sparkContext.statusTracker()
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name == "dup_clusters":
+            continue
+        before = set(st.getJobIdsForGroup(None) or [])
+        fn(spark, sf_smoke)
+        after = set(st.getJobIdsForGroup(None) or [])
+        if after - before:
+            offenders[name] = len(after - before)
+    assert not offenders, offenders
