@@ -8,9 +8,9 @@ too. Big inputs (compound lists, peak files) go through spark.read.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,61 +90,141 @@ def read_adducts(spark: SparkSession, path: str, charge: str = "+") -> DataFrame
     return spark.createDataFrame(rows, ADDUCT_SCHEMA)
 
 
+def _record_table(spark: SparkSession, path: str, sep_regex: str) -> DataFrame:
+    """Executor-side record splitting for text peak archives: whole files
+    arrive via spark.read.text(wholetext=True) — one row per file, files
+    parallelize — then records explode with a native split. Nothing is ever
+    collected to the driver (the import_sdf pattern, compound_io.py:166)."""
+    raw = spark.read.text(path, wholetext=True)
+    return raw.select(F.explode(F.split(F.col("value"), sep_regex)).alias("rec")).where(
+        F.trim(F.col("rec")) != ""
+    )
+
+
 def read_mgf(spark: SparkSession, path: str, charge: str = "+") -> DataFrame:
-    """S21 (metabolomics.py:738-782): MGF → peaks DF with ms2 arrays."""
-    text = "\n".join(spark.sparkContext.textFile(path).collect())
-    rows = []
-    ms2: list[tuple[float, float]] = []
-    name, mz, rt = None, None, None
-    for line in text.splitlines():
-        line = line.strip()
-        if line == "BEGIN IONS":
-            ms2, name, mz, rt = [], None, None, None
-        elif line == "END IONS":
-            if mz is not None:
-                rows.append((name or f"peak_{len(rows)}", rt, mz, charge, None, ms2))
-        elif line.startswith("TITLE="):
-            name = line.split("=", 1)[1]
-        elif line.startswith("PEPMASS="):
-            mz = float(line.split("=", 1)[1].split()[0])
-        elif line.startswith("RTINSECONDS="):
-            rt = float(line.split("=", 1)[1])
-        elif line and line[0].isdigit():
-            parts = line.split()
-            if len(parts) >= 2:
-                ms2.append((float(parts[0]), float(parts[1])))
-    return spark.createDataFrame(rows, PEAK_SCHEMA)
+    """S21 (metabolomics.py:738-782): MGF → peaks DF with ms2 arrays.
+
+    Distributed: records split executor-side on END IONS; per-record field
+    parsing runs as an Arrow-batched mapInPandas. Unnamed peaks get the
+    deterministic '<mz> @ <rt>' fallback (partition-order-independent,
+    unlike the reference's running index)."""
+    recs = _record_table(spark, path, r"END IONS")
+
+    def parse(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("name", "r_time", "mz", "charge", "inchi_key", "ms2")}
+            for rec in pdf["rec"]:
+                ms2, name, mz, rt, seen_begin = [], None, None, None, False
+                for line in rec.splitlines():
+                    line = line.strip()
+                    if line == "BEGIN IONS":
+                        seen_begin = True
+                    elif not seen_begin:
+                        continue
+                    elif line.startswith("TITLE="):
+                        name = line.split("=", 1)[1]
+                    elif line.startswith("PEPMASS="):
+                        mz = float(line.split("=", 1)[1].split()[0])
+                    elif line.startswith("RTINSECONDS="):
+                        rt = float(line.split("=", 1)[1])
+                    elif line and line[0].isdigit():
+                        parts = line.split()
+                        if len(parts) >= 2:
+                            ms2.append({"mz": float(parts[0]), "intensity": float(parts[1])})
+                if seen_begin and mz is not None:
+                    out["name"].append(name or f"{mz} @ {rt}")
+                    out["r_time"].append(rt)
+                    out["mz"].append(mz)
+                    out["charge"].append(charge)
+                    out["inchi_key"].append(None)
+                    out["ms2"].append(ms2)
+            if out["name"]:
+                yield pd.DataFrame(out)
+
+    return recs.mapInPandas(parse, PEAK_SCHEMA)
 
 
 def read_msp(spark: SparkSession, path: str, charge: str = "+") -> DataFrame:
-    """S21 (metabolomics.py:785-824): MSP text format → peaks DF."""
-    text = "\n".join(spark.sparkContext.textFile(path).collect())
-    rows = []
-    ms2: list[tuple[float, float]] = []
-    name, mz, rt, ikey = None, None, None, None
-    n_expected = 0
-    for line in text.splitlines():
-        line = line.strip()
-        low = line.lower()
-        if low.startswith("name:"):
-            if mz is not None:
-                rows.append((name or f"peak_{len(rows)}", rt, mz, charge, ikey, ms2))
-            name, mz, rt, ikey, ms2, n_expected = line.split(":", 1)[1].strip(), None, None, None, [], 0
-        elif low.startswith("precursormz:") or low.startswith("pepmass:"):
-            mz = float(line.split(":", 1)[1].strip())
-        elif low.startswith("retentiontime:"):
-            rt = float(line.split(":", 1)[1].strip())
-        elif low.startswith("inchikey:"):
-            ikey = line.split(":", 1)[1].strip()
-        elif low.startswith("num peaks:"):
-            n_expected = int(line.split(":", 1)[1].strip())
-        elif line and (line[0].isdigit() or line[0] == "-") and n_expected:
-            parts = line.replace(";", " ").split()
-            if len(parts) >= 2:
-                ms2.append((float(parts[0]), float(parts[1])))
-    if mz is not None:
-        rows.append((name or f"peak_{len(rows)}", rt, mz, charge, ikey, ms2))
-    return spark.createDataFrame(rows, PEAK_SCHEMA)
+    """S21 (metabolomics.py:785-824): MSP text format → peaks DF.
+
+    Distributed like read_mgf: records split executor-side at 'Name:'
+    boundaries (case-insensitive lookahead), fields parse per record in
+    mapInPandas."""
+    recs = _record_table(spark, path, r"(?im)^(?=name:)")
+
+    def parse(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("name", "r_time", "mz", "charge", "inchi_key", "ms2")}
+            for rec in pdf["rec"]:
+                name, mz, rt, ikey = None, None, None, None
+                ms2: list[dict] = []
+                n_expected = 0
+                for line in rec.splitlines():
+                    line = line.strip()
+                    low = line.lower()
+                    if low.startswith("name:"):
+                        name = line.split(":", 1)[1].strip()
+                    elif low.startswith("precursormz:") or low.startswith("pepmass:"):
+                        mz = float(line.split(":", 1)[1].strip())
+                    elif low.startswith("retentiontime:"):
+                        rt = float(line.split(":", 1)[1].strip())
+                    elif low.startswith("inchikey:"):
+                        ikey = line.split(":", 1)[1].strip()
+                    elif low.startswith("num peaks:"):
+                        n_expected = int(line.split(":", 1)[1].strip())
+                    elif line and (line[0].isdigit() or line[0] == "-") and n_expected:
+                        parts = line.replace(";", " ").split()
+                        if len(parts) >= 2:
+                            ms2.append({"mz": float(parts[0]), "intensity": float(parts[1])})
+                if mz is not None:
+                    out["name"].append(name or f"{mz} @ {rt}")
+                    out["r_time"].append(rt)
+                    out["mz"].append(mz)
+                    out["charge"].append(charge)
+                    out["inchi_key"].append(ikey)
+                    out["ms2"].append(ms2)
+            if out["name"]:
+                yield pd.DataFrame(out)
+
+    return recs.mapInPandas(parse, PEAK_SCHEMA)
+
+
+def read_mzxml(spark: SparkSession, path: str, charge: str = "+") -> DataFrame:
+    """S21 (metabolomics.py:827-857): mzXML → peaks DF.
+
+    Whole files parallelize across executors (wholetext read); each file
+    parses with ElementTree inside mapInPandas — the reference's exact
+    extraction (msLevel=2 scans, precursorMz, retentionTime 'PT…S' attr,
+    per-scan polarity; name = '<mz> @ <rt>'), minus the driver-side string."""
+    raw = spark.read.text(path, wholetext=True)
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            out = {k: [] for k in ("name", "r_time", "mz", "charge", "inchi_key", "ms2")}
+            for text in pdf["value"]:
+                root = ET.fromstring(text)
+                prefix = root.tag.strip("mzXML")
+                for scan in root.findall(f".//{prefix}scan"):
+                    if scan.attrib.get("msLevel") != "2":
+                        continue
+                    precursor = scan.find(f"./{prefix}precursorMz")
+                    if precursor is None or precursor.text is None:
+                        continue
+                    mz = float(precursor.text)
+                    rt_attr = scan.attrib.get("retentionTime", "")
+                    rt = float(rt_attr[2:-1]) if len(rt_attr) > 3 else None
+                    out["name"].append(f"{precursor.text} @ {rt_attr[2:-1] if rt_attr else ''}")
+                    out["r_time"].append(rt)
+                    out["mz"].append(mz)
+                    out["charge"].append(scan.attrib.get("polarity", charge))
+                    out["inchi_key"].append(None)
+                    out["ms2"].append([])
+            if out["name"]:
+                yield pd.DataFrame(out)
+
+    return raw.mapInPandas(parse, PEAK_SCHEMA)
 
 
 def rules_top_n(rules_df: DataFrame, n: int) -> DataFrame:

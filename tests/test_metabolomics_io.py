@@ -186,3 +186,49 @@ def test_core_compound_merge(spark):
     rows = {r["_id"]: r["mines"] for r in merged.collect()}
     assert rows["Caaa"] == ["run1", "run2"]
     assert rows["Cbbb"] == ["run2"]
+
+
+def test_mzxml_reader(spark, tmp_path):
+    """S21 mzXML: msLevel=2 scans yield peaks with precursor mz, PT…S
+    retention time, and per-scan polarity (reference metabolomics.py:827-857)."""
+    from mine_database_spark.sources.readers import read_mzxml
+
+    xml = """<?xml version="1.0"?>
+<mzXML xmlns="http://sashimi.sourceforge.net/schema_revision/mzXML_3.2">
+ <msRun>
+  <scan num="1" msLevel="1" retentionTime="PT10.0S" polarity="+"></scan>
+  <scan num="2" msLevel="2" retentionTime="PT12.5S" polarity="+">
+   <precursorMz>427.0294</precursorMz>
+  </scan>
+  <scan num="3" msLevel="2" retentionTime="PT99.0S" polarity="-">
+   <precursorMz>301.1</precursorMz>
+  </scan>
+ </msRun>
+</mzXML>
+"""
+    f = tmp_path / "t.mzxml"
+    f.write_text(xml)
+    rows = {r["name"]: r for r in read_mzxml(spark, str(f)).collect()}
+    assert set(rows) == {"427.0294 @ 12.5", "301.1 @ 99.0"}
+    r = rows["427.0294 @ 12.5"]
+    assert r["mz"] == 427.0294 and r["r_time"] == 12.5 and r["charge"] == "+"
+    assert rows["301.1 @ 99.0"]["charge"] == "-"
+
+
+def test_peak_readers_are_distributed(spark, tmp_path):
+    """The peak parsers must not collect record bodies to the driver: the
+    plan reads wholetext files and parses in mapInPandas (executor-side).
+    Multiple files parallelize into multiple partitions."""
+    d = tmp_path / "mgfs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.mgf").write_text(
+            f"BEGIN IONS\nTITLE=p{i}\nPEPMASS={100 + i}.5\nRTINSECONDS=1\n10.0 1.0\nEND IONS\n"
+        )
+    from mine_database_spark.sources.readers import read_mgf
+
+    df = read_mgf(spark, str(d))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert {r["name"] for r in df.collect()} == {"p0", "p1", "p2"}
+    assert df.rdd.getNumPartitions() >= 3  # one per file — records never funnel through the driver
