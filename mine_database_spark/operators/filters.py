@@ -124,11 +124,20 @@ class BaseFilter:
             .withColumn("expand", F.when(F.col("__keep") == False, F.lit(False)).otherwise(F.col("expand")))  # noqa: E712
             .drop("__keep")
         )
-        # annotation columns (e.g. last_similarity) overwrite when present
+        # annotation columns: __set_<col> overwrites an existing column
+        # (e.g. last_similarity); __ann_<col> upserts — overwrites when the
+        # column exists, otherwise joins in as a new annotation column
+        # (e.g. predicted_rt, the reference's Predicted_RT cpd_dict entry)
         for c in ann_cols:
             if c.startswith("__set_"):
                 target = c[len("__set_"):]
                 compounds = compounds.withColumn(target, F.coalesce(F.col(c), F.col(target))).drop(c)
+            elif c.startswith("__ann_"):
+                target = c[len("__ann_"):]
+                if target in compounds.columns:
+                    compounds = compounds.withColumn(target, F.coalesce(F.col(c), F.col(target))).drop(c)
+                else:
+                    compounds = compounds.withColumnRenamed(c, target)
         return cascade_remove(compounds, reactions, decisions.select("_id"))
 
 
@@ -286,16 +295,47 @@ class TargetReactivityGuard(BaseFilter):
 # F6: metabolomics mass-window filter (filters/metabolomics.py:28-395) —
 # the range join J2/J6; ranges side is tiny → broadcast
 
+class DeterministicRTPredictor:
+    """Deterministic fake RT model (md5-derived seconds in [0, 1000)) — the
+    stand-in for the reference's mordred→RandomForest pipeline
+    (filters/metabolomics.py:335-381). Any picklable callable
+    smiles → Optional[float] plugs in the same way; a broadcast sklearn
+    regressor wrapper is the production drop-in."""
+
+    def __call__(self, smiles: str) -> float | None:
+        import hashlib
+
+        if not smiles:
+            return None
+        return (int(hashlib.md5(smiles.encode()).hexdigest()[:8], 16) % 10000) / 10.0
+
+
 class MetabolomicsFilter(BaseFilter):
+    """F6 (filters/metabolomics.py:28-395): mass-window match, optionally
+    gated by predicted retention time.
+
+    RT half (reference :300-381): when both rt_predictor and rt_threshold
+    are given, each candidate's RT is predicted once (vectorized UDF); a
+    mass-window hit survives only if |peak r_time − predicted| ≤ threshold,
+    and the prediction is stored on the compound as `predicted_rt`
+    (the reference's Predicted_RT annotation). Peaks without an r_time fail
+    fast, as the reference raises.
+    """
+
     filter_name = "Metabolomics"
 
-    def __init__(self, peaks: DataFrame, adducts: DataFrame, tolerance: float = 0.001):
+    def __init__(self, peaks: DataFrame, adducts: DataFrame, tolerance: float = 0.001,
+                 rt_predictor=None, rt_threshold: float | None = None):
         self.peaks = peaks
         self.adducts = adducts
         self.tolerance = tolerance
+        self.rt_predictor = rt_predictor
+        self.rt_threshold = rt_threshold
+        # reference semantics: RT filtering only when both are provided
+        self.filter_by_rt = bool(rt_predictor and rt_threshold)
 
     def choose(self, cands: DataFrame, generation: int) -> DataFrame:
-        p = self.peaks.select("name", "mz", F.col("charge").alias("p_charge"))
+        p = self.peaks.select("name", "mz", "r_time", F.col("charge").alias("p_charge"))
         a = self.adducts.select("adduct_name", "mass_mult", "ion_mass", F.col("charge").alias("a_charge"))
         windows = (
             p.crossJoin(F.broadcast(a))
@@ -303,6 +343,7 @@ class MetabolomicsFilter(BaseFilter):
             .select(
                 F.col("name").alias("peak_id"),
                 F.col("adduct_name"),
+                F.col("r_time").alias("expt_rt"),
                 (((F.col("mz") - F.col("ion_mass")) / F.col("mass_mult")) - self.tolerance).alias("lo"),
                 (((F.col("mz") - F.col("ion_mass")) / F.col("mass_mult")) + self.tolerance).alias("hi"),
             )
@@ -315,19 +356,46 @@ class MetabolomicsFilter(BaseFilter):
             b = get_backend()
             return smiles.map(b.exact_mol_wt)
 
-        with_mass = cands.select("_id", mw(F.col("smiles")).alias("mass"))
-        hits = (
-            with_mass.join(
-                F.broadcast(windows),
-                (F.col("mass") >= F.col("lo")) & (F.col("mass") <= F.col("hi")),
+        with_mass = cands.select("_id", "smiles", mw(F.col("smiles")).alias("mass"))
+        if self.filter_by_rt:
+            predictor = self.rt_predictor
+
+            @F.pandas_udf("double")
+            def rt(smiles: pd.Series) -> pd.Series:
+                return smiles.map(predictor)
+
+            with_mass = with_mass.withColumn("predicted_rt", rt(F.col("smiles")))
+            # reference raises when a matched peak has no retention time
+            windows = windows.withColumn(
+                "expt_rt",
+                F.when(
+                    F.col("expt_rt").isNull(),
+                    F.raise_error(F.lit("No retention time found for peak")),
+                ).otherwise(F.col("expt_rt")),
             )
-            .groupBy("_id")
-            .agg(
-                F.array_sort(F.collect_set("peak_id")).alias("matched_peak_ids"),
-                F.array_sort(F.collect_set("adduct_name")).alias("matched_adducts"),
+        with_mass = with_mass.drop("smiles")
+
+        joined = with_mass.join(
+            F.broadcast(windows),
+            (F.col("mass") >= F.col("lo")) & (F.col("mass") <= F.col("hi")),
+        )
+        if self.filter_by_rt:
+            # a compound whose RT could not be predicted never matches
+            # (reference :317-319 'continue'), and out-of-window RT drops
+            # the peak match (:325-326)
+            joined = joined.where(
+                F.col("predicted_rt").isNotNull()
+                & (F.abs(F.col("expt_rt") - F.col("predicted_rt")) <= F.lit(self.rt_threshold))
             )
+        hits = joined.groupBy("_id").agg(
+            F.array_sort(F.collect_set("peak_id")).alias("matched_peak_ids"),
+            F.array_sort(F.collect_set("adduct_name")).alias("matched_adducts"),
         )
-        return (
-            with_mass.join(hits, "_id", "left")
-            .select("_id", F.col("matched_peak_ids").isNotNull().alias("keep"))
-        )
+        out = with_mass.join(hits, "_id", "left")
+        if self.filter_by_rt:
+            return out.select(
+                "_id",
+                F.col("matched_peak_ids").isNotNull().alias("keep"),
+                F.col("predicted_rt").alias("__ann_predicted_rt"),
+            )
+        return out.select("_id", F.col("matched_peak_ids").isNotNull().alias("keep"))

@@ -232,3 +232,58 @@ def test_peak_readers_are_distributed(spark, tmp_path):
     assert "MapInPandas" in plan
     assert {r["name"] for r in df.collect()} == {"p0", "p1", "p2"}
     assert df.rdd.getNumPartitions() >= 3  # one per file — records never funnel through the driver
+
+
+def test_metabolomics_rt_filter(spark, adducts):
+    """F6 RT half (reference filters/metabolomics.py:300-381): a mass hit
+    survives only when |expt_rt − predicted_rt| ≤ threshold; the prediction
+    lands on the compound as predicted_rt."""
+    from mine_database_spark.chem import get_backend
+    from mine_database_spark.operators.filters import (
+        DeterministicRTPredictor,
+        MetabolomicsFilter,
+    )
+    from mine_database_spark.schemas import COMPOUND_SCHEMA, PEAK_SCHEMA, REACTION_SCHEMA
+
+    b = get_backend()
+    pred = DeterministicRTPredictor()
+
+    def cpd(cid, smi):
+        return (cid, cid, smi, b.inchi_key(smi), "Predicted", 1, b.formula(smi),
+                b.atom_count(smi), True, None)
+
+    compounds = spark.createDataFrame(
+        [cpd("Crt1", "aa"), cpd("Crt2", "bb"),
+         ("Xs", "Xs", "s", b.inchi_key("s"), "Coreactant", 0, b.formula("s"),
+          b.atom_count("s"), False, None)],
+        COMPOUND_SCHEMA,
+    )
+    # each candidate needs a producing reaction or orphan GC removes it
+    reactions = spark.createDataFrame(
+        [
+            ("R1", [{"stoich": 1, "c_id": "Xs"}], [{"stoich": 1, "c_id": "Crt1"}], ["op"], "s => aa"),
+            ("R2", [{"stoich": 1, "c_id": "Xs"}], [{"stoich": 1, "c_id": "Crt2"}], ["op"], "s => bb"),
+        ],
+        REACTION_SCHEMA,
+    )
+    peaks = spark.createDataFrame(
+        [
+            # peak RT agrees with the fake model for 'aa' → match survives
+            ("pk_a", pred("aa") + 1.0, b.exact_mol_wt("aa") + 1.007276, "+", None, []),
+            # mass window hits 'bb' but RT is 100s off → match vetoed
+            ("pk_b", pred("bb") + 100.0, b.exact_mol_wt("bb") + 1.007276, "+", None, []),
+        ],
+        PEAK_SCHEMA,
+    )
+    filt = MetabolomicsFilter(peaks, adducts, tolerance=0.001,
+                              rt_predictor=pred, rt_threshold=4.5)
+    c2, _ = filt.apply(compounds, reactions, generation=1)
+    rows = {r["_id"]: r for r in c2.collect()}
+    assert {k for k in rows if k.startswith("C")} == {"Crt1"}
+    assert abs(rows["Crt1"]["predicted_rt"] - pred("aa")) < 1e-9
+
+    # without an RT model the same peaks keep both compounds (mass-only path)
+    c3, _ = MetabolomicsFilter(peaks, adducts, tolerance=0.001).apply(
+        compounds, reactions, generation=1
+    )
+    assert {r["_id"] for r in c3.collect() if r["_id"].startswith("C")} == {"Crt1", "Crt2"}
