@@ -9,6 +9,8 @@ All hashing is md5-based so a DuckDB oracle can reproduce it bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -26,8 +28,11 @@ def md5_int60(col: Column) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization. DuckDB: regexp_split_to_array(text, '\\s+')."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization; empty/whitespace-only text yields an empty
+    array (split alone would yield ['']), matching token_count's 0.
+    DuckDB: list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '').
+    """
+    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
 
 
 def word_shingles(toks: Column, k: int) -> Column:
@@ -52,10 +57,12 @@ def stopword_hits(toks: Column, stopwords: list[str] | None = None) -> Column:
 # Per-doc token statistics as scalar regexp expressions: measured ~5x faster
 # end-to-end than the split()+higher-order-function forms at sf0.1, because
 # higher-order functions fall out of whole-stage codegen and re-evaluate the
-# tokenizer per consumer. Values are identical to the array forms.
+# tokenizer per consumer. Values are identical to the array forms, including
+# on empty/whitespace-only text (0 tokens).
 
 def token_count(text: Column) -> Column:
-    """Number of whitespace-separated tokens. Equals size(tokens(text))."""
+    """Number of whitespace-separated tokens. Equals size(tokens(text));
+    0 for empty or whitespace-only text."""
     return F.regexp_count(text, F.lit(r"\S+"))
 
 
@@ -70,5 +77,5 @@ def stopword_token_count(text: Column, stopwords: list[str] | None = None) -> Co
     Equals size(filter(tokens(text), t -> t in stopwords)); zero-width
     lookarounds let adjacent stopword tokens both match.
     """
-    words = "|".join(stopwords or STOPWORDS_EN)
+    words = "|".join(re.escape(w) for w in (stopwords or STOPWORDS_EN))
     return F.regexp_count(text, F.lit(r"(?<=^|\s)(" + words + r")(?=\s|$)"))

@@ -33,6 +33,7 @@ def bfs_reach(
     """
     visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
     frontier = visited.select(id_col)
+    cached: list[DataFrame] = []
     for it in range(1, max_iter + 1):
         nxt = (
             edges.join(F.broadcast(frontier).withColumnRenamed(id_col, "src"), "src")
@@ -40,11 +41,20 @@ def bfs_reach(
             .distinct()
             .join(visited.select(id_col), id_col, "left_anti")
         )
-        nxt = nxt.localCheckpoint(eager=True) if it % checkpoint_every == 0 else nxt.cache()
+        if it % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+            cached.append(nxt)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(it)))
         frontier = nxt.select(id_col)
+    # pin the result, then release the per-round caches so repeated calls in a
+    # long-lived session don't accumulate cached partitions
+    visited = visited.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     return visited
 
 
@@ -84,6 +94,7 @@ def bfs_reach_bipartite(
     m = membership.select(F.col(group_col).alias("__g"), F.col(id_col).alias(id_col)).cache()
     visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
     frontier = visited.select(id_col)
+    cached: list[DataFrame] = []
     for it in range(1, max_iter + 1):
         # left_semi instead of join+distinct: duplicates in a broadcast build
         # side are harmless, and skipping the distinct removes one shuffle
@@ -96,10 +107,15 @@ def bfs_reach_bipartite(
             .distinct()
             .join(visited.select(id_col), id_col, "left_anti")
         ).cache()
+        cached.append(nxt)
         if early_exit and nxt.isEmpty():
             break
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(it)))
         frontier = nxt
+    visited = visited.localCheckpoint(eager=True)
+    m.unpersist()
+    for df in cached:
+        df.unpersist()
     return visited
 
 
@@ -139,6 +155,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop ran out of rounds with labels still moving: the result is
+        # NOT a fixpoint and downstream cluster assignments would be silently
+        # wrong (diameter > max_iter). Surface it instead of returning
+        # plausible-but-wrong components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter above the "
+            "component diameter"
+        )
+    sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -522,7 +522,9 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_TFIDF_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
 ),
 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
 dfreq AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
@@ -589,7 +591,7 @@ FROM documents GROUP BY md5(text)
 
 
 _SHINGLE_SQL = """
-tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
 pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {km1})) AS i FROM tok WHERE len(toks) >= {k}),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {km1}], ' ') AS shingle FROM pos)
 """
@@ -713,7 +715,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_SIMHASH_SQL = """
-WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+WITH tok AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents) WHERE tok <> ''),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
 bits AS (
   SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
@@ -744,15 +746,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (d,) = _t(spark, sf_dir, "documents")
     n_tok = token_count(F.col("text"))
+    # nullif keeps empty/whitespace-only docs ANSI-safe (NULL ratios, no
+    # divide-by-zero error) and matched to the oracle's nullif
+    safe_n = F.nullif(n_tok, F.lit(0))
     tok_chars = nonspace_chars(F.col("text"))
     sw_hits = stopword_token_count(F.col("text"), _STOPWORDS)
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(tok_chars / n_tok, 4).alias("avg_token_len"),
-        F.round(sw_hits / n_tok, 4).alias("stopword_ratio"),
+        F.round(tok_chars / safe_n, 4).alias("avg_token_len"),
+        F.round(sw_hits / safe_n, 4).alias("stopword_ratio"),
         F.round(
-            0.5 * F.least(n_tok / 100.0, F.lit(1.0)) + 0.5 * (1.0 - sw_hits / n_tok), 4
+            0.5 * F.least(n_tok / 100.0, F.lit(1.0)) + 0.5 * (1.0 - sw_hits / safe_n), 4
         ).alias("quality_score"),
         F.md5(F.lower(F.col("text"))).alias("fingerprint"),
     )
@@ -760,17 +765,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_TEXT_QUALITY_SQL = """
 WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
 ), f AS (
   SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens,
-         CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS INT) AS tok_chars,
+         CAST(coalesce(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum'), 0) AS INT) AS tok_chars,
          CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS INT) AS sw_hits
   FROM t
 )
 SELECT doc_id, n_tokens,
-       round(tok_chars / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
-       round(sw_hits / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
-       round(0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (1.0 - sw_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality_score,
+       round(tok_chars / CAST(nullif(n_tokens, 0) AS DOUBLE), 4) AS avg_token_len,
+       round(sw_hits / CAST(nullif(n_tokens, 0) AS DOUBLE), 4) AS stopword_ratio,
+       round(0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (1.0 - sw_hits / CAST(nullif(n_tokens, 0) AS DOUBLE)), 4) AS quality_score,
        md5(lower(text)) AS fingerprint
 FROM f
 """
@@ -809,7 +816,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mine_database_spark.functions.text import stopword_token_count, token_count
 
     (d,) = _t(spark, sf_dir, "documents")
-    ratio = stopword_token_count(F.col("text"), _STOPWORDS) / token_count(F.col("text"))
+    ratio = stopword_token_count(F.col("text"), _STOPWORDS) / F.nullif(
+        token_count(F.col("text")), F.lit(0)
+    )
     return d.select(
         "doc_id",
         F.round(ratio, 4).alias("stopword_ratio"),
@@ -821,10 +830,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_LANG_ID_SQL = """
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
 ), r AS (
   SELECT doc_id,
-         len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) / CAST(len(toks) AS DOUBLE) AS ratio
+         len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) / CAST(nullif(len(toks), 0) AS DOUBLE) AS ratio
   FROM t
 )
 SELECT doc_id, round(ratio, 4) AS stopword_ratio,
@@ -845,6 +856,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_TOKEN_STATS_SQL = """
 SELECT source, COUNT(*) AS total_tokens, CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens
 FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+WHERE tok <> ''
 GROUP BY source
 """
 
@@ -1509,7 +1521,7 @@ def q_bit_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_BIT_PREVALENCE_SQL = """
-WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+WITH tok AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents) WHERE tok <> ''),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
 bits AS (
   SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib

@@ -185,7 +185,13 @@ def import_sdf(spark, path: str) -> DataFrame:
         rec.select(
             F.filter(lines, lambda x: F.trim(x) != "")[0].alias("name"),
             F.try_element_at(
-                lines, F.array_position(F.transform(lines, lambda x: F.trim(x)), ">  <SMILES>").cast("int") + 1
+                # nullif: a missing tag (array_position = 0) must yield NULL,
+                # not element 1 (the record name posing as a SMILES)
+                lines,
+                F.nullif(
+                    F.array_position(F.transform(lines, lambda x: F.trim(x)), ">  <SMILES>"), F.lit(0)
+                ).cast("int")
+                + 1,
             ).alias("smiles"),
         )
         .where(F.col("smiles").isNotNull() & (F.col("smiles") != ""))
@@ -205,7 +211,13 @@ def import_mol_dir(spark, dir_path: str) -> DataFrame:
         F.regexp_extract(F.col("file"), r"([^/]+)\.mol$", 1).alias("name"),
         F.trim(
             F.try_element_at(
-                lines, F.array_position(F.transform(lines, lambda x: F.trim(x)), ">  <SMILES>").cast("int") + 1
+                # nullif: a missing tag (array_position = 0) must yield NULL,
+                # not element 1 (the record name posing as a SMILES)
+                lines,
+                F.nullif(
+                    F.array_position(F.transform(lines, lambda x: F.trim(x)), ">  <SMILES>"), F.lit(0)
+                ).cast("int")
+                + 1,
             )
         ).alias("smiles"),
     ).where(F.col("smiles").isNotNull() & (F.col("smiles") != ""))

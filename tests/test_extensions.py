@@ -397,3 +397,63 @@ def test_embed_neardup_lsh_recall_gate(spark):
     assert approx <= exact  # exact rescore → no false positives
     recall = len(approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph whose diameter exceeds max_iter must raise, not return
+    plausible-but-wrong component labels."""
+    from mine_database_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a_id int, b_id int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_import_sdf_missing_smiles_tag_dropped(spark, tmp_path):
+    """A record without the '>  <SMILES>' tag must be dropped, not yield its
+    name line masquerading as a SMILES (array_position=0 off-by-one guard)."""
+    from mine_database_spark.sources.compound_io import import_mol_dir, import_sdf
+
+    sdf = tmp_path / "mix.sdf"
+    sdf.write_text(
+        "good\n  prog\n\nM  END\n>  <SMILES>\nCCO\n$$$$\n"
+        "tagless\n  prog\n\nM  END\n$$$$\n"
+    )
+    got = {(r["name"], r["smiles"]) for r in import_sdf(spark, str(sdf)).collect()}
+    assert got == {("good", "CCO")}
+
+    mol_dir = tmp_path / "mols_tagless"
+    mol_dir.mkdir()
+    (mol_dir / "only.mol").write_text("only\n  prog\n\nM  END\n")
+    assert import_mol_dir(spark, str(mol_dir)).count() == 0
+
+
+def test_text_token_forms_agree_on_empty_docs(spark):
+    """Array and scan-only regexp token forms agree everywhere, including
+    empty/whitespace-only docs (0 tokens) and stopwords containing regex
+    metacharacters (escaped, matched as whole tokens)."""
+    from mine_database_spark.functions.text import (
+        nonspace_chars,
+        stopword_token_count,
+        token_count,
+        tokens,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "   "), (3, ""), (4, "a+b the a+b")],
+        "doc_id int, text string",
+    )
+    rows = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("arr_n"),
+        token_count(F.col("text")).alias("re_n"),
+        nonspace_chars(F.col("text")).alias("chars"),
+        stopword_token_count(F.col("text"), ["the", "a+b"]).alias("sw"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert r["arr_n"] == r["re_n"], r
+    assert by_id[2]["re_n"] == 0 and by_id[3]["re_n"] == 0
+    assert by_id[4]["sw"] == 3  # 'a+b' escaped: two hits + one 'the'
