@@ -4,11 +4,13 @@ gates them (pickaxe_run_template.py:33-35 imports them lazily).
 
   * MCSFilter runs everywhere (fake backend ⇒ longest-common-substring
     overlap; RDKit backend ⇒ rdFMCS).
-  * ThermoFilter / ReactionFeasibilityFilter require equilibrator / torch
-    stacks that are not in this container: constructing them without the
-    dependency raises ImportError with the reference's dependency names, and
-    the relational keep/drop contract is identical to the cheap filters, so
-    swapping the scoring UDF in is the only production change.
+  * ThermoFilter / ReactionFeasibilityFilter score REACTIONS (the reference
+    returns a rxns_remove_set). The scoring model is pluggable: pass any
+    picklable scorer callable (deterministic fakes ship for both, mirroring
+    FakeChemBackend) and the full keep/drop cascade runs end-to-end; without
+    a scorer, construction requires the equilibrator / torch stacks and
+    raises ImportError exactly like the reference gates them
+    (pickaxe_run_template.py:33-35).
 """
 
 from __future__ import annotations
@@ -17,7 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mine_database_spark.operators.filters import BaseFilter
+from mine_database_spark.operators.expansion import edge_table
+from mine_database_spark.operators.filters import BaseFilter, orphan_gc
 
 
 class MCSFilter(BaseFilter):
@@ -58,44 +61,187 @@ class MCSFilter(BaseFilter):
         return cands.select("_id", (mcs_overlap(F.col("smiles")) >= crit).alias("keep"))
 
 
-class ThermoFilter(BaseFilter):
+class ReactionScopedFilter(BaseFilter):
+    """Base for filters that remove REACTIONS rather than compounds.
+
+    The reference's thermo/feasibility filters return a `rxns_remove_set`
+    from _choose_items_to_filter; _apply_filter_results then deletes those
+    reactions and loops deleting any compound left with no producing
+    reaction, plus the reactions it fed (base_filter.py:215-240).
+    Relationally: scope to the reactions producing this generation's
+    non-coreactant/non-target compounds (thermodynamics.py:133-143,
+    feasibility.py:242-252), anti-join the rejected ones, orphan-GC to
+    fixpoint. The scoring UDF is the only per-filter piece.
+    """
+
+    def reactions_to_check(self, compounds: DataFrame, reactions: DataFrame, generation: int) -> DataFrame:
+        gen_cpds = compounds.where(
+            (F.col("generation") == generation)
+            & ~F.col("type").isin("Coreactant", "Target Compound")
+        ).select("_id")
+        edges = edge_table(reactions)
+        rxn_ids = (
+            edges.where(F.col("role") == "product")
+            .join(gen_cpds, edges["c_id"] == gen_cpds["_id"], "left_semi")
+            .select("rxn_id")
+            .distinct()
+        )
+        return reactions.join(rxn_ids, reactions["_id"] == rxn_ids["rxn_id"], "left_semi")
+
+    def choose_reactions(self, rxns: DataFrame, compounds: DataFrame) -> DataFrame:
+        """Return (rxn_id, keep:boolean)."""
+        raise NotImplementedError
+
+    def apply(self, compounds: DataFrame, reactions: DataFrame, generation: int):
+        scoped = self.reactions_to_check(compounds, reactions, generation)
+        dead = self.choose_reactions(scoped, compounds).where(~F.col("keep")).select("rxn_id")
+        if dead.isEmpty():
+            return compounds, reactions
+        reactions = reactions.join(dead, reactions["_id"] == dead["rxn_id"], "left_anti")
+        return orphan_gc(compounds, reactions)
+
+
+class FakeDGScorer:
+    """Deterministic ΔG′ stand-in: md5-uniform in [lo, hi) kJ/mol keyed on
+    the reaction SMILES — lets the ThermoFilter keep/drop cascade run
+    end-to-end without the eQuilibrator stack, exactly like FakeChemBackend
+    stands in for RDKit. Any picklable callable smiles_rxn → float (kJ/mol)
+    plugs in the same way."""
+
+    def __init__(self, lo: float = -50.0, hi: float = 50.0):
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, smiles_rxn: str) -> float:
+        import hashlib
+
+        u = int(hashlib.md5((smiles_rxn or "").encode()).hexdigest()[:8], 16) / 2**32
+        return self.lo + u * (self.hi - self.lo)
+
+
+class ThermoFilter(ReactionScopedFilter):
     """F7 (filters/thermodynamics.py:17-160): drop reactions with
-    ΔG′ >= dg_max. Requires the eQuilibrator stack."""
+    ΔG′ >= dg_max (":157-158 keep iff rxn_dg < dg_max").
+
+    `scorer` is any picklable callable smiles_rxn → ΔG′ in kJ/mol. Without
+    one, constructing requires the eQuilibrator stack — the same dependency
+    gate as the reference (thermodynamics.py:5, pickaxe_run_template.py:33).
+    The pH/I/pMg knobs parameterize the real scorer; they ride along so an
+    equilibrator-backed scorer sees the same signature as the reference.
+    """
 
     filter_name = "Thermo"
 
-    def __init__(self, dg_max: float = 0.0):
-        try:
-            import equilibrator_api  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "ThermoFilter requires equilibrator_api (reference: thermodynamics.py:25-357); "
-                "not available in this container"
-            ) from e
+    def __init__(self, dg_max: float = 0.0, scorer=None, p_h: float = 7.0,
+                 ionic_strength: float = 0.0, p_mg: float = 3.0, physiological: bool = False):
+        if scorer is None:
+            try:
+                import equilibrator_api  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "ThermoFilter requires equilibrator_api (reference: thermodynamics.py:25-357) "
+                    "or an explicit scorer=; neither available"
+                ) from e
         self.dg_max = dg_max
+        self.scorer = scorer
+        self.p_h, self.ionic_strength, self.p_mg = p_h, ionic_strength, p_mg
+        self.physiological = physiological
 
-    def choose(self, cands: DataFrame, generation: int) -> DataFrame:  # pragma: no cover
-        raise NotImplementedError
+    def choose_reactions(self, rxns: DataFrame, compounds: DataFrame) -> DataFrame:
+        scorer = self.scorer
+        dg_max = self.dg_max
+
+        @F.pandas_udf("double")
+        def dg(smiles_rxn: pd.Series) -> pd.Series:
+            return smiles_rxn.map(scorer)
+
+        return rxns.select(
+            F.col("_id").alias("rxn_id"),
+            (dg(F.col("smiles_rxn")) < F.lit(dg_max)).alias("keep"),
+        )
 
 
-class ReactionFeasibilityFilter(BaseFilter):
-    """F8 (filters/feasibility.py:102-502): VAE+DNN feasibility scoring per
-    reactant×product pair. Requires torch + keras."""
+class FakePairFeasibilityScorer:
+    """Deterministic feasibility score stand-in: md5-uniform in [0, 1) keyed
+    on 'reactant>>product' — the drop-in for the reference's VAE+DNN pair
+    model (feasibility.py:298-349, score = mean − 0.5·std). Any picklable
+    callable (reactant_smiles, product_smiles) → float plugs in."""
+
+    def __call__(self, reactant_smiles: str, product_smiles: str) -> float:
+        import hashlib
+
+        key = f"{reactant_smiles}>>{product_smiles}".encode()
+        return int(hashlib.md5(key).hexdigest()[:8], 16) / 2**32
+
+
+class ReactionFeasibilityFilter(ReactionScopedFilter):
+    """F8 (filters/feasibility.py:102-502): per reactant×product pair
+    feasibility; a reaction survives iff ANY pair scores >= threshold
+    (feasibility.py:258-264 'feasible if any'), pairs = cartesian product of
+    its C-prefixed reactant and product SMILES (:165-181). Pairs whose
+    SMILES exceed 120 chars are unpredictable (:192-212); a reaction with
+    no predictable pair keeps iff use_unpredicted, or if use_wildcards and
+    a '*' appears in any of its compounds (:269-289).
+
+    `scorer`: picklable (reactant_smiles, product_smiles) → score in [0,1].
+    Without one, constructing requires torch/keras — the reference's gate.
+    """
 
     filter_name = "Feasibility"
+    MAX_SMILES_LEN = 120  # feasibility.py:60 padlength / :192 length gate
 
-    def __init__(self, threshold: float = 0.32):
-        try:
-            import torch  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "ReactionFeasibilityFilter requires torch/keras (reference: feasibility.py:406-502); "
-                "not available in this container"
-            ) from e
+    def __init__(self, threshold: float = 0.32, scorer=None,
+                 use_unpredicted: bool = False, use_wildcards: bool = True):
+        if scorer is None:
+            try:
+                import torch  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "ReactionFeasibilityFilter requires torch/keras (reference: "
+                    "feasibility.py:406-502) or an explicit scorer=; neither available"
+                ) from e
         self.threshold = threshold
+        self.scorer = scorer
+        self.use_unpredicted = use_unpredicted
+        self.use_wildcards = use_wildcards
 
-    def choose(self, cands: DataFrame, generation: int) -> DataFrame:  # pragma: no cover
-        raise NotImplementedError
+    def choose_reactions(self, rxns: DataFrame, compounds: DataFrame) -> DataFrame:
+        scorer = self.scorer
+        thr = self.threshold
+        max_len = self.MAX_SMILES_LEN
+
+        edges = edge_table(rxns).where(F.col("c_id").startswith("C"))
+        smi = compounds.select(F.col("_id").alias("c_id"), "smiles")
+        sided = edges.join(smi, "c_id").select("rxn_id", "role", "smiles")
+        r_side = sided.where(F.col("role") == "reactant").select(
+            "rxn_id", F.col("smiles").alias("r_smiles")
+        )
+        p_side = sided.where(F.col("role") == "product").select(
+            "rxn_id", F.col("smiles").alias("p_smiles")
+        )
+        pairs = r_side.join(p_side, "rxn_id").where(
+            (F.length("r_smiles") <= max_len) & (F.length("p_smiles") <= max_len)
+        )
+
+        @F.pandas_udf("double")
+        def feas(r: pd.Series, p: pd.Series) -> pd.Series:
+            return pd.Series([scorer(a, b) for a, b in zip(r, p)])
+
+        pair_verdict = pairs.groupBy("rxn_id").agg(
+            F.max(feas(F.col("r_smiles"), F.col("p_smiles")) >= F.lit(thr)).alias("any_feasible")
+        )
+        # unpredicted fallback: reactions with zero predictable pairs
+        has_wild = sided.groupBy("rxn_id").agg(
+            F.max(F.col("smiles").contains("*")).alias("wild")
+        )
+        fallback = F.lit(self.use_unpredicted) | (
+            F.lit(self.use_wildcards) & F.coalesce(F.col("wild"), F.lit(False))
+        )
+        return (
+            rxns.select(F.col("_id").alias("rxn_id"))
+            .join(pair_verdict, "rxn_id", "left")
+            .join(has_wild, "rxn_id", "left")
+            .select("rxn_id", F.coalesce(F.col("any_feasible"), fallback).alias("keep"))
+        )
 
 
 def np_likeness_score(compounds: DataFrame, model: dict[str, float] | None = None) -> DataFrame:

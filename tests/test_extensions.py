@@ -457,3 +457,122 @@ def test_text_token_forms_agree_on_empty_docs(spark):
         assert r["arr_n"] == r["re_n"], r
     assert by_id[2]["re_n"] == 0 and by_id[3]["re_n"] == 0
     assert by_id[4]["sw"] == 3  # 'a+b' escaped: two hits + one 'the'
+
+
+def _toy_rxn_network(spark):
+    """Hand-built two-generation network for reaction-level filter tests.
+
+    C0ss (starting; C-prefixed like the reference's starting compounds) -> C1 via R1, -> C2 via R2, -> C3 via R3 (all gen 1);
+    C2 -> C4 via R4 (gen 2). Dropping R2 must orphan C2, which kills R4,
+    which orphans C4 (cascade to fixpoint).
+    """
+    from mine_database_spark.schemas import COMPOUND_SCHEMA, REACTION_SCHEMA
+
+    def cpd(cid, smiles, ctype, gen):
+        return (cid, None, smiles, None, ctype, gen, None, None, True, None)
+
+    compounds = spark.createDataFrame(
+        [
+            cpd("C0ss", "ss", "Starting Compound", 0),
+            cpd("C1aa", "aa", "Predicted", 1),
+            cpd("C2aa", "bb", "Predicted", 1),
+            cpd("C3aa", "cc", "Predicted", 1),
+            cpd("C4aa", "dd", "Predicted", 2),
+        ],
+        COMPOUND_SCHEMA,
+    )
+
+    def rxn(rid, reactants, products, smiles_rxn):
+        return (
+            rid,
+            [{"stoich": 1, "c_id": c} for c in reactants],
+            [{"stoich": 1, "c_id": c} for c in products],
+            ["rule1"],
+            smiles_rxn,
+        )
+
+    reactions = spark.createDataFrame(
+        [
+            rxn("R1", ["C0ss"], ["C1aa"], "ss>>aa"),
+            rxn("R2", ["C0ss"], ["C2aa"], "ss>>bb"),
+            rxn("R3", ["C0ss"], ["C3aa"], "ss>>cc"),
+            rxn("R4", ["C2aa"], ["C4aa"], "bb>>dd"),
+        ],
+        REACTION_SCHEMA,
+    )
+    return compounds, reactions
+
+
+def test_thermo_filter_cascade(spark):
+    """ThermoFilter with an injected scorer drops exactly the dg >= dg_max
+    reactions among those producing the current generation, then the orphan
+    cascade removes the dead branch transitively (R2 -> C2 -> R4 -> C4)."""
+    from mine_database_spark.operators.heavy_filters import ThermoFilter
+
+    compounds, reactions = _toy_rxn_network(spark)
+    dgs = {"ss>>aa": -10.0, "ss>>bb": 25.0, "ss>>cc": -5.0, "bb>>dd": -1.0}
+    filt = ThermoFilter(dg_max=0.0, scorer=dgs.get)
+    cpds_out, rxns_out = filt.apply(compounds, reactions, generation=1)
+    assert {r["_id"] for r in rxns_out.select("_id").collect()} == {"R1", "R3"}
+    assert {r["_id"] for r in cpds_out.select("_id").collect()} == {"C0ss", "C1aa", "C3aa"}
+
+
+def test_thermo_filter_fake_scorer_deterministic(spark):
+    """The shipped FakeDGScorer is deterministic and bounded."""
+    from mine_database_spark.operators.heavy_filters import FakeDGScorer
+
+    s = FakeDGScorer(lo=-50.0, hi=50.0)
+    assert s("ss>>aa") == s("ss>>aa")
+    assert -50.0 <= s("ss>>aa") < 50.0
+    assert s("ss>>aa") != s("ss>>bb")
+
+
+def test_feasibility_filter_cascade_and_fallbacks(spark):
+    """ReactionFeasibilityFilter keeps a reaction iff any reactant x product
+    pair scores >= threshold; unpredictable reactions (oversized SMILES) fall
+    back to use_unpredicted / wildcard handling."""
+    from mine_database_spark.operators.heavy_filters import ReactionFeasibilityFilter
+    from mine_database_spark.schemas import COMPOUND_SCHEMA, REACTION_SCHEMA
+
+    compounds, reactions = _toy_rxn_network(spark)
+
+    def scorer(r, p):
+        return {("ss", "aa"): 0.9, ("ss", "bb"): 0.1, ("ss", "cc"): 0.8}.get((r, p), 0.0)
+
+    filt = ReactionFeasibilityFilter(threshold=0.32, scorer=scorer)
+    cpds_out, rxns_out = filt.apply(compounds, reactions, generation=1)
+    assert {r["_id"] for r in rxns_out.select("_id").collect()} == {"R1", "R3"}
+    assert {r["_id"] for r in cpds_out.select("_id").collect()} == {"C0ss", "C1aa", "C3aa"}
+
+    # unpredictable pair (SMILES > 120 chars): no pairs -> use_unpredicted
+    def cpd(cid, smiles, ctype, gen):
+        return (cid, None, smiles, None, ctype, gen, None, None, True, None)
+
+    long_smiles = "c" * 130
+    cpds2 = spark.createDataFrame(
+        [cpd("C0ss", "ss", "Starting Compound", 0), cpd("C9aa", long_smiles, "Predicted", 1)],
+        COMPOUND_SCHEMA,
+    )
+    rxns2 = spark.createDataFrame(
+        [("R9", [{"stoich": 1, "c_id": "C0ss"}], [{"stoich": 1, "c_id": "C9aa"}], ["rule1"], "ss>>long")],
+        REACTION_SCHEMA,
+    )
+    drop_all = ReactionFeasibilityFilter(threshold=0.32, scorer=scorer, use_unpredicted=False)
+    _, rxns_dropped = drop_all.apply(cpds2, rxns2, generation=1)
+    assert rxns_dropped.count() == 0
+    keep_all = ReactionFeasibilityFilter(threshold=0.32, scorer=scorer, use_unpredicted=True)
+    _, rxns_kept = keep_all.apply(cpds2, rxns2, generation=1)
+    assert rxns_kept.count() == 1
+
+    # wildcard SMILES rescues an unpredicted reaction when use_wildcards
+    cpds3 = spark.createDataFrame(
+        [cpd("C0ss", "s*s", "Starting Compound", 0), cpd("C8aa", long_smiles, "Predicted", 1)],
+        COMPOUND_SCHEMA,
+    )
+    rxns3 = spark.createDataFrame(
+        [("R8", [{"stoich": 1, "c_id": "C0ss"}], [{"stoich": 1, "c_id": "C8aa"}], ["rule1"], "s*s>>long")],
+        REACTION_SCHEMA,
+    )
+    wild = ReactionFeasibilityFilter(threshold=0.32, scorer=scorer, use_unpredicted=False, use_wildcards=True)
+    _, rxns_wild = wild.apply(cpds3, rxns3, generation=1)
+    assert rxns_wild.count() == 1
