@@ -184,11 +184,18 @@ class AtomicCompositionFilter(BaseFilter):
 # F3: fingerprint similarity vs targets (filters/similarity.py:515-797)
 
 class SimilarityFilter(BaseFilter):
+    """F3 + W4. With increasing_similarity (similarity.py:661-668), a
+    candidate whose similarity DROPPED versus its stored last_similarity is
+    cut regardless of the threshold; otherwise last_similarity is updated
+    and the per-generation threshold applies."""
+
     filter_name = "Similarity"
 
-    def __init__(self, target_smiles: list[str], threshold: float | list[float]):
+    def __init__(self, target_smiles: list[str], threshold: float | list[float],
+                 increasing_similarity: bool = False):
         self.target_smiles = target_smiles
         self.threshold = threshold
+        self.increasing_similarity = increasing_similarity
 
     def _thr(self, generation: int) -> float:
         if isinstance(self.threshold, (int, float)):
@@ -221,13 +228,26 @@ class SimilarityFilter(BaseFilter):
 
             return smiles.map(score)
 
-        return cands.select(
+        scored = cands.select(
             "_id",
-            max_tanimoto(F.col("smiles")).alias("__set_last_similarity"),
-        ).select(
+            F.col("last_similarity").alias("__prev"),
+            max_tanimoto(F.col("smiles")).alias("__sim"),
+        )
+        if self.increasing_similarity:
+            # reference :661-668: non-increasing => drop and do NOT update the
+            # stored similarity (NULL here keeps the old value via the
+            # __set_ coalesce in apply); unseen compounds (__prev NULL)
+            # always count as increasing
+            inc = F.col("__sim") >= F.coalesce(F.col("__prev"), F.lit(-1.0))
+            return scored.select(
+                "_id",
+                (inc & (F.col("__sim") >= thr)).alias("keep"),
+                F.when(inc, F.col("__sim")).alias("__set_last_similarity"),
+            )
+        return scored.select(
             "_id",
-            (F.col("__set_last_similarity") >= thr).alias("keep"),
-            "__set_last_similarity",
+            (F.col("__sim") >= thr).alias("keep"),
+            F.col("__sim").alias("__set_last_similarity"),
         )
 
 

@@ -253,6 +253,45 @@ def test_similarity_filter(spark, engine):
     assert sims["cdab"] == 1.0
 
 
+def test_similarity_filter_increasing_gate(spark, engine):
+    """W4 (similarity.py:661-668): with increasing_similarity on, a candidate
+    whose similarity dropped below its stored last_similarity is cut even
+    above threshold, and its stored similarity is NOT updated; increasing
+    candidates update the stored value even when the threshold then cuts
+    them."""
+    from mine_database_spark.chem import get_backend
+    from mine_database_spark.operators.filters import SimilarityFilter
+    from mine_database_spark.schemas import COMPOUND_SCHEMA
+
+    b = get_backend()
+    target = "cdab"
+    fp_t = set(b.fingerprint(target))
+    fp_c = set(b.fingerprint("ba"))
+    s = len(fp_c & fp_t) / len(fp_c | fp_t)  # current similarity of 'ba'
+    assert 0.0 < s < 1.0
+
+    def cpd(cid, last):
+        return (cid, None, "ba", None, "Predicted", 1, None, None, True, last)
+
+    cands = spark.createDataFrame(
+        [cpd("C1aa", s + 0.05), cpd("C2aa", s - 0.05), cpd("C3aa", None)],
+        COMPOUND_SCHEMA,
+    )
+    f = SimilarityFilter([target], threshold=0.0, increasing_similarity=True)
+    rows = {r["_id"]: r for r in f.choose(cands, generation=1).collect()}
+    assert rows["C1aa"]["keep"] is False          # decreased -> cut
+    assert rows["C1aa"]["__set_last_similarity"] is None  # stored value kept
+    assert rows["C2aa"]["keep"] is True
+    assert abs(rows["C2aa"]["__set_last_similarity"] - s) < 1e-12
+    assert rows["C3aa"]["keep"] is True           # unseen always increasing
+    # threshold still applies on top of the monotonic gate, but the stored
+    # similarity updates for increasing candidates even when cut
+    f_hi = SimilarityFilter([target], threshold=0.99, increasing_similarity=True)
+    rows = {r["_id"]: r for r in f_hi.choose(cands, generation=1).collect()}
+    assert rows["C2aa"]["keep"] is False
+    assert abs(rows["C2aa"]["__set_last_similarity"] - s) < 1e-12
+
+
 def test_weighted_sampling_filter(spark, engine):
     from mine_database_spark.operators.filters import SimilaritySamplingFilter
 
