@@ -11,6 +11,9 @@ library degrade to a minimal deterministic block under the fake backend.
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,6 +66,74 @@ def export_modelseed_tsv(compounds: DataFrame, path: str) -> None:
         .option("sep", "\t")
         .option("header", True)
         .csv(path)
+    )
+
+
+def export_kbase(compounds: DataFrame, reactions: DataFrame, path: str, name: str = "mine") -> None:
+    """S19 (reference compound_io.py:243-346 export_kbase): ModelSEED/KBase
+    import TSV pair.
+
+    `{name}_compounds.tsv`: id/name/formula/charge/aliases, cofactor ('X')
+    compounds excluded (:292-293); charge computed by the chem backend (the
+    reference reads the stored Charge field). `{name}_reactions.tsv`: fixed
+    direction '>' / compartment 'c0' columns and the equation rendered as
+    '(stoich) Cid + ... => ...' with X ids rewritten to C (:332-343) —
+    KBase models reference the compound namespace, not cofactors.
+    """
+    @F.pandas_udf("int")
+    def charge(smiles: pd.Series) -> pd.Series:
+        from mine_database_spark.chem import get_backend
+
+        b = get_backend()
+        return smiles.map(b.formal_charge).astype("int32")
+
+    (
+        compounds.where(~F.col("_id").startswith("X"))
+        .orderBy("_id")
+        .select(
+            F.col("_id").alias("id"),
+            F.coalesce(F.col("id"), F.col("_id")).alias("name"),
+            F.col("formula"),
+            charge(F.col("smiles")).alias("charge"),
+            F.coalesce(F.col("id"), F.col("_id")).alias("aliases"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(os.path.join(path, f"{name}_compounds.tsv"))
+    )
+
+    def render(side):
+        return F.concat_ws(
+            " + ",
+            F.transform(
+                F.col(side),
+                lambda x: F.concat(
+                    F.lit("("), x["stoich"].cast("string"), F.lit(") "),
+                    F.translate(x["c_id"], "X", "C"),
+                ),
+            ),
+        )
+
+    (
+        reactions.orderBy("_id")
+        .select(
+            F.col("_id").alias("id"),
+            F.lit(">").alias("direction"),
+            F.lit("c0").alias("compartment"),
+            F.lit("").alias("gpr"),
+            F.lit("").alias("name"),
+            F.lit("").alias("enzyme"),
+            F.lit("").alias("pathway"),
+            F.lit("").alias("reference"),
+            F.concat(render("reactants"), F.lit(" => "), render("products")).alias("equation"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(os.path.join(path, f"{name}_reactions.tsv"))
     )
 
 

@@ -119,6 +119,18 @@ def save_warehouse_bucketed(
     )
 
 
+def write_targets_to_mine(targets: DataFrame, path: str) -> None:
+    """S15 (reference databases.py:576-602 write_targets_to_mine): the target
+    collection sink — identity columns only (_id, ID, SMILES, InChI_key),
+    mirroring the reference's output_keys. Chunked bulk_write is obsolete on
+    parquet; one partitioned write replaces it."""
+    (
+        targets.select("_id", "id", "smiles", "inchi_key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "target_compounds"))
+    )
+
+
 def write_mass_sorted(core_compounds: DataFrame, path: str, n_files: int = 8) -> None:
     """S14 layout for the mass-range access path (SURVEY §2.5 J2): core
     compounds range-partitioned AND sorted on `mass`.

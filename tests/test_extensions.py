@@ -576,3 +576,36 @@ def test_feasibility_filter_cascade_and_fallbacks(spark):
     wild = ReactionFeasibilityFilter(threshold=0.32, scorer=scorer, use_unpredicted=False, use_wildcards=True)
     _, rxns_wild = wild.apply(cpds3, rxns3, generation=1)
     assert rxns_wild.count() == 1
+
+
+def test_kbase_export_and_targets_sink(spark, network, tmp_path):
+    """S19 KBase TSV pair: cofactor compounds excluded, equations rendered
+    '(stoich) id' with X ids rewritten to C, fixed direction/compartment
+    columns. S15: targets sink keeps exactly the reference's identity keys."""
+    from mine_database_spark.sources.compound_io import export_kbase
+    from mine_database_spark.sources.writers import write_targets_to_mine
+
+    compounds, reactions = network
+    out = str(tmp_path / "kbase")
+    export_kbase(compounds, reactions, out, name="toy")
+
+    cpds_back = spark.read.option("sep", "\t").option("header", True).csv(out + "/toy_compounds.tsv")
+    assert cpds_back.columns == ["id", "name", "formula", "charge", "aliases"]
+    assert cpds_back.where(F.col("id").startswith("X")).count() == 0
+    assert cpds_back.count() == compounds.where(~F.col("_id").startswith("X")).count()
+
+    rx_back = spark.read.option("sep", "\t").option("header", True).csv(out + "/toy_reactions.tsv")
+    assert rx_back.columns == [
+        "id", "direction", "compartment", "gpr", "name", "enzyme", "pathway", "reference", "equation",
+    ]
+    assert rx_back.count() == reactions.count()
+    assert {r["direction"] for r in rx_back.collect()} == {">"}
+    assert {r["compartment"] for r in rx_back.collect()} == {"c0"}
+    eqs = [r["equation"] for r in rx_back.collect()]
+    assert all(" => " in e and e.startswith("(") for e in eqs)
+    assert all("X" not in e for e in eqs)  # cofactor ids rewritten to C
+
+    write_targets_to_mine(compounds.limit(3), str(tmp_path / "minestore"))
+    back = spark.read.parquet(str(tmp_path / "minestore" / "target_compounds"))
+    assert back.count() == 3
+    assert set(back.columns) == {"_id", "id", "smiles", "inchi_key"}
