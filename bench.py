@@ -27,6 +27,7 @@ HEADLINE = [
     "region_revenue",
     "content_hash_ids",
     "rule_coverage_cdf",
+    "intermediate_rules",
     "mass_range_join",
     "weighted_sample",
     "topk_per_group",

@@ -33,7 +33,6 @@ def bfs_reach(
     """
     visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
     frontier = visited.select(id_col)
-    cached: list[DataFrame] = []
     for it in range(1, max_iter + 1):
         nxt = (
             edges.join(F.broadcast(frontier).withColumnRenamed(id_col, "src"), "src")
@@ -41,20 +40,16 @@ def bfs_reach(
             .distinct()
             .join(visited.select(id_col), id_col, "left_anti")
         )
-        if it % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt = nxt.cache()
-            cached.append(nxt)
+        # eager localCheckpoint instead of cache(): the isEmpty action below
+        # materializes every round anyway; the checkpoint truncates lineage
+        # and its RDD is GC-cleaned with the DataFrame, while cache() entries
+        # pin the session CacheManager until an explicit unpersist and leak
+        # across calls (checkpoint_every kept for API compatibility)
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(it)))
         frontier = nxt.select(id_col)
-    # pin the result, then release the per-round caches so repeated calls in a
-    # long-lived session don't accumulate cached partitions
-    visited = visited.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
     return visited
 
 
@@ -90,11 +85,13 @@ def bfs_reach_bipartite(
     """
     # no distinct on membership: reachability is duplicate-insensitive
     # (left_semi probe sides and the per-hop frontier distinct absorb dups),
-    # so the (group, id) dedup shuffle would be pure overhead
-    m = membership.select(F.col(group_col).alias("__g"), F.col(id_col).alias(id_col)).cache()
+    # so the (group, id) dedup shuffle would be pure overhead. The projection
+    # is deliberately NOT persisted: each round re-scans the two-column
+    # pushed-down parquet, which at scale beats pinning the big side in
+    # executor storage (the standard Pregel-on-DataFrames tradeoff).
+    m = membership.select(F.col(group_col).alias("__g"), F.col(id_col).alias(id_col))
     visited = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct().withColumn("hops", F.lit(0))
     frontier = visited.select(id_col)
-    cached: list[DataFrame] = []
     for it in range(1, max_iter + 1):
         # left_semi instead of join+distinct: duplicates in a broadcast build
         # side are harmless, and skipping the distinct removes one shuffle
@@ -106,16 +103,22 @@ def bfs_reach_bipartite(
             .select(id_col)
             .distinct()
             .join(visited.select(id_col), id_col, "left_anti")
-        ).cache()
-        cached.append(nxt)
-        if early_exit and nxt.isEmpty():
-            break
+        )
+        if early_exit:
+            # action-ful mode: materialize the round (truncates lineage; the
+            # checkpoint RDD is GC-cleaned with the DataFrame) so isEmpty and
+            # later rounds reuse it
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+        # else: stay fully lazy — building the result must trigger zero jobs
+        # (plan-build contract), and under AQE even a lazy localCheckpoint
+        # forces the upstream broadcast stages. No persistence either: cache()
+        # pins the session CacheManager until an explicit unpersist (leaks
+        # across calls), and for the small fixed hop counts this mode serves,
+        # re-deriving the shared prefix is cheaper than pinning it.
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(it)))
         frontier = nxt
-    visited = visited.localCheckpoint(eager=True)
-    m.unpersist()
-    for df in cached:
-        df.unpersist()
     return visited
 
 
@@ -138,7 +141,14 @@ def connected_components(
     stays partitioned by src across rounds; only labels shuffle.
     """
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().cache()
+    # lazy localCheckpoint, not cache(): reused every round once the first
+    # count() materializes it, and GC-cleaned with the DataFrame instead of
+    # leaking a CacheManager entry per invocation
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -165,7 +175,6 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter above the "
             "component diameter"
         )
-    sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))
 
 

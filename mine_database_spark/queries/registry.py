@@ -296,6 +296,71 @@ FROM cum WHERE (cum - cnt) < 0.9 * total
 """
 
 
+def q_intermediate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (rules.py:286-439 metacyc_intermediate): intermediate rules chosen
+    through their selected generalized parents.
+
+    Stand-in modeling on the driver tables: 'generalized rules' = part
+    brands, 'intermediate rules' = brand_type combinations (the child
+    name extends the parent name, as rule0001_0023 extends rule0001).
+    Generalized selection = 90%-coverage CDF prefix over brand counts;
+    intermediate selection = 50%-coverage prefix over the semi-joined
+    children with the denominator being the TOTAL child count before
+    filtering (rules.py:352-355, 414-416).
+
+    Scale: two map-side-combinable aggregations + a broadcast semi-join on
+    the parent name; the window runs over the (tiny) rule dimension.
+    """
+    from mine_database_spark.sources.readers import (
+        rules_fraction_coverage,
+        rules_intermediate_select,
+    )
+
+    l, p = _t(spark, sf_dir, "lineitem", "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    gen = (
+        j.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .select(F.col("p_brand").alias("name"), "counts")
+    )
+    gen_sel = rules_fraction_coverage(gen, 0.9)
+    inter = (
+        j.groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .select(F.concat_ws("_", F.col("p_brand"), F.col("p_type")).alias("name"), "counts")
+    )
+    sel = rules_intermediate_select(inter, gen_sel, fraction_coverage=0.5)
+    return sel.select("name", F.col("counts").cast("bigint").alias("counts"))
+
+
+_Q_INTERMEDIATE_RULES_SQL = """
+WITH j AS (
+  SELECT p_brand, p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+), gcnt AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY p_brand
+), gcum AS (
+  SELECT p_brand, cnt,
+         SUM(cnt) OVER (ORDER BY cnt DESC, p_brand ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM gcnt
+), gsel AS (
+  SELECT p_brand FROM gcum WHERE (cum - cnt) < 0.9 * total
+), icnt AS (
+  SELECT p_brand || '_' || p_type AS name, p_brand, CAST(COUNT(*) AS BIGINT) AS counts
+  FROM j GROUP BY p_brand, p_type
+), itotal AS (
+  SELECT SUM(counts) AS total FROM icnt
+), ifilt AS (
+  SELECT i.name, i.counts FROM icnt i JOIN gsel g ON i.p_brand = g.p_brand
+), icum AS (
+  SELECT name, counts,
+         SUM(counts) OVER (ORDER BY counts DESC, name ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ifilt
+)
+SELECT name, counts FROM icum, itotal WHERE (cum - counts) <= 0.5 * total
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval/range join (SURVEY §2.5 J2/J6: metabolomics mass-window search,
 # metabolomics.py:189-271 — broadcast the tiny ranges side → BNLJ is the
@@ -1553,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collect_set_union": q_collect_set_union,
     "assign_ids": q_assign_ids,
     "rule_coverage_cdf": q_rule_coverage_cdf,
+    "intermediate_rules": q_intermediate_rules,
     "mass_range_join": q_mass_range_join,
     "provenance_score": q_provenance_score,
     "weighted_sample": q_weighted_sample,
@@ -1600,6 +1666,7 @@ ORACLES: dict[str, str] = {
     "collect_set_union": _Q_COLLECT_SET_SQL,
     "assign_ids": _Q_ASSIGN_IDS_SQL,
     "rule_coverage_cdf": _Q_CDF_SQL,
+    "intermediate_rules": _Q_INTERMEDIATE_RULES_SQL,
     "mass_range_join": _Q_RANGE_JOIN_SQL,
     "provenance_score": _Q_PROVENANCE_SQL,
     "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,

@@ -232,6 +232,49 @@ def rules_top_n(rules_df: DataFrame, n: int) -> DataFrame:
     return rules_df.orderBy(F.col("counts").desc_nulls_last(), F.col("name")).limit(n)
 
 
+def rules_intermediate_select(
+    intermediate: DataFrame,
+    generalized: DataFrame,
+    n_rules: int | None = None,
+    fraction_coverage: float | None = None,
+) -> DataFrame:
+    """S7 (rules.py:286-439 metacyc_intermediate): select intermediate rules
+    through their generalized parents.
+
+    The reference filters the intermediate rule table to names matching a
+    regex alternation of the selected generalized names (:373-374) —
+    intermediate names extend their parent ('rule0001_0023' ⊃ 'rule0001') —
+    then ranks by mapped-reaction count with the CDF denominator being the
+    TOTAL intermediate count computed BEFORE filtering (:352-355), and cuts
+    at bisect_right(cdf, fraction)+1 (:414-416). Relationally the name match
+    is an equi-join on the extracted base name, broadcast (rules are a
+    dimension); bisect_right+1 on a monotone CDF is the predicate
+    'preceding cumulative fraction <= target'.
+    """
+    from pyspark.sql import Window
+
+    base = F.regexp_extract(F.col("name"), r"^([^_]+)", 1)
+    total = intermediate.agg(F.sum("counts").alias("__total"))
+    filt = (
+        intermediate.withColumn("__base", base)
+        .join(F.broadcast(generalized.select(F.col("name").alias("__base"))), "__base", "left_semi")
+        .drop("__base")
+    )
+    order = [F.col("counts").desc_nulls_last(), F.col("name")]
+    if n_rules is not None:
+        w_rn = Window.orderBy(*order)
+        return filt.withColumn("__rn", F.row_number().over(w_rn)).where(F.col("__rn") <= n_rules).drop("__rn")
+    if fraction_coverage is not None:
+        w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            filt.withColumn("__cum", F.sum("counts").over(w_cum))
+            .crossJoin(F.broadcast(total))
+            .where((F.col("__cum") - F.col("counts")) <= fraction_coverage * F.col("__total"))
+            .drop("__cum", "__total")
+        )
+    return filt
+
+
 def rules_fraction_coverage(rules_df: DataFrame, fraction: float) -> DataFrame:
     """S6 (rules.py:169, 386-387): smallest prefix of count-ordered rules
     reaching the coverage fraction — ordered cumulative-sum CDF (W2)."""

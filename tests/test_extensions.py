@@ -609,3 +609,32 @@ def test_kbase_export_and_targets_sink(spark, network, tmp_path):
     back = spark.read.parquet(str(tmp_path / "minestore" / "target_compounds"))
     assert back.count() == 3
     assert set(back.columns) == {"_id", "id", "smiles", "inchi_key"}
+
+
+def test_rules_intermediate_select(spark):
+    """S7: intermediate rules restricted to selected generalized parents;
+    CDF denominator is the total over ALL intermediate rules (pre-filter),
+    and the coverage cut keeps one rule past the target fraction."""
+    from mine_database_spark.sources.readers import rules_intermediate_select
+
+    gen = spark.createDataFrame([("rule0001",), ("rule0002",)], "name string")
+    inter = spark.createDataFrame(
+        [
+            ("rule0001_01", 50),
+            ("rule0001_02", 10),
+            ("rule0002_01", 30),
+            ("rule0003_01", 10),  # parent not selected -> excluded
+        ],
+        "name string, counts int",
+    )
+    # n_rules path
+    got = {r["name"] for r in rules_intermediate_select(inter, gen, n_rules=2).collect()}
+    assert got == {"rule0001_01", "rule0002_01"}
+    # coverage path: total = 100 (includes the excluded rule0003_01);
+    # ordered cums: 50 (0.5), 80 (0.8), 90 (0.9). fraction 0.5 keeps the
+    # first rule (preceding fraction 0) AND the next one (preceding 0.5 <= 0.5)
+    got = {r["name"] for r in rules_intermediate_select(inter, gen, fraction_coverage=0.5).collect()}
+    assert got == {"rule0001_01", "rule0002_01"}
+    # no selector: all children of selected parents
+    got = {r["name"] for r in rules_intermediate_select(inter, gen).collect()}
+    assert got == {"rule0001_01", "rule0001_02", "rule0002_01"}
