@@ -108,6 +108,66 @@ def spectral_scores(
     return scored.withColumn("rank", F.row_number().over(w))
 
 
+def attach_spectra(core_compounds: DataFrame, flat_spectra: DataFrame) -> DataFrame:
+    """Storage contract for the reference's per-compound CFM spectra map
+    (databases.py:548-566: core_dict['Spectra'] = {mode: {energy: peaks}}).
+
+    flat_spectra: (_id, ion_mode, energy, peaks array<mz,intensity>) — the
+    natural load shape from CFM-ID output. Two map-side-combinable
+    aggregations fold it into the nested map column `spectra`
+    (map<mode, map<energy, peaks>>); compounds without spectra get NULL
+    (the reference's empty dict).
+    """
+    inner = flat_spectra.groupBy("_id", "ion_mode").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("energy", "peaks")))
+        ).alias("by_energy")
+    )
+    # comparator on the key alone: the struct carries a map field, which is
+    # not orderable, so the default lexicographic struct sort can't be used
+    by_mode = lambda a, b: F.when(a["ion_mode"] < b["ion_mode"], -1).when(  # noqa: E731
+        a["ion_mode"] > b["ion_mode"], 1
+    ).otherwise(0)
+    nested = inner.groupBy("_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("ion_mode", "by_energy")), by_mode)
+        ).alias("spectra")
+    )
+    return core_compounds.join(nested, "_id", "left")
+
+
+def score_stored_spectra(
+    isomers: DataFrame,
+    query_ms2: list[tuple[float, float]],
+    charge: str = "+",
+    energy_level: int = 20,
+    tolerance: float = 0.005,
+    metric: str = "dot",
+) -> DataFrame:
+    """MS2 scoring against STORED spectra (metabolomics.py:612-680
+    score_isomers): charge picks Positive/Negative, the energy level picks
+    the '{E}V' entry, hits without a stored spectrum score 0, and
+    Spectral_score = round(score * 1000) ranked descending per peak.
+
+    `isomers` needs (peak_id, _id, spectra) — e.g. find_db_hits joined
+    through attach_spectra's core table.
+    """
+    mode = "Positive" if charge == "+" else "Negative"
+    stored = F.col("spectra").getItem(mode).getItem(f"{energy_level}V")
+    scored = spectral_scores(
+        isomers.withColumn("__spec", stored),
+        query_ms2,
+        metric=metric,
+        tolerance=tolerance,
+        spectra_col="__spec",
+    ).drop("__spec", "rank")
+    out = scored.withColumn(
+        "spectral_score", F.round(F.col("score") * 1000).cast("int")
+    ).drop("score")
+    w = Window.partitionBy("peak_id").orderBy(F.col("spectral_score").desc(), F.col("_id"))
+    return out.withColumn("rank", F.row_number().over(w))
+
+
 def score_compounds(
     hits: DataFrame, native_ids: DataFrame, native_product_rxns: DataFrame | None = None
 ) -> DataFrame:

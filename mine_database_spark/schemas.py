@@ -96,6 +96,10 @@ PEAK_SCHEMA = StructType(
     ]
 )
 
+# stored CFM spectra on core compounds (databases.py:548-566 'Spectra'):
+# {ion_mode ('Positive'|'Negative') -> {energy ('20V' ...) -> peak list}}
+SPECTRA_TYPE = MapType(StringType(), MapType(StringType(), ArrayType(MS2_PEAK)))
+
 # adduct dimension (metabolomics.py:118-142)
 ADDUCT_SCHEMA = StructType(
     [

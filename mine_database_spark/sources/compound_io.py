@@ -137,6 +137,45 @@ def export_kbase(compounds: DataFrame, reactions: DataFrame, path: str, name: st
     )
 
 
+def export_spectral_library(core_compounds: DataFrame, path: str) -> None:
+    """MSP-style spectral-library export of stored CFM spectra (reference
+    metabolomics.py:1138-1210 spectra_download): one block per
+    (compound, ionization mode, energy) with 'Name: MINE Compound <id>'
+    header, 'Instrument: CFM-ID 4.0', and a 'Num Peaks'-prefixed peak list.
+
+    The nested spectra map explodes twice (mode, then energy); rendering is
+    pure column expressions into a text sink — no driver loop.
+    """
+    m = core_compounds.where(F.col("spectra").isNotNull())
+    per_mode = m.select("_id", "mass", "formula", F.explode("spectra").alias("ion_mode", "by_energy"))
+    per_energy = per_mode.select(
+        "_id", "mass", "formula", "ion_mode", F.explode("by_energy").alias("energy", "peaks")
+    )
+    peak_lines = F.transform(
+        F.col("peaks"),
+        lambda p: F.concat_ws(" ", p["mz"].cast("string"), p["intensity"].cast("string")),
+    )
+    block = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Name: MINE Compound "), F.col("_id")),
+        F.concat(F.lit("Mass: "), F.col("mass").cast("string")),
+        F.concat(F.lit("Formula: "), F.coalesce(F.col("formula"), F.lit(""))),
+        F.lit("Instrument: CFM-ID 4.0"),
+        F.concat(F.lit("Ionization: "), F.col("ion_mode")),
+        F.concat(F.lit("Energy: "), F.col("energy")),
+        F.concat(F.lit("Num Peaks: "), F.size("peaks").cast("string")),
+        F.concat_ws("\n", peak_lines),
+        F.lit(""),
+    )
+    (
+        per_energy.orderBy("_id", "ion_mode", "energy")
+        .select(block.alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def export_inchi_rxns(reactions: DataFrame, compounds: DataFrame, path: str) -> None:
     """S19 (compound_io.py:349-420): reaction equations rendered over a join
     to compound identity (InChI keys stand in for InChI under fake backend)."""

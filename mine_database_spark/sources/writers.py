@@ -151,19 +151,22 @@ def write_mass_sorted(core_compounds: DataFrame, path: str, n_files: int = 8) ->
 
 def merge_core_compounds(existing: DataFrame, new: DataFrame, mine_name: str) -> DataFrame:
     """S14 (databases.py:477-572): upsert + MINES array-union. Pure-DataFrame
-    merge (Delta MERGE INTO where available — same logical plan)."""
+    merge (Delta MERGE INTO where available — same logical plan). The stored
+    CFM `spectra` map (databases.py:566; see operators.metabolomics.
+    attach_spectra) rides through the upsert first-wins like the other
+    setOnInsert fields."""
     new = new.withColumn("mines", F.array(F.lit(mine_name)))
-    return (
-        existing.unionByName(new, allowMissingColumns=True)
-        .groupBy("_id")
-        .agg(
-            F.first("smiles", ignorenulls=True).alias("smiles"),
-            F.first("inchi_key", ignorenulls=True).alias("inchi_key"),
-            F.first("mass", ignorenulls=True).alias("mass"),
-            F.first("charge", ignorenulls=True).alias("charge"),
-            F.first("formula", ignorenulls=True).alias("formula"),
-            F.first("logp", ignorenulls=True).alias("logp"),
-            F.first("rdkit_fp", ignorenulls=True).alias("rdkit_fp"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mines")))).alias("mines"),
-        )
-    )
+    u = existing.unionByName(new, allowMissingColumns=True)
+    aggs = [
+        F.first("smiles", ignorenulls=True).alias("smiles"),
+        F.first("inchi_key", ignorenulls=True).alias("inchi_key"),
+        F.first("mass", ignorenulls=True).alias("mass"),
+        F.first("charge", ignorenulls=True).alias("charge"),
+        F.first("formula", ignorenulls=True).alias("formula"),
+        F.first("logp", ignorenulls=True).alias("logp"),
+        F.first("rdkit_fp", ignorenulls=True).alias("rdkit_fp"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("mines")))).alias("mines"),
+    ]
+    if "spectra" in u.columns:
+        aggs.append(F.first("spectra", ignorenulls=True).alias("spectra"))
+    return u.groupBy("_id").agg(*aggs)

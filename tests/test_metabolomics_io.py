@@ -287,3 +287,51 @@ def test_metabolomics_rt_filter(spark, adducts):
         compounds, reactions, generation=1
     )
     assert {r["_id"] for r in c3.collect() if r["_id"].startswith("C")} == {"Crt1", "Crt2"}
+
+
+def test_spectra_storage_contract(spark, peaks, adducts, core, tmp_path):
+    """Stored CFM spectra: attach_spectra builds the nested
+    {mode: {energy: peaks}} map, score_stored_spectra scores MS2 queries
+    against it (missing spectra -> 0, Spectral_score = round(score*1000)),
+    the map survives merge_core_compounds, and the MSP library export
+    renders one block per (compound, mode, energy)."""
+    from mine_database_spark.operators.metabolomics import (
+        attach_spectra,
+        find_db_hits,
+        score_stored_spectra,
+    )
+    from mine_database_spark.sources.compound_io import export_spectral_library
+    from mine_database_spark.sources.writers import merge_core_compounds
+
+    flat = spark.createDataFrame(
+        [
+            ("Caaa", "Positive", "20V", [(100.0, 1.0), (200.0, 0.5)]),
+            ("Caaa", "Positive", "40V", [(50.0, 1.0)]),
+            ("Caaa", "Negative", "20V", [(99.0, 1.0)]),
+        ],
+        "`_id` string, ion_mode string, energy string, peaks array<struct<mz:double,intensity:double>>",
+    )
+    with_spec = attach_spectra(core, flat)
+    row = {r["_id"]: r["spectra"] for r in with_spec.collect()}
+    assert set(row["Caaa"].keys()) == {"Positive", "Negative"}
+    assert [p["mz"] for p in row["Caaa"]["Positive"]["20V"]] == [100.0, 200.0]
+    assert row["Cbbb"] is None  # no spectra -> NULL (reference: empty dict)
+
+    # p1's mass window hits Caaa and Cbbb; only Caaa has a stored Positive/20V
+    hits = find_db_hits(peaks, adducts, with_spec.drop("mines"), tolerance=0.01)
+    isomers = hits.join(with_spec.select("_id", "spectra"), "_id", "left")
+    scored = score_stored_spectra(isomers, [(100.0, 1.0), (200.0, 0.5)], charge="+", energy_level=20)
+    got = {r["_id"]: (r["spectral_score"], r["rank"]) for r in scored.where(F.col("peak_id") == "p1").collect()}
+    assert got["Caaa"] == (1000, 1)  # exact spectrum match
+    assert got["Cbbb"] == (0, 2)     # no stored spectrum -> 0
+
+    merged = merge_core_compounds(with_spec, with_spec.limit(0), "run2")
+    mrow = {r["_id"]: r["spectra"] for r in merged.collect()}
+    assert [p["mz"] for p in mrow["Caaa"]["Positive"]["40V"]] == [50.0]
+
+    out = str(tmp_path / "speclib")
+    export_spectral_library(with_spec, out)
+    text = spark.read.text(out).agg(F.concat_ws("\n", F.collect_list("value"))).first()[0]
+    assert text.count("Name: MINE Compound Caaa") == 3  # 3 (mode, energy) blocks
+    assert "Num Peaks: 2" in text and "Instrument: CFM-ID 4.0" in text
+    assert "Ionization: Negative" in text and "Energy: 40V" in text
