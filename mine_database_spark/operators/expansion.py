@@ -447,6 +447,17 @@ def merge_reactions(existing: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def reactions_per_operator(reactions: DataFrame) -> DataFrame:
+    """A4 (reference rules tracking 'Reactions_predicted' per operator, e.g.
+    pickaxe.py:1117-1131 rule hit counts): explode each reaction's operator
+    set and count — one map-side-combinable aggregation after the explode."""
+    return (
+        reactions.select(F.explode("operators").alias("operator"))
+        .groupBy("operator")
+        .agg(F.count(F.lit(1)).alias("n_reactions"))
+    )
+
+
 def edge_table(reactions: DataFrame) -> DataFrame:
     """Exploded bipartite adjacency (replaces Reactant_in/Product_of lists)."""
     r = reactions.select(

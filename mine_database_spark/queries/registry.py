@@ -333,6 +333,32 @@ def q_intermediate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("name", F.col("counts").cast("bigint").alias("counts"))
 
 
+def q_operator_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (Reactions_predicted per operator): per-reaction operator sets —
+    the A3 collect_set-union shape — exploded and counted per operator.
+
+    Stand-in modeling: 'reaction' = order, 'operator set' = the distinct
+    returnflag+linestatus codes among its lineitems. Two shuffles, both
+    map-side combinable; the explode feeds a low-cardinality groupBy.
+    """
+    (l,) = _t(spark, sf_dir, "lineitem")
+    ops = l.groupBy("l_orderkey").agg(
+        F.collect_set(F.concat_ws("", F.col("l_returnflag"), F.col("l_linestatus"))).alias("operators")
+    )
+    return (
+        ops.select(F.explode("operators").alias("operator"))
+        .groupBy("operator")
+        .agg(F.count(F.lit(1)).alias("n_reactions"))
+    )
+
+
+_Q_OPERATOR_CENSUS_SQL = """
+SELECT operator, CAST(COUNT(*) AS BIGINT) AS n_reactions
+FROM (SELECT DISTINCT l_orderkey, l_returnflag || l_linestatus AS operator FROM lineitem)
+GROUP BY operator
+"""
+
+
 _Q_INTERMEDIATE_RULES_SQL = """
 WITH j AS (
   SELECT p_brand, p_type FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1619,6 +1645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assign_ids": q_assign_ids,
     "rule_coverage_cdf": q_rule_coverage_cdf,
     "intermediate_rules": q_intermediate_rules,
+    "operator_census": q_operator_census,
     "mass_range_join": q_mass_range_join,
     "provenance_score": q_provenance_score,
     "weighted_sample": q_weighted_sample,
@@ -1667,6 +1694,7 @@ ORACLES: dict[str, str] = {
     "assign_ids": _Q_ASSIGN_IDS_SQL,
     "rule_coverage_cdf": _Q_CDF_SQL,
     "intermediate_rules": _Q_INTERMEDIATE_RULES_SQL,
+    "operator_census": _Q_OPERATOR_CENSUS_SQL,
     "mass_range_join": _Q_RANGE_JOIN_SQL,
     "provenance_score": _Q_PROVENANCE_SQL,
     "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,

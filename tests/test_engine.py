@@ -304,3 +304,12 @@ def test_weighted_sampling_filter(spark, engine):
     # deterministic: same seed-free hash sampling twice
     c3, _ = f.apply(cpds, rxns, generation=1)
     assert {r["_id"] for r in c2.collect()} == {r["_id"] for r in c3.collect()}
+
+
+def test_reactions_per_operator(spark, engine):
+    from mine_database_spark.operators.expansion import reactions_per_operator
+
+    compounds = engine.starting_compounds([("s", "abab")])
+    cpds, rxns = engine.transform_all(compounds, generations=1)
+    got = {r["operator"]: r["n_reactions"] for r in reactions_per_operator(rxns).collect()}
+    assert len(got) == 1 and sum(got.values()) == rxns.count()
