@@ -27,10 +27,12 @@ class MCSFilter(BaseFilter):
     """F5 (filters/similarity.py:800-1022): keep compounds whose maximum
     common substructure with any target covers >= crit of the target.
 
-    Fake backend: molecules are strings, so MCS = longest common substring;
-    overlap ratio = len(lcs)/len(target). RDKit backend would swap in
-    rdFMCS.FindMCS atom+bond counts — the Spark plan is identical (targets
-    broadcast into the UDF, decision relational).
+    With RDKit on the executors the UDF uses rdFMCS.FindMCS exactly as the
+    reference does (similarity.py:959-973: overlap = (mcs atoms + mcs bonds)
+    / (target atoms + target bonds), canceled search scores 0); without it,
+    molecules are strings under the fake backend and MCS degrades to the
+    longest common substring over the target length. Either way the Spark
+    plan is identical: targets broadcast into the UDF, decision relational.
     """
 
     filter_name = "MCS"
@@ -45,16 +47,37 @@ class MCSFilter(BaseFilter):
 
         @F.pandas_udf("double")
         def mcs_overlap(smiles: pd.Series) -> pd.Series:
-            from difflib import SequenceMatcher
+            try:
+                from rdkit.Chem import AllChem
+                from rdkit.Chem import rdFMCS as mcs
 
-            def best(s: str) -> float:
-                out = 0.0
-                for t in targets:
-                    m = SequenceMatcher(None, s or "", t, autojunk=False)
-                    blk = m.find_longest_match(0, len(s or ""), 0, len(t))
-                    if t:
-                        out = max(out, blk.size / len(t))
-                return out
+                t_mols = [m for m in (AllChem.MolFromSmiles(t) for t in targets) if m]
+
+                def best(s: str) -> float:
+                    mol = AllChem.MolFromSmiles(s or "")
+                    if mol is None:
+                        return 0.0
+                    out = 0.0
+                    for t_mol in t_mols:
+                        r = mcs.FindMCS([mol, t_mol], matchValences=False, ringMatchesRingOnly=False)
+                        if r.canceled:
+                            continue
+                        denom = t_mol.GetNumAtoms() + t_mol.GetNumBonds()
+                        if denom:
+                            out = max(out, (r.numAtoms + r.numBonds) / denom)
+                    return out
+
+            except ImportError:
+                from difflib import SequenceMatcher
+
+                def best(s: str) -> float:
+                    out = 0.0
+                    for t in targets:
+                        m = SequenceMatcher(None, s or "", t, autojunk=False)
+                        blk = m.find_longest_match(0, len(s or ""), 0, len(t))
+                        if t:
+                            out = max(out, blk.size / len(t))
+                    return out
 
             return smiles.map(best)
 
