@@ -874,6 +874,53 @@ FROM f
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/Dolma repetition rules):
+    per document, the fraction of word 2-grams that are repeats of an
+    earlier occurrence and the fraction claimed by the single most frequent
+    2-gram. High values flag boilerplate/spam for training-data filtering.
+
+    Scale: explode rides the scan; one (doc_id, gram) partial-agg shuffle
+    then a doc_id agg — both map-side combinable, no Python.
+    """
+    from mine_database_spark.functions.text import word_shingles
+
+    (d,) = _t(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(word_shingles(tokens(F.col("text")), 2)).alias("gram"))
+    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+            F.max("c").alias("top"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_2grams"),
+            F.round(1.0 - F.col("nd") / F.col("n"), 6).alias("dup_2gram_frac"),
+            F.round(F.col("top") / F.col("n"), 6).alias("top_2gram_frac"),
+        )
+    )
+
+
+_Q_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok WHERE len(toks) >= 2)
+), per AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+       round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_2gram_frac,
+       round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_2gram_frac
+FROM per GROUP BY doc_id
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing): min hash per
     sliding window over character 5-grams — edit-robust local fingerprints,
@@ -1667,6 +1714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "simhash": q_simhash,
     "text_quality": q_text_quality,
+    "repetition_stats": q_repetition_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -1709,6 +1757,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_capped": _Q_NGRAM_JACCARD_CAPPED_SQL,
     "simhash": _Q_SIMHASH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
+    "repetition_stats": _Q_REPETITION_SQL,
     "winnow_fingerprints": _Q_WINNOW_SQL,
     "order_chain_paths": _Q_ORDER_CHAIN_SQL,
     "adduct_search": _Q_ADDUCT_SEARCH_SQL,
