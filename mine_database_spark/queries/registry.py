@@ -653,6 +653,61 @@ FROM x GROUP BY user_id, session_id
 """
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the most recent prior (or
+    simultaneous) click by the same user — the point-in-time enrichment
+    pattern (operators/asof.py; oracle is DuckDB's native ASOF JOIN).
+
+    Scale: single hash exchange on user_id + one sort; the physical plan
+    contains NO join operator (union + running last() window), so there is
+    no range-explode and per-key window state is one row.
+    """
+    from mine_database_spark.operators.asof import asof_join
+
+    (e,) = _t(spark, sf_dir, "events")
+    us = sz._micros(e, "ts")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("purchase_us")
+    )
+    # dedupe clicks at (user, us): max event_id wins, so the as-of pick is
+    # deterministic in both engines even on timestamp ties
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", us.alias("click_us"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    j = asof_join(
+        p, c, "user_id", "purchase_us", "click_us", ["click_event_id"],
+        right_tiebreak="click_event_id",
+    )
+    # no-match sentinel -1 instead of NULL: keeps the value-hash compare
+    # total-ordered in both engines
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        F.coalesce("click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.coalesce(F.col("purchase_us") - F.col("asof_ts"), F.lit(-1)).alias("gap_us"),
+    )
+
+
+_Q_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), p AS (
+  SELECT event_id, user_id, us AS purchase_us FROM e WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, us AS click_us, max(event_id) AS click_event_id
+  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.purchase_us,
+       coalesce(c.click_event_id, -1) AS click_event_id,
+       coalesce(p.purchase_us - c.click_us, -1) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+"""
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e,) = _t(spark, sf_dir, "events")
     return sz.tumbling_window_agg(e)
@@ -1706,6 +1761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
     "sessionize": q_sessionize,
+    "asof_enrich": q_asof_enrich,
     "tumbling_window": q_tumbling_window,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
@@ -1749,6 +1805,7 @@ ORACLES: dict[str, str] = {
     "topk_per_group": _Q_TOPK_SQL,
     "copurchase_reach": _Q_REACH_SQL,
     "sessionize": _Q_SESSIONIZE_SQL,
+    "asof_enrich": _Q_ASOF_SQL,
     "tumbling_window": _Q_TUMBLING_SQL,
     "dedup_exact": _Q_DEDUP_EXACT_SQL,
     "minhash_lsh": _Q_MINHASH_SQL,

@@ -36,7 +36,11 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    # NULL-safe total order: None sorts before any value
+    return sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((v is not None, "" if v is None else str(type(v)), v) for v in t),
+    )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
