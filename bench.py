@@ -33,11 +33,14 @@ HEADLINE = [
     "topk_per_group",
     "copurchase_reach",
     "sessionize",
+    "asof_enrich",
     "tumbling_window",
     "dedup_exact",
     "minhash_lsh",
     "simhash",
     "text_quality",
+    "quality_rules",
+    "pii_scan",
     "token_stats",
     "ann_cosine_topk",
     "spectral_cosine",

@@ -1,0 +1,77 @@
+"""PII detection / redaction expression library (native Catalyst regexps).
+
+Training-data pipelines scrub personally identifiable information before
+anything else touches the text; these are the standard pattern scanners
+(email, phone, IPv4, SSN-shaped ids) as JVM-side regexp expressions — the
+100 TB path is a pure scan, no Python, no shuffle.
+
+Pattern notes: every regex here is valid and equivalent under both Java's
+backtracking engine (Spark) and RE2's leftmost-longest engine (DuckDB — the
+oracle): no lookaround except in none, no backreferences, and no alternation
+whose branch choice differs between leftmost-first and leftmost-longest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+# scrub order matters: SSN before phone (a dashed SSN also matches loose
+# phone shapes), phone before plain digit patterns, email first (contains
+# dots that IPv4 could nibble)
+_REDACTIONS: list[tuple[str, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (SSN_RE, "<SSN>"),
+    (PHONE_RE, "<PHONE>"),
+    (IPV4_RE, "<IP>"),
+]
+
+
+def email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_RE))
+
+
+def phone_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PHONE_RE))
+
+
+def ipv4_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(IPV4_RE))
+
+
+def ssn_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(SSN_RE))
+
+
+def pii_count(text: Column) -> Column:
+    """Total PII hits of all classes (double-counting overlaps is fine for
+    a has-PII gate; use redact_pii for exact scrubbing)."""
+    return email_count(text) + phone_count(text) + ipv4_count(text) + ssn_count(text)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII span with a typed placeholder, in fixed scrub order."""
+    out = text
+    for pat, repl in _REDACTIONS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# DuckDB-side equivalents for oracle SQL construction (RE2 syntax is
+# identical for these patterns; \b and (?:...) are supported by RE2)
+def duckdb_count_sql(col: str, pattern: str) -> str:
+    escaped = pattern.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({col}, '{escaped}')) AS INT)"
+
+
+def duckdb_redact_sql(col: str) -> str:
+    out = col
+    for pat, repl in _REDACTIONS:
+        escaped = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{repl}', 'g')"
+    return out

@@ -669,12 +669,12 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", us.alias("purchase_us")
     )
-    # dedupe clicks at (user, us): max event_id wins, so the as-of pick is
-    # deterministic in both engines even on timestamp ties
-    c = (
-        e.where(F.col("event_type") == "click")
-        .groupBy("user_id", us.alias("click_us"))
-        .agg(F.max("event_id").alias("click_event_id"))
+    # no pre-dedup on ties: the window tiebreak (last = max event_id at an
+    # equal timestamp) IS the dedup, keeping the whole query at ONE hash
+    # exchange; the oracle groups first because DuckDB ASOF is undefined on
+    # duplicate right timestamps — the max-event_id winner is identical
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", us.alias("click_us"), F.col("event_id").alias("click_event_id")
     )
     j = asof_join(
         p, c, "user_id", "purchase_us", "click_us", ["click_event_id"],
@@ -974,6 +974,140 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
        round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_2gram_frac
 FROM per GROUP BY doc_id
 """
+
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rule set: per document the word-level
+    repetition fractions, mean word length, and distinct-stopword presence,
+    folded into a keep/drop decision — the rule-based pre-filter every
+    LLM-training corpus goes through before model-based scoring.
+
+    Thresholds follow the published Gopher rules adapted to word level
+    (mean word length in [3,10], top-word fraction <= 0.2, >= 2 distinct
+    stopwords); n_tokens bounds are scaled to the synthetic corpus.
+
+    Scale: explode rides the scan; one (doc_id, tok) partial-agg shuffle
+    then a doc_id agg — same two-level combinable shape as repetition_stats.
+    Docs with zero tokens are dropped by explode in both engines.
+    """
+    (d,) = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    per = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    a = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.max("c").cast("bigint").alias("top"),
+        F.sum(F.length("tok") * F.col("c")).cast("bigint").alias("chars"),
+        F.count(F.when(F.col("tok").isin(*_STOPWORDS), 1)).cast("bigint").alias("n_stop_distinct"),
+    )
+    mean_wl = F.round(F.col("chars").cast("double") / F.col("n"), 4)
+    top_frac = F.round(F.col("top") / F.col("n").cast("double"), 6)
+    dup_frac = F.round(1.0 - F.col("nd") / F.col("n").cast("double"), 6)
+    keep = (
+        F.col("n").between(20, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (top_frac <= 0.2)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return a.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_word_frac"),
+        mean_wl.alias("mean_word_len"),
+        "n_stop_distinct",
+        keep.cast("int").alias("keep"),
+    )
+
+
+_Q_QUALITY_RULES_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, tok
+), a AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(MAX(c) AS BIGINT) AS top,
+         CAST(SUM(strlen(tok) * c) AS BIGINT) AS chars,
+         CAST(COUNT(CASE WHEN list_contains(['the','a','an','of','and','to','in','is','it','for'], tok) THEN 1 END) AS BIGINT) AS n_stop_distinct
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tokens,
+       round(1.0 - nd / CAST(n AS DOUBLE), 6) AS dup_word_frac,
+       round(top / CAST(n AS DOUBLE), 6) AS top_word_frac,
+       round(CAST(chars AS DOUBLE) / n, 4) AS mean_word_len,
+       n_stop_distinct,
+       CAST(CASE WHEN n BETWEEN 20 AND 100000
+                  AND round(CAST(chars AS DOUBLE) / n, 4) BETWEEN 3.0 AND 10.0
+                  AND round(top / CAST(n AS DOUBLE), 6) <= 0.2
+                  AND n_stop_distinct >= 2
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM a
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/pii.py) over a contact string.
+
+    The synthetic corpus contains no PII, so the query derives a
+    deterministic contact line from each event row in BOTH engines
+    (user<id>@corp.example + a dashed phone) and then runs the real
+    scanners: email/phone/SSN counts, total hits, and an md5 of the
+    redacted text — the md5 pins regexp_replace span semantics across
+    Java regex and RE2.
+
+    Scale: pure scan, zero shuffles, zero Python — the scrub pass an LLM
+    pipeline runs over every byte of a 100 TB corpus.
+    """
+    from mine_database_spark.functions import pii
+
+    (e,) = _t(spark, sf_dir, "events")
+    contact = F.concat(
+        F.lit("user"), F.col("user_id").cast("string"), F.lit("@corp.example called +1-202-555-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" props "), F.col("props"),
+    )
+    c = e.select("event_id", contact.alias("t"))
+    return c.select(
+        "event_id",
+        pii.email_count(F.col("t")).alias("n_emails"),
+        pii.phone_count(F.col("t")).alias("n_phones"),
+        pii.ssn_count(F.col("t")).alias("n_ssns"),
+        pii.pii_count(F.col("t")).alias("n_pii"),
+        F.md5(pii.redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from mine_database_spark.functions import pii
+
+    contact = (
+        "'user' || CAST(user_id AS VARCHAR) || '@corp.example called +1-202-555-' || "
+        "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-' || "
+        "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || ' props ' || props"
+    )
+    n_email = pii.duckdb_count_sql("t", pii.EMAIL_RE)
+    n_phone = pii.duckdb_count_sql("t", pii.PHONE_RE)
+    n_ssn = pii.duckdb_count_sql("t", pii.SSN_RE)
+    n_ip = pii.duckdb_count_sql("t", pii.IPV4_RE)
+    return f"""
+WITH c AS (SELECT event_id, {contact} AS t FROM events)
+SELECT event_id,
+       {n_email} AS n_emails,
+       {n_phone} AS n_phones,
+       {n_ssn} AS n_ssns,
+       {n_email} + {n_phone} + {n_ip} + {n_ssn} AS n_pii,
+       md5({pii.duckdb_redact_sql('t')}) AS redacted_md5
+FROM c
+"""
+
+
+_Q_PII_SQL = _pii_sql()
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,6 +1905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "repetition_stats": q_repetition_stats,
+    "quality_rules": q_quality_rules,
+    "pii_scan": q_pii_scan,
     "winnow_fingerprints": q_winnow_fingerprints,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -1815,6 +1951,8 @@ ORACLES: dict[str, str] = {
     "simhash": _Q_SIMHASH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "repetition_stats": _Q_REPETITION_SQL,
+    "quality_rules": _Q_QUALITY_RULES_SQL,
+    "pii_scan": _Q_PII_SQL,
     "winnow_fingerprints": _Q_WINNOW_SQL,
     "order_chain_paths": _Q_ORDER_CHAIN_SQL,
     "adduct_search": _Q_ADDUCT_SEARCH_SQL,
