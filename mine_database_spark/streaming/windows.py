@@ -52,6 +52,36 @@ def stream_session_windows(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event pairs with
+    right events of the same key whose timestamp falls in
+    [left.ts - lookback, left.ts] — the streaming form of the as-of/interval
+    enrichment (operators/asof.py is the batch form).
+
+    State sizing at scale: BOTH sides carry a watermark and the join
+    condition bounds right.ts relative to left.ts, so the state store
+    retains only `watermark + lookback` of history per side, partitioned by
+    the join key across executors (RocksDB state backend for large keys).
+    An unbounded stream-stream join without the time bound would grow state
+    forever — never ship that shape.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def annotate_peaks_foreach_batch(core_compounds: DataFrame, adducts: DataFrame, tolerance: float = 0.001):
     """Returns a foreachBatch function that annotates each micro-batch of
     peaks against the static compound dimension (SURVEY §2.11: J2 is

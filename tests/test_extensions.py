@@ -638,3 +638,73 @@ def test_rules_intermediate_select(spark):
     # no selector: all children of selected parents
     got = {r["name"] for r in rules_intermediate_select(inter, gen).collect()}
     assert got == {"rule0001_01", "rule0001_02", "rule0002_01"}
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a zero-slack watermark: a row arriving
+    in a later micro-batch but older than the watermark is dropped, and the
+    closed window emits WITHOUT it."""
+    from mine_database_spark.streaming.windows import stream_tumbling_counts
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1 advances the watermark to 01:10; written before start
+    (src / "b1.csv").write_text(
+        "2024-01-01T00:10:00,click,1.0\n2024-01-01T01:10:00,click,2.0"
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .csv(str(src))
+    )
+    agg = stream_tumbling_counts(stream, window="1 hour", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    # drain batch 1 so the watermark commits BEFORE the late file appears
+    q.processAllAvailable()
+    (src / "b2.csv").write_text(
+        "2024-01-01T00:20:00,click,4.0\n2024-01-01T02:10:00,click,8.0"
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select window.start, n_events, sum_value_cents from late_test").collect()
+    got = {str(r["start"]): (r["n_events"], r["sum_value_cents"]) for r in out}
+    # [00:00,01:00) closed with ONE event — the late 00:20 row was dropped;
+    # [01:00,02:00) closed by the 02:10 event with one event
+    assert got.get("2024-01-01 00:00:00") == (1, 100), got
+    assert got.get("2024-01-01 01:00:00") == (1, 200), got
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchase pairs with clicks of the
+    same user within the lookback; outside-window and other-user clicks
+    don't pair."""
+    from mine_database_spark.streaming.windows import stream_interval_join
+
+    csrc = tmp_path / "clicks_src"
+    psrc = tmp_path / "purch_src"
+    csrc.mkdir(); psrc.mkdir()
+    (csrc / "c.csv").write_text(
+        "\n".join([
+            "2024-01-01T00:10:00,1,c1",   # in window for p1
+            "2024-01-01T00:50:00,1,c2",   # in window for p1
+            "2024-01-01T02:00:00,1,c3",   # after p1 — no pair
+            "2024-01-01T00:40:00,2,c4",   # other user
+        ])
+    )
+    (psrc / "p.csv").write_text("2024-01-01T01:00:00,1,p1")
+    clicks = spark.readStream.schema("ts timestamp, user_id int, cid string").csv(str(csrc))
+    purchases = spark.readStream.schema("ts timestamp, user_id int, pid string").csv(str(psrc))
+    j = stream_interval_join(purchases, clicks, on="user_id", lookback="1 hour")
+    q = (
+        j.select("pid", "cid").writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r["pid"], r["cid"]) for r in spark.sql("select * from ssjoin_test").collect()}
+    assert pairs == {("p1", "c1"), ("p1", "c2")}, pairs
