@@ -47,6 +47,67 @@ def brute_force_topk(
     )
 
 
+def kmeans_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Lloyd-refined IVF codebook as a ONE-ROW DataFrame (`__cents` array of
+    (cid, cv) structs), drop-in for ivf_topk(codebook=...).
+
+    Assignment uses max dot product (matching ivf_topk's probe metric —
+    spherical k-means on unnormalized means); update is the element-wise
+    mean per list via posexplode + (list, pos) average, re-gathered with
+    array_sort(collect_list(struct(pos, mean))).
+
+    Scale: each iteration is one broadcast argmax projection over the
+    (optionally sampled) corpus plus two map-side-combinable aggregations
+    whose cardinality is n_centroids x dim — codebook training at 100 TB
+    runs on a sample (`sample_fraction`), never the full corpus. The tiny
+    one-row codebook is eagerly localCheckpointed per iteration so the
+    lineage doesn't deepen with n_iter. Empty lists drop out (standard
+    Lloyd degeneracy; fewer lists only reduces probe pruning, never
+    correctness).
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        c = c.sample(fraction=sample_fraction, seed=7)
+    cent_row = (
+        c.orderBy("vec_id")
+        .limit(n_centroids)
+        .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))
+    )
+    for _ in range(n_iter):
+        best = F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda ct: F.struct(
+                        F.aggregate(
+                            F.zip_with(F.col("v"), ct["cv"], lambda a, b: a * b),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("s"),
+                        ct["cid"].alias("cid"),
+                    ),
+                )
+            )
+        )[0]["cid"]
+        assigned = c.crossJoin(F.broadcast(cent_row)).select(F.col("v"), best.alias("cid"))
+        dims = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = dims.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+        vecs = means.groupBy("cid").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]).alias("cv")
+        )
+        cent_row = vecs.agg(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("__cents")
+        ).localCheckpoint(eager=True)
+    return cent_row
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,6 +116,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -80,7 +142,7 @@ def ivf_topk(
     # per-vector argmax runs as a pure array expression — no row blowup, no
     # extra shuffle. A k-means-refined codebook snapshot slots in by
     # replacing `cent_row`.
-    cent_row = (
+    cent_row = codebook if codebook is not None else (
         c.orderBy("vec_id")
         .limit(n_centroids)
         .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))

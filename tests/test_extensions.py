@@ -708,3 +708,24 @@ def test_streaming_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     pairs = {(r["pid"], r["cid"]) for r in spark.sql("select * from ssjoin_test").collect()}
     assert pairs == {("p1", "c1"), ("p1", "c2")}, pairs
+
+def test_ivf_kmeans_codebook_recall(spark):
+    """Lloyd-refined codebook plugs into ivf_topk and must not lose recall
+    vs the unrefined first-N codebook at the same probe budget; centroid
+    vectors must be true element-wise means (dim preserved)."""
+    from mine_database_spark.operators.similarity import brute_force_topk, ivf_topk, kmeans_codebook
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    cb = kmeans_codebook(e, n_centroids=16, n_iter=2)
+    cents = cb.collect()[0]["__cents"]
+    assert 0 < len(cents) <= 16
+    assert all(len(c["cv"]) == 64 for c in cents)
+
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(e, q, k=10).collect()}
+    plain = {(r["query_id"], r["vec_id"]) for r in ivf_topk(e, q, k=10).collect()}
+    refined = {(r["query_id"], r["vec_id"]) for r in ivf_topk(e, q, k=10, codebook=cb).collect()}
+    r_plain = len(exact & plain) / len(exact)
+    r_ref = len(exact & refined) / len(exact)
+    assert r_ref >= r_plain - 0.05, (r_ref, r_plain)
+    assert r_ref >= 0.3, r_ref
