@@ -17,7 +17,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}"
+# Two shapes: fully-separated 3/4-group numbers ("+1-415-555-2671",
+# "415 555 2671") and parenthesized area codes ("(415) 555-2671").  The
+# alternation is safe cross-engine because the branches start with disjoint
+# characters ('(' vs digit/'+'), so leftmost-first (Java) and
+# leftmost-longest (RE2) pick the same branch.  Recall envelope: bare
+# unseparated 10-digit runs and exotic international groupings (e.g.
+# "+44 20 7946 0958" — 2-digit city code) are NOT detected; matching every
+# 10-digit run would redact order ids/timestamps wholesale, so we keep the
+# separator requirement.
+PHONE_RE = (
+    r"\([0-9]{3}\)[-. ]?[0-9]{3}[-. ][0-9]{4}"
+    r"|\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}"
+)
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 

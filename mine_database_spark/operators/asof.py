@@ -63,6 +63,10 @@ def asof_join(
     clash = (set(payload) | {"asof_ts"}) & set(left.columns)
     if clash:
         raise ValueError(f"payload columns collide with left columns: {sorted(clash)}")
+    reserved = {"__ats", "__side", "__tie", "__r", "__m"}
+    internal = reserved & (set(left.columns) | set(right.columns))
+    if internal:
+        raise ValueError(f"input columns use reserved internal names: {sorted(internal)}")
 
     # forward = backward on the negated time axis
     sign = -1 if direction == "forward" else 1
@@ -72,7 +76,14 @@ def asof_join(
 
     left_extra = [c for c in left.columns if c not in keys]
     ldt = dict(left.dtypes)
-    tie = F.col(right_tiebreak).cast("long") if right_tiebreak is not None else F.lit(0).cast("long")
+    # tie-break on the RAW column (columns of any orderable type sort fine in
+    # a window): casting to long would collapse fractional values (0.5 vs 0.9)
+    # or non-numeric strings into equal/NULL keys and lose determinism
+    if right_tiebreak is not None:
+        tie_dt = dict(right.dtypes)[right_tiebreak]
+        tie, l_tie = F.col(right_tiebreak), F.lit(None).cast(tie_dt)
+    else:
+        tie, l_tie = F.lit(0).cast("long"), F.lit(0).cast("long")
 
     # the right row rides the union as ONE non-null struct so a single
     # last(ignorenulls) carries it; per-field last() would skip legitimately
@@ -92,7 +103,7 @@ def asof_join(
         *keys,
         (F.col(left_ts).cast("long") * sign).alias("__ats"),
         F.lit(l_side).alias("__side"),
-        F.lit(0).cast("long").alias("__tie"),
+        l_tie.alias("__tie"),
         F.lit(None).cast(rstruct_dt).alias("__r"),
         *left_extra,
     )

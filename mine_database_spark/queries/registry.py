@@ -916,7 +916,7 @@ WITH t AS (
   FROM documents
 ), f AS (
   SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens,
-         CAST(coalesce(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum'), 0) AS INT) AS tok_chars,
+         CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS INT) AS tok_chars,
          CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS INT) AS sw_hits
   FROM t
 )
@@ -1031,7 +1031,7 @@ WITH tok AS (
          CAST(SUM(c) AS BIGINT) AS n,
          CAST(COUNT(*) AS BIGINT) AS nd,
          CAST(MAX(c) AS BIGINT) AS top,
-         CAST(SUM(strlen(tok) * c) AS BIGINT) AS chars,
+         CAST(SUM(length(tok) * c) AS BIGINT) AS chars,
          CAST(COUNT(CASE WHEN list_contains(['the','a','an','of','and','to','in','is','it','for'], tok) THEN 1 END) AS BIGINT) AS n_stop_distinct
   FROM per GROUP BY doc_id
 )
@@ -1123,8 +1123,8 @@ WITH g AS (
   SELECT doc_id, i - 1 AS pos,
          ('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT AS h
   FROM (
-    SELECT doc_id, text, unnest(generate_series(1, strlen(text) - 4)) AS i
-    FROM documents WHERE strlen(text) >= 5
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+    FROM documents WHERE length(text) >= 5
   )
 ),
 m AS (

@@ -705,7 +705,7 @@ def test_streaming_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
     pairs = {(r["pid"], r["cid"]) for r in spark.sql("select * from ssjoin_test").collect()}
     assert pairs == {("p1", "c1"), ("p1", "c2")}, pairs
 
