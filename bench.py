@@ -2,17 +2,23 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "details": {name: {"median":..., "min":...,
+"max":...}}, "sf": ...}.
 
-Each query is materialized via a count-ish action (collect on small results)
-so the full plan executes; Spark session build time is excluded from
-per-query numbers but included in none (warm-up runs the first query twice).
+Noise robustness: each query is timed over PASSES (default 3) interleaved
+round-robin passes and the reported per-query number is the MEDIAN, so a
+transient CPU-contention spike on the host (observed: a loaded machine
+inflated a single-pass total 2x) cannot fake a regression. Interleaving the
+passes (pass 1 of every query, then pass 2, ...) decorrelates a load burst
+from any single query. Min/max spread is reported alongside so a noisy run
+is visible in the artifact itself.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -71,15 +77,26 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # noop sink materializes every output column (count() would let
-        # Catalyst prune computed projections)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(passes):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            # noop sink materializes every output column (count() would let
+            # Catalyst prune computed projections)
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
 
+    times = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    details = {
+        name: {
+            "median": round(statistics.median(s), 3),
+            "min": round(min(s), 3),
+            "max": round(max(s), 3),
+        }
+        for name, s in samples.items()
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -88,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "details": details,
+                "passes": passes,
                 "sf": sf,
             }
         )

@@ -6,9 +6,9 @@ anything else touches the text; these are the standard pattern scanners
 100 TB path is a pure scan, no Python, no shuffle.
 
 Pattern notes: every regex here is valid and equivalent under both Java's
-backtracking engine (Spark) and RE2's leftmost-longest engine (DuckDB — the
-oracle): no lookaround except in none, no backreferences, and no alternation
-whose branch choice differs between leftmost-first and leftmost-longest.
+backtracking engine (Spark) and RE2 (DuckDB — the oracle; RE2's default is
+leftmost-first, same as Java): no lookaround, no backreferences, and no
+alternation whose branches can match at the same starting position.
 """
 
 from __future__ import annotations
@@ -20,8 +20,10 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # Two shapes: fully-separated 3/4-group numbers ("+1-415-555-2671",
 # "415 555 2671") and parenthesized area codes ("(415) 555-2671").  The
 # alternation is safe cross-engine because the branches start with disjoint
-# characters ('(' vs digit/'+'), so leftmost-first (Java) and
-# leftmost-longest (RE2) pick the same branch.  Recall envelope: bare
+# characters ('(' vs digit/'+'): RE2's default semantics are leftmost-first,
+# the same as Java's, and even under leftmost-longest the disjoint first
+# characters mean only one branch can match at any position — branch choice
+# is identical either way.  Recall envelope: bare
 # unseparated 10-digit runs and exotic international groupings (e.g.
 # "+44 20 7946 0958" — 2-digit city code) are NOT detected; matching every
 # 10-digit run would redact order ids/timestamps wholesale, so we keep the

@@ -22,7 +22,11 @@ right payload onto each left row:
 
 Tie rules: at equal timestamps the right row sorts before (inclusive,
 default) or after (strict) the left row; duplicate right timestamps within a
-key are ordered by `right_tiebreak` so `last()` is deterministic.
+key are ordered by `right_tiebreak` (NULLs first, so any non-NULL tie key
+wins over a NULL one) and finally by a stable hash of the right row itself,
+so `last()` is deterministic even when `right_tiebreak` contains NULLs or is
+omitted. Timestamps must be integral (the internal time axis is long);
+fractional types are rejected rather than silently truncated.
 """
 
 from __future__ import annotations
@@ -67,6 +71,22 @@ def asof_join(
     internal = reserved & (set(left.columns) | set(right.columns))
     if internal:
         raise ValueError(f"input columns use reserved internal names: {sorted(internal)}")
+    if right_tiebreak is not None and right_tiebreak not in right.columns:
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} is not a column of right "
+            f"(has: {right.columns})"
+        )
+    # the time axis is long internally; a fractional ts would truncate and
+    # merge distinct event times — reject instead of silently corrupting
+    for side_name, df, ts in (("left", left, left_ts), ("right", right, right_ts)):
+        dt = dict(df.dtypes).get(ts)
+        if dt is None:
+            raise ValueError(f"{side_name}_ts {ts!r} is not a column of {side_name}")
+        if dt in ("float", "double") or (dt.startswith("decimal") and ",0)" not in dt):
+            raise ValueError(
+                f"{side_name}_ts {ts!r} has fractional type {dt}; as-of timestamps "
+                "must be integral (cast/scale to long first, e.g. millis)"
+            )
 
     # forward = backward on the negated time axis
     sign = -1 if direction == "forward" else 1
@@ -109,9 +129,18 @@ def asof_join(
     )
     u = r_u.unionByName(l_u)
 
+    # NULLs-first so a non-NULL tie key always beats a NULL one; the stable
+    # row hash breaks remaining ties (duplicate ts + equal/NULL tie keys) the
+    # same way on every run — left rows all hash the NULL struct equally and
+    # are never ambiguous among themselves (last() reads only __r)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ats").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .orderBy(
+            F.col("__ats").asc(),
+            F.col("__side").asc(),
+            F.col("__tie").asc_nulls_first(),
+            F.xxhash64(F.col("__r")).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.select(

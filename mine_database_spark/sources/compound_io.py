@@ -111,7 +111,9 @@ def export_kbase(compounds: DataFrame, reactions: DataFrame, path: str, name: st
                 F.col(side),
                 lambda x: F.concat(
                     F.lit("("), x["stoich"].cast("string"), F.lit(") "),
-                    F.translate(x["c_id"], "X", "C"),
+                    # only the leading type prefix flips X->C; translate()
+                    # would rewrite every 'X' anywhere in the id
+                    F.regexp_replace(x["c_id"], r"^X", "C"),
                 ),
             ),
         )

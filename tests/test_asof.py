@@ -81,3 +81,41 @@ def test_asof_payload_collision_raises(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("rval", "lval"), "k", "lts", "rts", ["lval"])
+
+
+def test_asof_unknown_tiebreak_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="right_tiebreak"):
+        asof_join(left, right, "k", "lts", "rts", ["rval"], right_tiebreak="nope")
+
+
+def test_asof_fractional_ts_raises(spark, frames):
+    left, right = frames
+    from pyspark.sql import functions as F
+
+    lfrac = left.withColumn("lts", F.col("lts") + 0.5)
+    with pytest.raises(ValueError, match="fractional"):
+        asof_join(lfrac, right, "k", "lts", "rts", ["rval"])
+    rfrac = right.withColumn("rts", F.col("rts").cast("double"))
+    with pytest.raises(ValueError, match="fractional"):
+        asof_join(left, rfrac, "k", "lts", "rts", ["rval"])
+
+
+def test_asof_null_tiebreak_is_deterministic(spark):
+    """Duplicate right timestamps whose tie keys are BOTH NULL: the winner is
+    chosen by a stable row hash, so it is the same across runs and across
+    input partitionings (previously arbitrary)."""
+    left = spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], "k int, lts long, lval string")
+    right = spark.createDataFrame(
+        [(1, 10, None, "x"), (1, 10, None, "y"), (1, 10, None, "z"), (1, 15, 1.0, "w")],
+        "k int, rts long, tie double, pay string",
+    )
+    runs = []
+    for r in (right, right.repartition(7), right.orderBy("pay"), right.orderBy("rts")):
+        got = asof_join(left, r, "k", "lts", "rts", ["pay"], right_tiebreak="tie")
+        runs.append(sorted((x.k, x.lts, x.asof_ts, x.pay) for x in got.collect()))
+    assert runs[0] == runs[1] == runs[2] == runs[3]
+    by_lts = {lts: pay for _, lts, _, pay in runs[0]}
+    # non-NULL tie key (rts=15) wins for the lts=20 row
+    assert by_lts[20] == "w"
+    assert by_lts[10] in ("x", "y", "z")

@@ -611,6 +611,27 @@ def test_kbase_export_and_targets_sink(spark, network, tmp_path):
     assert set(back.columns) == {"_id", "id", "smiles", "inchi_key"}
 
 
+def test_kbase_rewrites_only_the_X_prefix(spark, tmp_path):
+    """The X->C cofactor rewrite touches ONLY the leading type prefix; an 'X'
+    anywhere else in the id (future id formats, aliases) must survive."""
+    from mine_database_spark.sources.compound_io import export_kbase
+
+    compounds = spark.createDataFrame(
+        [("CaaXbb", "C", "C", "Predicted", 0, 1.0, "K")],
+        "_id string, smiles string, formula string, type string, generation int, mass double, inchi_key string",
+    )
+    reactions = spark.createDataFrame(
+        [("R1", [{"stoich": 1, "c_id": "XaaXbb"}], [{"stoich": 2, "c_id": "CaaXbb"}], ["r"], "C>>C")],
+        "_id string, reactants array<struct<stoich:int,c_id:string>>, "
+        "products array<struct<stoich:int,c_id:string>>, operators array<string>, smiles_rxn string",
+    )
+    out = str(tmp_path / "kb")
+    export_kbase(compounds, reactions, out, name="t")
+    rx = spark.read.option("sep", "\t").option("header", True).csv(out + "/t_reactions.tsv")
+    eq = rx.collect()[0]["equation"]
+    assert eq == "(1) CaaXbb => (2) CaaXbb", eq
+
+
 def test_rules_intermediate_select(spark):
     """S7: intermediate rules restricted to selected generalized parents;
     CDF denominator is the total over ALL intermediate rules (pre-filter),

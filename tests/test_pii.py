@@ -17,6 +17,8 @@ SAMPLES = [
     ("mail me at jane.doe+spam@example.co.uk thanks", 1, 0, 0, 0),
     # "020 7946 0958" has only three digit groups — deliberately NOT a match
     ("call +1-415-555-2671 or 020 7946 0958", 0, 1, 0, 0),
+    ("call (415) 555-2671 after lunch", 0, 1, 0, 0),
+    ("(415)555-2671 and (202) 555.0100 both ring", 0, 2, 0, 0),
     ("server at 192.168.0.1 and 10.0.0.255", 0, 0, 2, 0),
     ("ssn 078-05-1120 leaked", 0, 0, 0, 1),
     ("a@b.io b@c.io 1.2.3.4 078-05-1120 +1-202-555-0100", 2, 1, 1, 1),
@@ -49,7 +51,10 @@ def test_redaction_removes_all_pii(spark, pii_df):
     assert all(r.n == 0 for r in left), [(r.i, r.n) for r in left]
     texts = {r.i: r.r for r in red.collect()}
     assert "<EMAIL>" in texts[1] and "jane" not in texts[1]
-    assert texts[5].count("<EMAIL>") == 2 and "<SSN>" in texts[5] and "<PHONE>" in texts[5]
+    assert texts[3].count("<PHONE>") == 1 and "415" not in texts[3]
+    assert texts[4].count("<PHONE>") == 2
+    last = len(SAMPLES) - 1
+    assert texts[last].count("<EMAIL>") == 2 and "<SSN>" in texts[last] and "<PHONE>" in texts[last]
 
 
 def test_spark_matches_duckdb_regex_semantics(spark, pii_df):
