@@ -230,15 +230,52 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 
     Robust to local edits (an edit perturbs only nearby windows) — the
     rolling-hash fingerprinting entry of the text-analysis family, next to
-    md5 (exact) and simhash (global near-dup). One shuffle on doc_id (the
-    window), one for the final distinct; hashes are md5-derived 32-bit ints
-    so the SQL oracle reproduces them exactly.
+    md5 (exact) and simhash (global near-dup). Hashes are md5-derived
+    32-bit ints so the SQL oracle reproduces them exactly.
 
-    Grams come from char explode + lead() over the doc_id window — the same
-    partitioning the win_min window needs, so gram construction rides the
-    one shuffle. The transform(sequence, substr) array form materializes a
-    k-char string per position before exploding; this form measured 2.6×
-    faster end-to-end at sf0.1 with identical output.
+    Shuffle-FREE form: a document's fingerprints depend only on its own
+    text, so grams, hashes, window minima, and the per-doc distinct are all
+    array expressions INSIDE the row — the physical plan is scan →
+    project → generate with ZERO Exchange. The earlier char-explode +
+    doc_id-window form (kept as winnow_fingerprints_window for
+    cross-checking) shuffles one row per character — a ~20-50× row
+    amplification that becomes the bottleneck at 100 TB.
+    """
+    t = F.col(text_col)
+    n_grams = F.length(t) - F.lit(k - 1)
+    empty = F.array().cast("array<bigint>")
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10).cast("bigint"),
+    )
+    # CaseWhen evaluates lazily per row, so sequence() never sees an
+    # upper bound < 1 (sequence(1, 0) would count DOWN, not empty out)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(n_grams >= 1, hashes).otherwise(empty).alias("__hs"),
+    )
+    n_wins = F.size(F.col("__hs")) - F.lit(w - 1)
+    # least(element_at...) instead of array_min(slice...): no per-window
+    # array allocation (~10% faster; HOF lambdas evaluate interpreted, so
+    # allocations dominate). n_wins bounds j+w-1 ≤ size, safe under ANSI.
+    win_mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.least(*[F.element_at(F.col("__hs"), j + i) for i in range(w)]),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.when(n_wins >= 1, win_mins).otherwise(empty)).alias("fingerprint"),
+    )
+
+
+def winnow_fingerprints_window(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                               k: int = 5, w: int = 4) -> DataFrame:
+    """Window-form winnowing twin: char posexplode + lead() grams + min()
+    over a (doc_id, pos) window. Semantically identical to
+    winnow_fingerprints; kept as an independent implementation for
+    cross-checking the shuffle-free form (tests pin exact agreement).
     """
     chars = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(F.split(F.col(text_col), "")).alias("pos", "c")

@@ -191,7 +191,39 @@ def test_ivf_ann_recall(spark):
         if pair in exact:
             assert abs(score - exact[pair]) < 1e-9
     recall = len(set(exact) & set(approx)) / len(exact)
-    assert recall >= 0.3, recall
+    # measured 0.88 at the default (n_centroids=16, n_probe=4) on this
+    # corpus; 0.8 leaves noise headroom while still catching a real
+    # recall regression (the old 0.3 gate could not)
+    assert recall >= 0.8, recall
+
+
+def test_winnow_shuffle_free_matches_window_form(spark):
+    """The shuffle-free array-expression winnowing must agree EXACTLY with
+    the independent window-form twin on real corpus data, and handle the
+    short-document edges (len < k: no grams; len < k+w-1: no full window)."""
+    from mine_database_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_window,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints(d).collect()}
+    slow = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints_window(d).collect()}
+    assert fast == slow
+    assert len(fast) > 0
+
+    edges = spark.createDataFrame(
+        [(1, "abc"), (2, "abcdefg"), (3, "abcdefgh"), (4, ""), (5, None), (6, "aaaaaaaaaaaa")],
+        "doc_id int, text string",
+    )
+    # k=5, w=4: doc1 has no 5-grams; doc2 has 3 grams (< w) → no full window;
+    # doc3 has exactly 4 grams → one window; doc6 repeats one gram → one fp
+    fast_e = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints(edges).collect()}
+    slow_e = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints_window(edges).collect()}
+    assert fast_e == slow_e
+    ids = {i for i, _ in fast_e}
+    assert ids == {3, 6}, fast_e
+    assert sum(1 for i, _ in fast_e if i == 6) == 1
 
 
 def test_connected_components_known_graph(spark):
@@ -749,4 +781,6 @@ def test_ivf_kmeans_codebook_recall(spark):
     r_plain = len(exact & plain) / len(exact)
     r_ref = len(exact & refined) / len(exact)
     assert r_ref >= r_plain - 0.05, (r_ref, r_plain)
-    assert r_ref >= 0.3, r_ref
+    # measured 0.86 (2-iter Lloyd, 16 lists, 4 probes); same 0.8 floor as
+    # the LSH and first-N-codebook gates
+    assert r_ref >= 0.8, r_ref

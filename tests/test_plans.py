@@ -67,6 +67,15 @@ def test_exact_dedup_single_shuffle(spark, sf_smoke):
     assert plan.count("Exchange") == 1
 
 
+def test_winnow_fingerprints_zero_shuffle(spark, sf_smoke):
+    """Winnowing is per-document, so the plan must be scan → project →
+    generate with NO Exchange at all (the window form shuffles one row per
+    character — a 100 TB killer)."""
+    plan = plan_str(QUERIES["winnow_fingerprints"](spark, sf_smoke), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_anti_join_orphan_gc_shape(spark, sf_smoke):
     plan = plan_str(QUERIES["orphan_gc"](spark, sf_smoke))
     assert "LeftAnti" in plan
