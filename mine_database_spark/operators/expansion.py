@@ -292,45 +292,93 @@ class NetworkExpansion:
     def starting_compounds(
         self, id_smiles: list[tuple[str, str]], neutralise: bool = True
     ) -> DataFrame:
-        """Load starting compounds (reference pickaxe.py:296-330 + 480-496):
-        canonicalize → optional charge neutralization (default on, as the
-        reference) → tautomer postsanitize for aromatic-N molecules. The
-        reference's organic-only gate ('C'/'c' in SMILES) applies under real
-        chemistry; the fake backend's molecules are letter strings, so the
-        gate is backend-flagged."""
+        """Load starting compounds from a driver-side (name, smiles) list —
+        thin wrapper over starting_compounds_df for the reference's
+        list-of-seeds entry point (pickaxe.py:296-330)."""
+        seeds = self.spark.createDataFrame(
+            [(n, s, i) for i, (n, s) in enumerate(id_smiles)],
+            "id string, structure string, __pos long",
+        )
+        return self.starting_compounds_df(seeds, neutralise=neutralise)
+
+    def starting_compounds_df(
+        self, seeds: DataFrame, neutralise: bool = True
+    ) -> DataFrame:
+        """Load starting compounds (reference pickaxe.py:296-330 + 480-496)
+        from a DataFrame with columns (id, structure[, __pos]) — the shape
+        read_compound_list returns. Seed lists are user data (possibly
+        millions of rows), so canonicalize → optional charge neutralization
+        (default on, as the reference) → tautomer postsanitize for
+        aromatic-N molecules all run EXECUTOR-side in the same Arrow
+        mapInPandas path as expansion; nothing is collected to the driver.
+        First occurrence per compound id wins (__pos = file order), matching
+        the reference's sequential-loop dedup. The reference's organic-only
+        gate ('C'/'c' in SMILES) applies under real chemistry; the fake
+        backend's molecules are letter strings, so the gate is
+        backend-flagged."""
+        from pyspark.sql.types import LongType
+
+        from mine_database_spark.operators.dedup import first_wins_dedup
+
+        if "__pos" not in seeds.columns:
+            seeds = seeds.withColumn("__pos", F.monotonically_increasing_id())
+        seeds = seeds.select("id", "structure", "__pos")
+        neutralise_flag = neutralise
+
+        def sanitize(batches):
+            backend = get_backend()
+            organic_gate = getattr(backend, "organic_filter", False)
+            for pdf in batches:
+                out: dict[str, list] = {
+                    k: []
+                    for k in (
+                        "_id", "id", "smiles", "inchi_key", "type", "generation",
+                        "formula", "atom_count", "expand", "last_similarity", "__pos",
+                    )
+                }
+                for name, smi, pos in zip(pdf["id"], pdf["structure"], pdf["__pos"]):
+                    csmi = backend.canonical_smiles(smi)
+                    if not csmi:
+                        continue
+                    if organic_gate and not ("C" in csmi or "c" in csmi):
+                        continue
+                    if neutralise_flag:
+                        csmi = backend.neutralize(csmi)
+                    if "n" in csmi:
+                        csmi = backend.postsanitize(csmi)
+                    ikey = backend.inchi_key(csmi)
+                    out["_id"].append(compound_id(ikey, "Starting Compound"))
+                    out["id"].append(name)
+                    out["smiles"].append(csmi)
+                    out["inchi_key"].append(ikey)
+                    out["type"].append("Starting Compound")
+                    out["generation"].append(0)
+                    out["formula"].append(backend.formula(csmi))
+                    out["atom_count"].append(dict(backend.atom_count(csmi)))
+                    out["expand"].append(True)
+                    out["last_similarity"].append(None)
+                    out["__pos"].append(pos)
+                if out["_id"]:
+                    yield pd.DataFrame(out)
+
+        schema = StructType(COMPOUND_SCHEMA.fields + [StructField("__pos", LongType(), True)])
+        sanitized = seeds.mapInPandas(sanitize, schema)
+
         backend = get_backend()
-        rows = []
-        seen = set()
-        for name, smi in id_smiles:
-            csmi = backend.canonical_smiles(smi)
-            if not csmi:
-                continue
-            if getattr(backend, "organic_filter", False) and not (
-                "C" in csmi or "c" in csmi
-            ):
-                continue
-            if neutralise:
-                csmi = backend.neutralize(csmi)
-            if "n" in csmi:
-                csmi = backend.postsanitize(csmi)
-            ikey = backend.inchi_key(csmi)
-            cid = compound_id(ikey, "Starting Compound")
-            if cid in seen:
-                continue
-            seen.add(cid)
-            rows.append(
-                (cid, name, csmi, ikey, "Starting Compound", 0, backend.formula(csmi), backend.atom_count(csmi), True, None)
-            )
         coreactant_rows = []
-        for role, (smi, cid) in self.coreactants.items():
-            if cid in seen:
-                continue
-            seen.add(cid)
+        # coreactant __pos sits above every possible seed position
+        # (monotonically_increasing_id < 2^33·partitions + rows << 2^62), so
+        # the single first-wins dedup below also resolves seed/coreactant id
+        # collisions seed-first — the reference's shared `seen` set across
+        # both loops — without broadcasting the (large) seed id set
+        for i, (role, (smi, cid)) in enumerate(self.coreactants.items()):
             ikey = backend.inchi_key(smi)
             coreactant_rows.append(
-                (cid, role, smi, ikey, "Coreactant", 0, backend.formula(smi), backend.atom_count(smi), False, None)
+                (cid, role, smi, ikey, "Coreactant", 0, backend.formula(smi),
+                 backend.atom_count(smi), False, None, (1 << 62) + i)
             )
-        return self.spark.createDataFrame(rows + coreactant_rows, COMPOUND_SCHEMA)
+        cor = self.spark.createDataFrame(coreactant_rows, schema)
+        return first_wins_dedup(sanitized.unionByName(cor), "_id", ["__pos"]).drop("__pos")
 
     def empty_reactions(self) -> DataFrame:
         from mine_database_spark.schemas import REACTION_SCHEMA

@@ -59,9 +59,16 @@ def read_coreactants_tsv(spark: SparkSession, path: str) -> dict[str, tuple[str,
     return out
 
 
-def read_compound_list(spark: SparkSession, path: str, id_field: str = "id") -> list[tuple[str, str]]:
+def read_compound_list(spark: SparkSession, path: str, id_field: str = "id") -> DataFrame:
     """S2/S3 (pickaxe.py:244-336): CSV/TSV with a sniffed structure column
-    (smiles | inchi | structure)."""
+    (smiles | inchi | structure).
+
+    Returns a DataFrame (id, structure, __pos) — seed lists are user DATA
+    (possibly millions of rows), never collected to the driver. Only the
+    header is inspected driver-side to sniff the structure column. __pos is
+    the file-order position so first-occurrence-wins dedup downstream
+    matches the reference's sequential loop; sanitization happens
+    executor-side in NetworkExpansion.starting_compounds_df."""
     sep = "\t" if path.endswith((".tsv", ".txt")) else ","
     df = spark.read.option("sep", sep).option("header", True).csv(path)
     cols = {c.lower(): c for c in df.columns}
@@ -69,7 +76,12 @@ def read_compound_list(spark: SparkSession, path: str, id_field: str = "id") -> 
     if struct_col is None:
         raise ValueError(f"no structure column in {path}: {df.columns}")
     idc = cols.get(id_field.lower(), df.columns[0])
-    return [(r[idc], r[struct_col]) for r in df.select(idc, struct_col).collect() if r[struct_col]]
+    return (
+        df.select(F.col(idc).alias("id"), F.col(struct_col).alias("structure"))
+        # scan-side: (partition << 33) + row-in-partition == file order
+        .withColumn("__pos", F.monotonically_increasing_id())
+        .where(F.col("structure").isNotNull())
+    )
 
 
 def read_adducts(spark: SparkSession, path: str, charge: str = "+") -> DataFrame:

@@ -234,6 +234,38 @@ def test_peak_readers_are_distributed(spark, tmp_path):
     assert df.rdd.getNumPartitions() >= 3  # one per file — records never funnel through the driver
 
 
+def test_compound_list_reader_is_distributed(spark, tmp_path):
+    """S2/S3: the seed-list path must never collect structures to the
+    driver — read_compound_list returns a DataFrame and
+    starting_compounds_df sanitizes in mapInPandas (executor-side), with
+    file-order first-wins dedup and seed-over-coreactant id priority."""
+    from mine_database_spark.operators.expansion import NetworkExpansion
+    from mine_database_spark.sources.readers import read_compound_list
+
+    f = tmp_path / "seeds.csv"
+    f.write_text(
+        "id,smiles\nseed1,abcd\nseed2,efgh\nseed_dup,abcd\nbad,\n"
+    )
+    seeds = read_compound_list(spark, str(f))
+    assert seeds.columns == ["id", "structure", "__pos"]
+    assert seeds.count() == 3  # empty structure dropped, nothing collected
+
+    engine = NetworkExpansion(spark, rules=[], coreactants={})
+    cpds = engine.starting_compounds_df(seeds)
+    plan = cpds._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # sanitize runs executor-side
+    rows = {r["id"]: r for r in cpds.collect()}
+    # duplicate structure deduped, first file occurrence (seed1) wins
+    assert set(rows) == {"seed1", "seed2"}
+    assert all(r["type"] == "Starting Compound" and r["generation"] == 0 for r in rows.values())
+    assert all(r["expand"] for r in rows.values())
+
+    # list-based wrapper gives the same compounds
+    via_list = {r["id"] for r in engine.starting_compounds(
+        [("seed1", "abcd"), ("seed2", "efgh"), ("seed_dup", "abcd")]).collect()}
+    assert via_list == {"seed1", "seed2"}
+
+
 def test_metabolomics_rt_filter(spark, adducts):
     """F6 RT half (reference filters/metabolomics.py:300-381): a mass hit
     survives only when |expt_rt − predicted_rt| ≤ threshold; the prediction
