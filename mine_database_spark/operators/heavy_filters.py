@@ -141,6 +141,107 @@ class FakeDGScorer:
         return self.lo + u * (self.hi - self.lo)
 
 
+class GroupContributionDGScorer:
+    """Pure-python ΔG′ scorer — no eQuilibrator dependency. Sits between
+    FakeDGScorer (hash noise) and the real ComponentContribution stack the
+    reference gates on (thermodynamics.py:178-357): the thermodynamic
+    MACHINERY is exact, the default formation energies are coarse.
+
+    Model (Alberty, "Thermodynamics of Biochemical Reactions", 2003 — public
+    constants; eQuilibrator applies the same Legendre transform):
+
+        ΔGf′(pH, I) = ΔGf° + N_H·RTln10·pH − 2.91482·(z²−N_H)·√I/(1+1.6·√I)
+        ΔG′rxn      = Σ_products ΔGf′ − Σ_reactants ΔGf′      [kJ/mol, 298.15 K]
+
+    `table` maps SMILES → (dgf0_kj_per_mol, n_h, z); compounds found there
+    get curated answers. Anything else falls back to an atom-additive
+    zeroth-order estimate: element tokens parsed from the SMILES text times
+    `atom_contributions` (coarse, clearly-approximate defaults; implicit
+    hydrogens are NOT inferred — bracket [NH4+]-style explicit H and charge
+    tokens are honored). Callable on the engine's rxn_smiles rendering
+    ('A + B => C'; occurrences repeat per stoichiometry), picklable, so it
+    plugs straight into ThermoFilter(scorer=...).
+    """
+
+    RT_LN10 = 5.708039  # kJ/mol at 298.15 K
+    _DH_A = 2.91482     # extended Debye–Hückel numerator constant, kJ/mol·M^-1/2
+    _DH_B = 1.6         # M^-1/2
+
+    #: coarse per-atom ΔGf° contributions (kJ/mol) — order-of-magnitude
+    #: defaults for ranking chemistry when no curated table entry exists;
+    #: NOT literature group values. Override via atom_contributions=.
+    DEFAULT_ATOM_CONTRIBUTIONS = {
+        "C": -30.0, "O": -130.0, "N": 50.0, "S": 40.0, "P": -280.0,
+        "H": -5.0, "Cl": -100.0, "Br": -90.0, "F": -250.0, "I": -50.0,
+    }
+
+    def __init__(self, table: dict | None = None, p_h: float = 7.0,
+                 ionic_strength: float = 0.25,
+                 atom_contributions: dict | None = None):
+        self.table = dict(table or {})
+        self.p_h = p_h
+        self.ionic_strength = ionic_strength
+        self.atom_contributions = dict(atom_contributions or self.DEFAULT_ATOM_CONTRIBUTIONS)
+
+    # -- per-compound ------------------------------------------------------
+    def _parse_atoms(self, smiles: str) -> tuple[dict, int, int]:
+        """(element counts incl. explicit H, n_explicit_H, formal charge)
+        from SMILES text — bracket atoms carry their H count and charge."""
+        import re
+        from collections import Counter
+
+        atoms: Counter = Counter()
+        n_h = 0
+        charge = 0
+        for m in re.finditer(r"\[([^\]]+)\]|(Br|Cl)|([A-Z])|([bcnops])", smiles):
+            bracket, two, one, arom = m.groups()
+            if bracket is not None:
+                em = re.match(r"([A-Z][a-z]?|[bcnops])", bracket)
+                if not em:
+                    continue
+                atoms[em.group(1).capitalize()] += 1
+                hm = re.search(r"H(\d*)", bracket[em.end():])
+                if hm:
+                    h = int(hm.group(1) or 1)
+                    n_h += h
+                    atoms["H"] += h
+                cm = re.search(r"([+-])(\d*)$", bracket)
+                if cm:
+                    charge += (1 if cm.group(1) == "+" else -1) * int(cm.group(2) or 1)
+            elif two:
+                atoms[two] += 1
+            elif one:
+                atoms[one] += 1
+            elif arom:
+                atoms[arom.upper()] += 1
+        return dict(atoms), n_h, charge
+
+    def dgf_prime(self, smiles: str) -> float:
+        """ΔGf′ of one compound under (p_h, ionic_strength)."""
+        import math
+
+        if smiles in self.table:
+            dgf0, n_h, z = self.table[smiles]
+        else:
+            atoms, n_h, z = self._parse_atoms(smiles)
+            dgf0 = sum(self.atom_contributions.get(el, 0.0) * n for el, n in atoms.items())
+        sqrt_i = math.sqrt(max(self.ionic_strength, 0.0))
+        debye = self._DH_A * sqrt_i / (1.0 + self._DH_B * sqrt_i)
+        return dgf0 + n_h * self.RT_LN10 * self.p_h - (z * z - n_h) * debye
+
+    # -- per-reaction ------------------------------------------------------
+    def __call__(self, smiles_rxn: str) -> float:
+        if not smiles_rxn or "=>" not in smiles_rxn:
+            return 0.0
+        lhs, _, rhs = smiles_rxn.partition("=>")
+        # ' + ' with surrounding spaces never collides with bracket charges
+        reactants = [s for s in (t.strip() for t in lhs.split(" + ")) if s]
+        products = [s for s in (t.strip() for t in rhs.split(" + ")) if s]
+        return sum(self.dgf_prime(s) for s in products) - sum(
+            self.dgf_prime(s) for s in reactants
+        )
+
+
 class ThermoFilter(ReactionScopedFilter):
     """F7 (filters/thermodynamics.py:17-160): drop reactions with
     ΔG′ >= dg_max (":157-158 keep iff rxn_dg < dg_max").

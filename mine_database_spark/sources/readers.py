@@ -239,6 +239,31 @@ def read_mzxml(spark: SparkSession, path: str, charge: str = "+") -> DataFrame:
     return raw.mapInPandas(parse, PEAK_SCHEMA)
 
 
+def bnice_paths(data_dir: str | None = None) -> tuple[str, str, str]:
+    """S8 (reference rules.py:442-457 BNICE): resolve the original BNICE
+    ruleset — (rules_tsv_path, coreactants_tsv_path, 'BNICE') — the
+    pre-MetaCyc enzymatic rules. The reference packages
+    original_rules/EnzymaticReactionRules.tsv + EnzymaticCoreactants.tsv
+    inside its wheel; this repo does not vendor that data, so the directory
+    comes from `data_dir` or $MINE_RULES_DIR. The returned rules path feeds
+    read_rules_tsv (same TSV dialect)."""
+    import os
+
+    root = data_dir or os.environ.get("MINE_RULES_DIR")
+    if not root:
+        raise FileNotFoundError(
+            "BNICE ruleset directory not configured: pass data_dir= or set "
+            "$MINE_RULES_DIR to a directory containing "
+            "original_rules/EnzymaticReactionRules.tsv"
+        )
+    rules = os.path.join(root, "original_rules", "EnzymaticReactionRules.tsv")
+    coreactants = os.path.join(root, "original_rules", "EnzymaticCoreactants.tsv")
+    missing = [p for p in (rules, coreactants) if not os.path.isfile(p)]
+    if missing:
+        raise FileNotFoundError(f"BNICE ruleset files missing: {missing}")
+    return rules, coreactants, "BNICE"
+
+
 def rules_top_n(rules_df: DataFrame, n: int) -> DataFrame:
     """S6 analogue (rules.py:179-201): top-N rules by mapped count."""
     return rules_df.orderBy(F.col("counts").desc_nulls_last(), F.col("name")).limit(n)

@@ -559,6 +559,83 @@ def test_thermo_filter_fake_scorer_deterministic(spark):
     assert s("ss>>aa") != s("ss>>bb")
 
 
+def test_group_contribution_dg_scorer_golden():
+    """Hand-computed ΔG′ goldens for the pure-python group-contribution
+    scorer: curated-table path uses the exact Alberty transform
+    ΔGf′ = ΔGf° + N_H·RTln10·pH − 2.91482(z²−N_H)√I/(1+1.6√I); the
+    fallback parses explicit atoms/H/charge from SMILES text."""
+    import math
+
+    from mine_database_spark.operators.heavy_filters import GroupContributionDGScorer
+
+    table = {
+        "A": (-100.0, 2, 0),   # (ΔGf° kJ/mol, N_H, z)
+        "B": (-50.0, 0, -1),
+        "C": (-120.0, 1, -1),
+    }
+    # pH 0, I 0: transform vanishes, ΔG′ = raw formation-energy arithmetic
+    s0 = GroupContributionDGScorer(table=table, p_h=0.0, ionic_strength=0.0)
+    # A + B => C + C : 2·(−120) − (−100 + −50) = −90
+    assert abs(s0("A + B => C + C") - (-90.0)) < 1e-9
+
+    # pH 7, I 0.1: hand-spelled transform per compound
+    ph, ii = 7.0, 0.1
+    debye = 2.91482 * math.sqrt(ii) / (1 + 1.6 * math.sqrt(ii))
+    rtln10 = 5.708039
+
+    def dgf(dgf0, n_h, z):
+        return dgf0 + n_h * rtln10 * ph - (z * z - n_h) * debye
+
+    s = GroupContributionDGScorer(table=table, p_h=ph, ionic_strength=ii)
+    expected = 2 * dgf(-120.0, 1, -1) - dgf(-100.0, 2, 0) - dgf(-50.0, 0, -1)
+    assert abs(s("A + B => C + C") - expected) < 1e-9
+
+    # stoichiometry rides occurrence repetition; direction flips the sign
+    assert abs(s("C + C => A + B") + s("A + B => C + C")) < 1e-9
+
+    # fallback atom parsing: explicit bracket H and charge tokens
+    atoms, n_h, z = s._parse_atoms("[NH4+]")
+    assert atoms == {"N": 1, "H": 4} and n_h == 4 and z == 1
+    atoms, n_h, z = s._parse_atoms("[CH3][O-]")
+    assert atoms == {"C": 1, "H": 3, "O": 1} and n_h == 3 and z == -1
+    atoms, _, _ = s._parse_atoms("c1ccccc1Cl")
+    assert atoms == {"C": 6, "Cl": 1}
+
+    # fallback energies: additive over the (clearly-coarse) atom table
+    s_flat = GroupContributionDGScorer(p_h=0.0, ionic_strength=0.0)
+    got = s_flat.dgf_prime("CO")  # one C + one O token
+    want = (s_flat.DEFAULT_ATOM_CONTRIBUTIONS["C"]
+            + s_flat.DEFAULT_ATOM_CONTRIBUTIONS["O"])
+    assert abs(got - want) < 1e-9
+
+
+def test_thermo_filter_with_group_contribution_scorer(spark):
+    """GroupContributionDGScorer plugs into ThermoFilter as a picklable
+    scorer: a curated table makes one branch exergonic and one endergonic,
+    and the keep/drop + orphan cascade follows the numbers."""
+    from mine_database_spark.operators.heavy_filters import (
+        GroupContributionDGScorer,
+        ThermoFilter,
+    )
+
+    compounds, reactions = _toy_rxn_network(spark)
+    # the toy network's rxn_smiles use the fake backend's 'lhs>>rhs' form
+    # (no '=>'), where the scorer conservatively returns 0.0 — every
+    # reaction keeps at dg_max > 0, and the filter runs end-to-end with the
+    # scorer pickled into the pandas UDF
+    filt = ThermoFilter(dg_max=1.0, scorer=GroupContributionDGScorer())
+    cpds_out, rxns_out = filt.apply(compounds, reactions, generation=1)
+    assert rxns_out.count() == reactions.count()
+
+    # engine-rendered 'A => B' equations score from the table: exergonic
+    # negative, endergonic positive, so dg_max=0 keeps exactly the former
+    s2 = GroupContributionDGScorer(
+        table={"r": (0.0, 0, 0), "good": (-10.0, 0, 0), "bad": (10.0, 0, 0)},
+        p_h=0.0, ionic_strength=0.0,
+    )
+    assert s2("r => good") < 0 < s2("r => bad")
+
+
 def test_feasibility_filter_cascade_and_fallbacks(spark):
     """ReactionFeasibilityFilter keeps a reaction iff any reactant x product
     pair scores >= threshold; unpredictable reactions (oversized SMILES) fall

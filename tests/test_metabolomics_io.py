@@ -111,6 +111,36 @@ def test_rules_readers(spark, tmp_path):
     assert co["ATP"][1].startswith("X")
 
 
+def test_bnice_static_paths(spark, tmp_path, monkeypatch):
+    """S8: bnice_paths resolves the original-rules TSV pair against a
+    configured data dir (arg or $MINE_RULES_DIR) and the rules path feeds
+    read_rules_tsv; unconfigured/missing dirs raise clearly."""
+    import pytest as _pytest
+
+    from mine_database_spark.sources.readers import bnice_paths, read_rules_tsv
+
+    d = tmp_path / "ruleset" / "original_rules"
+    d.mkdir(parents=True)
+    (d / "EnzymaticReactionRules.tsv").write_text(
+        "Name\tReactants\tSMARTS\tProducts\n1.1.1_01\tAny\tab>>cd\tAny\n"
+    )
+    (d / "EnzymaticCoreactants.tsv").write_text("ATP\tatp\tatp\n")
+
+    rules_p, co_p, name = bnice_paths(str(tmp_path / "ruleset"))
+    assert name == "BNICE"
+    df, rules = read_rules_tsv(spark, rules_p)
+    assert len(rules) == 1 and rules[0].name == "1.1.1_01"
+
+    monkeypatch.setenv("MINE_RULES_DIR", str(tmp_path / "ruleset"))
+    assert bnice_paths()[0] == rules_p
+
+    monkeypatch.delenv("MINE_RULES_DIR")
+    with _pytest.raises(FileNotFoundError, match="not configured"):
+        bnice_paths()
+    with _pytest.raises(FileNotFoundError, match="missing"):
+        bnice_paths(str(tmp_path))
+
+
 def test_peak_file_readers(spark, tmp_path):
     from mine_database_spark.sources.readers import read_adducts, read_mgf, read_msp
 
