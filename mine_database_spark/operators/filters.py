@@ -330,6 +330,52 @@ class DeterministicRTPredictor:
         return (int(hashlib.md5(smiles.encode()).hexdigest()[:8], 16) % 10000) / 10.0
 
 
+class DescriptorRidgeRTPredictor:
+    """Trainable pure-python RT model — the middle path between
+    DeterministicRTPredictor (hash fake) and the reference's
+    mordred→RandomForest stack (filters/metabolomics.py:335-381), which
+    needs mordred+sklearn, absent here.
+
+    fit() solves the closed-form ridge system (XᵀX + λI)w = Xᵀy with numpy
+    (public textbook math); the fitted object is a picklable
+    smiles → float callable, so it plugs into
+    MetabolomicsFilter(rt_predictor=...) unchanged. Descriptors are cheap
+    deterministic SMILES-text features (length, element/branch/ring/charge
+    token counts); swap `featurize` for real descriptors under RDKit.
+    """
+
+    _PATTERNS = ("C", "c", "O", "o", "N", "n", "S", "P", r"\(", r"\[", r"[0-9]", r"\+", "-", "=")
+
+    def __init__(self, alpha: float = 1.0):
+        self.alpha = alpha
+        self.w = None
+
+    def featurize(self, smiles: str) -> list[float]:
+        import re
+
+        s = smiles or ""
+        return [float(len(s))] + [float(len(re.findall(p, s))) for p in self._PATTERNS] + [1.0]
+
+    def fit(self, smiles_list, rts) -> "DescriptorRidgeRTPredictor":
+        import numpy as np
+
+        x = np.array([self.featurize(s) for s in smiles_list], dtype=float)
+        y = np.array(rts, dtype=float)
+        lam = self.alpha * np.eye(x.shape[1])
+        lam[-1, -1] = 0.0  # never shrink the bias
+        self.w = np.linalg.solve(x.T @ x + lam, x.T @ y)
+        return self
+
+    def __call__(self, smiles: str) -> float | None:
+        if self.w is None:
+            raise ValueError("DescriptorRidgeRTPredictor is unfitted: call fit() first")
+        if not smiles:
+            return None
+        import numpy as np
+
+        return float(np.dot(np.array(self.featurize(smiles)), self.w))
+
+
 class MetabolomicsFilter(BaseFilter):
     """F6 (filters/metabolomics.py:28-395): mass-window match, optionally
     gated by predicted retention time.

@@ -297,6 +297,65 @@ class FakePairFeasibilityScorer:
         return int(hashlib.md5(key).hexdigest()[:8], 16) / 2**32
 
 
+class LogisticPairFeasibilityScorer:
+    """Trainable pure-python feasibility model — the middle path between
+    FakePairFeasibilityScorer (hash noise) and the reference's VAE+DNN pair
+    model (feasibility.py:298-349), which needs torch/keras, absent here.
+
+    Features: hashing-trick character-trigram fingerprints (md5 % n_bits)
+    of reactant and product, paired as [fp(product) − fp(reactant), bias] —
+    the public difference-fingerprint idea. fit() runs full-batch logistic
+    gradient descent in numpy. The fitted object is a picklable
+    (reactant_smiles, product_smiles) → [0,1] callable, drop-in for
+    ReactionFeasibilityFilter(scorer=...).
+    """
+
+    def __init__(self, n_bits: int = 128, lr: float = 0.5, n_iter: int = 400, l2: float = 1e-3):
+        self.n_bits = n_bits
+        self.lr = lr
+        self.n_iter = n_iter
+        self.l2 = l2
+        self.w = None
+
+    def _fp(self, smiles: str):
+        import hashlib
+
+        import numpy as np
+
+        v = np.zeros(self.n_bits)
+        s = smiles or ""
+        for i in range(max(len(s) - 2, 0) + (1 if s else 0)):
+            g = s[i : i + 3]
+            v[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % self.n_bits] += 1.0
+        return v
+
+    def _x(self, reactant: str, product: str):
+        import numpy as np
+
+        return np.append(self._fp(product) - self._fp(reactant), 1.0)
+
+    def fit(self, pairs, labels) -> "LogisticPairFeasibilityScorer":
+        """pairs: [(reactant_smiles, product_smiles)], labels: 0/1."""
+        import numpy as np
+
+        x = np.array([self._x(r, p) for r, p in pairs])
+        y = np.array(labels, dtype=float)
+        w = np.zeros(x.shape[1])
+        for _ in range(self.n_iter):
+            z = 1.0 / (1.0 + np.exp(-(x @ w)))
+            grad = x.T @ (z - y) / len(y) + self.l2 * w
+            w -= self.lr * grad
+        self.w = w
+        return self
+
+    def __call__(self, reactant_smiles: str, product_smiles: str) -> float:
+        if self.w is None:
+            raise ValueError("LogisticPairFeasibilityScorer is unfitted: call fit() first")
+        import numpy as np
+
+        return float(1.0 / (1.0 + np.exp(-np.dot(self._x(reactant_smiles, product_smiles), self.w))))
+
+
 class ReactionFeasibilityFilter(ReactionScopedFilter):
     """F8 (filters/feasibility.py:102-502): per reactant×product pair
     feasibility; a reaction survives iff ANY pair scores >= threshold

@@ -636,6 +636,77 @@ def test_thermo_filter_with_group_contribution_scorer(spark):
     assert s2("r => good") < 0 < s2("r => bad")
 
 
+def test_descriptor_ridge_rt_predictor():
+    """X14 middle path: closed-form ridge over SMILES-text descriptors
+    recovers an exactly-linear RT law, pickles, and matches the
+    rt_predictor contract (None on empty, unfitted raises)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from mine_database_spark.operators.filters import DescriptorRidgeRTPredictor
+
+    train = ["CCO", "CCCC", "c1ccccc1", "CC(=O)O", "CCN", "O",
+             "CCCCCCCC", "c1ccncc1", "CC(C)C", "OCC(O)CO"]
+    # ground truth exactly linear in two featurize() columns: len and C-count
+    true_rt = lambda s: 3.0 * len(s) + 7.0 * s.count("C") + 42.0
+    model = DescriptorRidgeRTPredictor(alpha=1e-9).fit(train, [true_rt(s) for s in train])
+    for s in ["CCCO", "c1ccccc1C", "CCCCC"]:
+        assert abs(model(s) - true_rt(s)) < 1e-3, s
+
+    clone = pickle.loads(pickle.dumps(model))
+    assert clone("CCCO") == model("CCCO")
+    assert model("") is None
+    with _pytest.raises(ValueError, match="unfitted"):
+        DescriptorRidgeRTPredictor()("CC")
+
+
+def test_logistic_pair_feasibility_scorer(spark):
+    """X15 middle path: logistic regression over difference trigram
+    fingerprints separates a learnable toy rule (feasible iff the product
+    gains an 'N' motif) and drives ReactionFeasibilityFilter keep/drop."""
+    import pickle
+
+    from mine_database_spark.operators.heavy_filters import (
+        LogisticPairFeasibilityScorer,
+        ReactionFeasibilityFilter,
+    )
+    from mine_database_spark.schemas import COMPOUND_SCHEMA, REACTION_SCHEMA
+
+    pos = [("CCO", "CCNCC"), ("CCC", "CCNC"), ("COC", "CNCC"), ("OCC", "CCNO")]
+    neg = [("CCO", "CCOCC"), ("CCC", "CCSC"), ("COC", "COCC"), ("OCC", "CCOO")]
+    pairs = pos + neg
+    labels = [1] * len(pos) + [0] * len(neg)
+    scorer = LogisticPairFeasibilityScorer(n_bits=64).fit(pairs, labels)
+    for r, p in pos:
+        assert scorer(r, p) > 0.5, (r, p)
+    for r, p in neg:
+        assert scorer(r, p) < 0.5, (r, p)
+    clone = pickle.loads(pickle.dumps(scorer))
+    assert clone(*pos[0]) == scorer(*pos[0])
+
+    b = get_backend()
+
+    def cpd(cid, smi, typ, gen):
+        return (cid, cid, smi, b.inchi_key(smi), typ, gen, b.formula(smi),
+                b.atom_count(smi), True, None)
+
+    cpds = spark.createDataFrame(
+        [cpd("C0r", "CCO", "Starting Compound", 0),
+         cpd("C1y", "CCNCC", "Predicted", 1),
+         cpd("C2n", "CCOCC", "Predicted", 1)],
+        COMPOUND_SCHEMA,
+    )
+    rxns = spark.createDataFrame(
+        [("Ry", [{"stoich": 1, "c_id": "C0r"}], [{"stoich": 1, "c_id": "C1y"}], ["r"], "CCO>>CCNCC"),
+         ("Rn", [{"stoich": 1, "c_id": "C0r"}], [{"stoich": 1, "c_id": "C2n"}], ["r"], "CCO>>CCOCC")],
+        REACTION_SCHEMA,
+    )
+    filt = ReactionFeasibilityFilter(threshold=0.5, scorer=scorer, use_wildcards=False)
+    _, rxns_out = filt.apply(cpds, rxns, generation=1)
+    assert {r["_id"] for r in rxns_out.collect()} == {"Ry"}
+
+
 def test_feasibility_filter_cascade_and_fallbacks(spark):
     """ReactionFeasibilityFilter keeps a reaction iff any reactant x product
     pair scores >= threshold; unpredictable reactions (oversized SMILES) fall
