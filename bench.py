@@ -48,6 +48,7 @@ HEADLINE = [
     "quality_rules",
     "pii_scan",
     "token_stats",
+    "contamination_check",
     "ann_cosine_topk",
     "spectral_cosine",
     "model_jaccard",

@@ -1188,6 +1188,120 @@ GROUP BY source
 """
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination scan (the GPT-3/Pile-style n-gram overlap
+    audit): each held-out doc (source 'src0' plays the eval split) reports
+    how many of its distinct word 8-gram shingles occur anywhere in the
+    training split (every other source), plus the contamination rate.
+
+    Scale: both sides reduce to md5 shingle hashes inside the row (array
+    expressions, no explode before dedup); the train side dedups to a
+    distinct-hash set with map-side combine, the small eval side broadcasts
+    into the probe join, and output is O(eval docs). The train corpus is
+    never shuffled wider than its distinct shingles.
+    """
+    from mine_database_spark.functions.text import word_shingles
+
+    k = 8
+    (d,) = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(tokens(F.col("text")), k), F.md5)
+            )
+        ).alias("h"),
+    )
+    train = sh.where(F.col("source") != "src0").select("h").distinct()
+    ev = sh.where(F.col("source") == "src0").select("doc_id", "h")
+    hits = train.join(F.broadcast(ev), "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    per_doc = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    base = d.where(F.col("source") == "src0").select("doc_id")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared") / F.col("n_shingles"), F.lit(0.0)), 6
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+_Q_CONTAMINATION_SQL = """
+WITH tok AS (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+pos AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tok WHERE len(toks) >= 8),
+g AS (SELECT DISTINCT doc_id, source, md5(array_to_string(toks[i:i + 7], ' ')) AS h FROM pos),
+train AS (SELECT DISTINCT h FROM g WHERE source <> 'src0'),
+ev AS (SELECT doc_id, h FROM g WHERE source = 'src0'),
+cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+hit AS (SELECT ev.doc_id, COUNT(*) AS n_shared FROM ev JOIN train USING (h) GROUP BY ev.doc_id)
+SELECT b.doc_id,
+       CAST(COALESCE(cnt.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(hit.n_shared, 0) AS BIGINT) AS n_shared,
+       round(COALESCE(CAST(hit.n_shared AS DOUBLE) / cnt.n_shingles, 0.0), 6) AS contamination_rate
+FROM (SELECT doc_id FROM documents WHERE source = 'src0') b
+LEFT JOIN cnt USING (doc_id)
+LEFT JOIN hit USING (doc_id)
+"""
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: the top-100 corpus tokens by frequency (ties
+    broken lexically) form the vocab; each doc reports its token count and
+    out-of-vocabulary fraction — the tokenizer-coverage health metric run
+    before training.
+
+    Scale: the frequency aggregation map-side combines to O(vocabulary);
+    top-100 sorts that tiny table; the vocab broadcasts into the per-token
+    probe, and the per-doc aggregation shuffles O(docs).
+    """
+    (d,) = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(100)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+_Q_VOCAB_OOV_SQL = """
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+vocab AS (SELECT tok FROM freq ORDER BY cnt DESC, tok LIMIT 100)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: similarity search over embeddings
 
@@ -1910,6 +2024,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
+    "contamination_check": q_contamination_check,
+    "vocab_oov": q_vocab_oov,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1963,6 +2079,8 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": _Q_TFIDF_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,
+    "contamination_check": _Q_CONTAMINATION_SQL,
+    "vocab_oov": _Q_VOCAB_OOV_SQL,
     "ann_cosine_topk": _Q_ANN_SQL,
     "embed_neardup": _Q_EMBED_NEARDUP_SQL,
     "embed_neardup_lsh": _Q_EMBED_NEARDUP_LSH_SQL,
