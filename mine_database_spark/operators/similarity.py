@@ -108,6 +108,26 @@ def kmeans_codebook(
     return cent_row
 
 
+def _ranked_lists(col):
+    """[(dot score, cid)] over the broadcast `__cents` codebook column,
+    sorted score-desc — struct comparison orders by the first field."""
+    return F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("__cents"),
+                lambda ct: F.struct(
+                    F.aggregate(
+                        F.zip_with(col, ct["cv"], lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("s"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,37 +168,90 @@ def ivf_topk(
         .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))
     )
 
-    def ranked_lists(col):
-        # [(score, cid)] sorted desc — struct comparison orders by score first
-        return F.reverse(
-            F.array_sort(
-                F.transform(
-                    F.col("__cents"),
-                    lambda ct: F.struct(
-                        F.aggregate(
-                            F.zip_with(col, ct["cv"], lambda a, b: a * b),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ).alias("s"),
-                        ct["cid"].alias("cid"),
-                    ),
-                )
-            )
-        )
-
     assigned = (
         c.crossJoin(F.broadcast(cent_row))
-        .withColumn("list_id", ranked_lists(F.col("v"))[0]["cid"])
+        .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
         .drop("__cents")
     )
     probes = (
         q.crossJoin(F.broadcast(cent_row))
-        .withColumn("probe", F.explode(F.slice(ranked_lists(F.col("qv")), 1, n_probe)))
+        .withColumn("probe", F.explode(F.slice(_ranked_lists(F.col("qv")), 1, n_probe)))
         .select("query_id", "qv", F.col("probe.cid").alias("list_id"))
     )
 
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def write_ivf_partitioned(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF layout: corpus parquet PARTITIONED BY list_id
+    (one directory per inverted list) plus the one-row codebook — the
+    100 TB serving arrangement ivf_topk's docstring points at. A probe for
+    n_probe lists then reads n_probe/n_centroids of the files instead of
+    scanning the corpus; ivf_topk_partitioned shows the pruned plan.
+
+    Assignment is the same broadcast-codebook argmax projection as
+    ivf_topk (no shuffle); partitionBy adds the standard write-side
+    fan-out. At 100 TB raise n_centroids so single lists stay under the
+    file-size sweet spot and sort within partitions by vec_id for
+    min-max pruning on id lookups."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    cent_row = codebook if codebook is not None else (
+        c.orderBy("vec_id")
+        .limit(n_centroids)
+        .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent_row))
+        .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
+        .drop("__cents")
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/corpus")
+    cent_row.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a write_ivf_partitioned layout with PARTITION
+    PRUNING: the probe list ids are resolved first (one tiny action over the
+    broadcast codebook — queries are an interactive batch, not a table) and
+    pushed as a literal IN filter, so the corpus scan reads only the probed
+    list directories (`PartitionFilters` in the plan; gated in tests).
+    Candidate scoring matches ivf_topk exactly for the same codebook."""
+    cent_row = spark.read.parquet(f"{path}/codebook")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_row))
+        .withColumn("probe", F.explode(F.slice(_ranked_lists(F.col("qv")), 1, n_probe)))
+        .select("query_id", "qv", F.col("probe.cid").alias("list_id"))
+    )
+    probe_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    corpus = spark.read.parquet(f"{path}/corpus").where(F.col("list_id").isin(probe_ids))
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
     )

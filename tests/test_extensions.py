@@ -226,6 +226,38 @@ def test_winnow_shuffle_free_matches_window_form(spark):
     assert sum(1 for i, _ in fast_e if i == 6) == 1
 
 
+def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    """write_ivf_partitioned + ivf_topk_partitioned: the corpus scan reads
+    ONLY the probed list directories (PartitionFilters pruning) and returns
+    exactly what in-memory ivf_topk returns for the same codebook/probes."""
+    from mine_database_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        write_ivf_partitioned,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 2)
+    layout = str(tmp_path / "ivf")
+    write_ivf_partitioned(e, layout, n_centroids=16)
+
+    got = ivf_topk_partitioned(spark, layout, q, k=10, n_probe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "list_id" in pf and " IN " in pf, pf
+
+    want = {(r["query_id"], r["rank"], r["vec_id"], r["score"])
+            for r in ivf_topk(e, q, k=10, n_probe=4).collect()}
+    have = {(r["query_id"], r["rank"], r["vec_id"], r["score"]) for r in got.collect()}
+    assert have == want
+
+    # pruning is real: the layout holds more lists than the probe filter
+    # names (2 queries × 4 probes ≤ 8 < 16)
+    all_lists = spark.read.parquet(layout + "/corpus").select("list_id").distinct().count()
+    n_probed = len(pf.split(" IN (")[1].split(")")[0].split(","))
+    assert all_lists > 8 >= n_probed, (n_probed, all_lists)
+
+
 def test_connected_components_known_graph(spark):
     """Two chains and a triangle with a shared node; labels must converge to
     the component minimum regardless of propagation order."""

@@ -67,6 +67,15 @@ def test_exact_dedup_single_shuffle(spark, sf_smoke):
     assert plan.count("Exchange") == 1
 
 
+def test_contamination_check_broadcast_probe(spark, sf_smoke):
+    """The decontamination scan must broadcast the tiny eval side into the
+    probe join (and the final per-doc joins) — never sort-merge the train
+    shingle set."""
+    plan = plan_str(QUERIES["contamination_check"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+
+
 def test_winnow_fingerprints_zero_shuffle(spark, sf_smoke):
     """Winnowing is per-document, so the plan must be scan → project →
     generate with NO Exchange at all (the window form shuffles one row per
