@@ -319,8 +319,10 @@ class DeterministicRTPredictor:
     """Deterministic fake RT model (md5-derived seconds in [0, 1000)) — the
     stand-in for the reference's mordred→RandomForest pipeline
     (filters/metabolomics.py:335-381). Any picklable callable
-    smiles → Optional[float] plugs in the same way; a broadcast sklearn
-    regressor wrapper is the production drop-in."""
+    smiles → Optional[float] plugs in the same way;
+    DescriptorRidgeRTPredictor is the shipped trainable dependency-free
+    choice, and a broadcast sklearn regressor wrapper is the production
+    drop-in."""
 
     def __call__(self, smiles: str) -> float | None:
         import hashlib

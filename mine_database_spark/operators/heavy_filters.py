@@ -246,9 +246,11 @@ class ThermoFilter(ReactionScopedFilter):
     """F7 (filters/thermodynamics.py:17-160): drop reactions with
     ΔG′ >= dg_max (":157-158 keep iff rxn_dg < dg_max").
 
-    `scorer` is any picklable callable smiles_rxn → ΔG′ in kJ/mol. Without
-    one, constructing requires the eQuilibrator stack — the same dependency
-    gate as the reference (thermodynamics.py:5, pickaxe_run_template.py:33).
+    `scorer` is any picklable callable smiles_rxn → ΔG′ in kJ/mol —
+    GroupContributionDGScorer is the shipped dependency-free choice
+    (FakeDGScorer for tests). Without one, constructing requires the
+    eQuilibrator stack — the same dependency gate as the reference
+    (thermodynamics.py:5, pickaxe_run_template.py:33).
     The pH/I/pMg knobs parameterize the real scorer; they ride along so an
     equilibrator-backed scorer sees the same signature as the reference.
     """
@@ -365,8 +367,10 @@ class ReactionFeasibilityFilter(ReactionScopedFilter):
     no predictable pair keeps iff use_unpredicted, or if use_wildcards and
     a '*' appears in any of its compounds (:269-289).
 
-    `scorer`: picklable (reactant_smiles, product_smiles) → score in [0,1].
-    Without one, constructing requires torch/keras — the reference's gate.
+    `scorer`: picklable (reactant_smiles, product_smiles) → score in [0,1] —
+    LogisticPairFeasibilityScorer is the shipped trainable dependency-free
+    choice. Without one, constructing requires torch/keras — the
+    reference's gate.
     """
 
     filter_name = "Feasibility"
