@@ -225,6 +225,22 @@ def test_winnow_shuffle_free_matches_window_form(spark):
     assert ids == {3, 6}, fast_e
     assert sum(1 for i, _ in fast_e if i == 6) == 1
 
+    # seeded fuzz incl. multi-byte chars: the forms build grams differently
+    # (split-chars + lead/concat vs substr), so unicode indexing must agree
+    import random
+    import string
+
+    random.seed(11)
+    alphabet = string.ascii_letters + string.digits + " .,!?-—über日本語αβ"
+    fuzz = spark.createDataFrame(
+        [(i, "".join(random.choice(alphabet) for _ in range(random.randint(0, 30))))
+         for i in range(300)],
+        "doc_id int, text string",
+    )
+    fa = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints(fuzz).collect()}
+    fb = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints_window(fuzz).collect()}
+    assert fa == fb and len(fa) > 500
+
 
 def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
     """write_ivf_partitioned + ivf_topk_partitioned: the corpus scan reads
