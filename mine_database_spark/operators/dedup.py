@@ -242,18 +242,18 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     amplification that becomes the bottleneck at 100 TB.
     """
     t = F.col(text_col)
-    n_grams = F.length(t) - F.lit(k - 1)
     empty = F.array().cast("array<bigint>")
+    # overlapping k-grams in ONE linear regex pass (lookahead capture;
+    # (?s) keeps newline-crossing grams). The indexed t.substr(i, k) form
+    # is QUADRATIC in doc length — UTF8String substring re-scans from the
+    # start for char offsets (measured: 20x longer docs → ~400x slower);
+    # the regex scan measured 2x faster at sf0.1 and exactly linear.
+    grams = F.regexp_extract_all(t, F.lit(f"(?s)(?=(.{{{k}}}))."), 1)
     hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10).cast("bigint"),
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
     )
-    # CaseWhen evaluates lazily per row, so sequence() never sees an
-    # upper bound < 1 (sequence(1, 0) would count DOWN, not empty out)
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(n_grams >= 1, hashes).otherwise(empty).alias("__hs"),
-    )
+    d = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("__hs"))
     n_wins = F.size(F.col("__hs")) - F.lit(w - 1)
     # least(element_at...) instead of array_min(slice...): no per-window
     # array allocation (~10% faster; HOF lambdas evaluate interpreted, so
