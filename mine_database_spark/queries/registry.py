@@ -1194,35 +1194,39 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many of its distinct word 8-gram shingles occur anywhere in the
     training split (every other source), plus the contamination rate.
 
-    Scale: both sides reduce to md5 shingle hashes inside the row (array
-    expressions, no explode before dedup); the train side dedups to a
-    distinct-hash set with map-side combine, the small eval side broadcasts
-    into the probe join, and output is O(eval docs). The train corpus is
-    never shuffled wider than its distinct shingles.
+    Scale: SINGLE pass over the corpus — per-doc-distinct shingles explode
+    once, then one per-shingle aggregation carries both splits at once
+    (collect_set of the eval docs touching the shingle — bounded by the
+    eval-set size by construction — plus a train-presence flag, map-side
+    combined). Non-eval shingles drop before the tiny per-doc rollup, so
+    output is O(eval docs) and the corpus text is scanned exactly once
+    (the doc_id base list re-reads one pruned column).
     """
     from mine_database_spark.functions.text import word_shingles
 
     k = 8
     (d,) = _t(spark, sf_dir, "documents")
-    sh = d.select(
+    g = d.select(
         "doc_id",
         "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(word_shingles(tokens(F.col("text")), k), F.md5)
-            )
-        ).alias("h"),
+        F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), k))).alias("h"),
     )
-    train = sh.where(F.col("source") != "src0").select("h").distinct()
-    ev = sh.where(F.col("source") == "src0").select("doc_id", "h")
-    hits = train.join(F.broadcast(ev), "h").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
+    byh = (
+        g.groupBy("h")
+        .agg(
+            F.collect_set(F.when(F.col("source") == "src0", F.col("doc_id"))).alias("ev_docs"),
+            F.max(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("in_train"),
+        )
+        .where(F.size("ev_docs") > 0)
     )
-    per_doc = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    per_doc = (
+        byh.select(F.explode("ev_docs").alias("doc_id"), "in_train")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), F.sum("in_train").alias("n_shared"))
+    )
     base = d.where(F.col("source") == "src0").select("doc_id")
     return (
         base.join(per_doc, "doc_id", "left")
-        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),

@@ -67,13 +67,16 @@ def test_exact_dedup_single_shuffle(spark, sf_smoke):
     assert plan.count("Exchange") == 1
 
 
-def test_contamination_check_broadcast_probe(spark, sf_smoke):
-    """The decontamination scan must broadcast the tiny eval side into the
-    probe join (and the final per-doc joins) — never sort-merge the train
-    shingle set."""
+def test_contamination_check_single_text_scan(spark, sf_smoke):
+    """The decontamination scan reads the corpus TEXT exactly once (the
+    doc_id base list re-reads a pruned column), never sort-merges, and
+    broadcasts only the final tiny per-doc join."""
     plan = plan_str(QUERIES["contamination_check"](spark, sf_smoke), mode="simple")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("BroadcastHashJoin") == 1
+    full = plan_str(QUERIES["contamination_check"](spark, sf_smoke))
+    n_text_scans = sum("text" in seg.splitlines()[0] for seg in full.split("ReadSchema: ")[1:])
+    assert n_text_scans == 1, full
 
 
 def test_winnow_fingerprints_zero_shuffle(spark, sf_smoke):
