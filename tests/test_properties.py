@@ -98,6 +98,34 @@ def test_run_reaction_enumerates_every_match_position(sub, pat, repl):
         assert products == [sub[:pos] + repl + sub[pos + len(pat):]]
 
 
+@given(
+    dgf=st.lists(st.floats(-500, 500), min_size=1, max_size=4),
+    n_h=st.lists(st.integers(0, 10), min_size=1, max_size=4),
+    z=st.lists(st.integers(-3, 3), min_size=1, max_size=4),
+    ph=st.floats(0, 14),
+    ii=st.floats(0, 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_dg_scorer_antisymmetry_and_ph_monotonicity(dgf, n_h, z, ph, ii):
+    """ΔG′(A=>B) == −ΔG′(B=>A) for any table/conditions, and for a
+    net-proton-producing direction the ΔG′ rises linearly with pH at
+    RTln10 per proton (the Legendre transform, exactly)."""
+    from mine_database_spark.operators.heavy_filters import GroupContributionDGScorer
+
+    m = min(len(dgf), len(n_h), len(z))
+    names = [f"M{i}" for i in range(m)]
+    table = {names[i]: (dgf[i], n_h[i], z[i]) for i in range(m)}
+    s = GroupContributionDGScorer(table=table, p_h=ph, ionic_strength=ii)
+    lhs, rhs = names[0], " + ".join(names[1:]) or names[0]
+    fwd, rev = s(f"{lhs} => {rhs}"), s(f"{rhs} => {lhs}")
+    assert abs(fwd + rev) < 1e-6
+
+    s2 = GroupContributionDGScorer(table=table, p_h=ph + 1.0, ionic_strength=ii)
+    net_h = sum(table[n][1] for n in ([rhs] if rhs == names[0] else names[1:])) - table[lhs][1]
+    expect_delta = net_h * GroupContributionDGScorer.RT_LN10
+    assert abs((s2(f"{lhs} => {rhs}") - fwd) - expect_delta) < 1e-6
+
+
 def test_reaction_hash_order_invariant(spark):
     """'R'+sha256 equation hash must not depend on array order
     (utils.py:324-379 canonical sort semantics)."""
