@@ -79,6 +79,15 @@ def test_contamination_check_single_text_scan(spark, sf_smoke):
     assert n_text_scans == 1, full
 
 
+def test_vocab_oov_broadcasts_vocab(spark, sf_smoke):
+    """The top-100 vocabulary must broadcast into the per-token probe —
+    never a sort-merge join on the token stream."""
+    plan = plan_str(QUERIES["vocab_oov"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 without a full vocab sort
+
+
 def test_winnow_fingerprints_zero_shuffle(spark, sf_smoke):
     """Winnowing is per-document, so the plan must be scan → project →
     generate with NO Exchange at all (the window form shuffles one row per
