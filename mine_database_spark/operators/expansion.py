@@ -46,10 +46,21 @@ from mine_database_spark.schemas import COMPOUND_SCHEMA, STOICH_SCHEMA
 # identity (X1/X2, utils.py:115-164 & 324-379 semantics)
 
 
-def compound_id(inchi_key: str, ctype: str = "Predicted") -> str:
-    """Type prefix + sha1 of the structure-identity block of the InChIKey."""
+def compound_id(
+    inchi_key: str, ctype: str = "Predicted", inchi_blocks: int = 1,
+    smiles: str | None = None,
+) -> str:
+    """Type prefix + sha1 of the structure-identity block(s) of the
+    InChIKey (reference utils.py:115-165 get_compound_hash): by default the
+    first block (structural skeleton); inchi_blocks=2 also hashes the
+    stereo/isotope block. Wildcard compounds ('*' in SMILES) hash the raw
+    SMILES instead — wildcards have no meaningful InChIKey (reference
+    :152-153)."""
     prefix = {"Coreactant": "X", "Target Compound": "T"}.get(ctype, "C")
-    block = (inchi_key or "").split("-")[0]
+    if smiles is not None and "*" in smiles:
+        block = smiles
+    else:
+        block = (inchi_key or "").rsplit("-", 3 - inchi_blocks)[0]
     return prefix + hashlib.sha1(block.encode()).hexdigest()
 
 
@@ -217,7 +228,7 @@ def _make_expand_fn(
                                     valid = False
                                     break
                                 ikey = backend.inchi_key(psmi)
-                                pid = compound_id(ikey, "Predicted")
+                                pid = compound_id(ikey, "Predicted", smiles=psmi)
                                 p_occ.append((pid, psmi))
                                 new_cpds.append((pid, psmi, ikey))
                                 p_smiles.append(psmi)
@@ -347,7 +358,7 @@ class NetworkExpansion:
                     if "n" in csmi:
                         csmi = backend.postsanitize(csmi)
                     ikey = backend.inchi_key(csmi)
-                    out["_id"].append(compound_id(ikey, "Starting Compound"))
+                    out["_id"].append(compound_id(ikey, "Starting Compound", smiles=csmi))
                     out["id"].append(name)
                     out["smiles"].append(csmi)
                     out["inchi_key"].append(ikey)

@@ -55,7 +55,7 @@ def read_coreactants_tsv(spark: SparkSession, path: str) -> dict[str, tuple[str,
         csmi = backend.canonical_smiles(smiles)
         if not csmi:
             continue
-        out[name] = (csmi, compound_id(backend.inchi_key(csmi), "Coreactant"))
+        out[name] = (csmi, compound_id(backend.inchi_key(csmi), "Coreactant", smiles=csmi))
     return out
 
 
@@ -68,9 +68,17 @@ def read_compound_list(spark: SparkSession, path: str, id_field: str = "id") -> 
     header is inspected driver-side to sniff the structure column. __pos is
     the file-order position so first-occurrence-wins dedup downstream
     matches the reference's sequential loop; sanitization happens
-    executor-side in NetworkExpansion.starting_compounds_df."""
-    sep = "\t" if path.endswith((".tsv", ".txt")) else ","
-    df = spark.read.option("sep", sep).option("header", True).csv(path)
+    executor-side in NetworkExpansion.starting_compounds_df.
+
+    Formats as the reference (utils.py:84-94): .tsv/.txt → tab CSV,
+    .json → a JSON array of objects (multiLine) or JSON-lines, else CSV."""
+    if path.endswith(".json"):
+        df = spark.read.option("multiLine", True).json(path)
+        if not df.columns or df.columns == ["_corrupt_record"]:
+            df = spark.read.json(path)  # JSON-lines fallback
+    else:
+        sep = "\t" if path.endswith((".tsv", ".txt")) else ","
+        df = spark.read.option("sep", sep).option("header", True).csv(path)
     cols = {c.lower(): c for c in df.columns}
     struct_col = next((cols[c] for c in ("smiles", "structure", "inchi") if c in cols), None)
     if struct_col is None:
@@ -237,6 +245,87 @@ def read_mzxml(spark: SparkSession, path: str, charge: str = "+") -> DataFrame:
                 yield pd.DataFrame(out)
 
     return raw.mapInPandas(parse, PEAK_SCHEMA)
+
+
+# SMARTS feature vocabulary for rule inclusion/exclusion (reference
+# rules.py:12-25 pattern_dictionary — public regex vocabulary over atomic
+# numbers in mapped SMARTS)
+RULE_FEATURE_PATTERNS = {
+    "aromatic": r":\[|\]:",
+    "aromatic_oxygen": r"^\[#6:\d+\]:|\[#6:\d+\]:|\[#6:\d+\]\d:|\[#6:\d+\]:\d",
+    "carbonyl": r"=\[#8:\d\]|\[#8:\d\]=",
+    "nitrogen": r"\[#7:\d+\]",
+    "oxygen": r"\[#8:\d+\]",
+    "fluorine": r"\[#9:\d+\]",
+    "phosphorus": r"\[#15:\d+\]",
+    "sulfur": r"\[#16:\d+\]",
+    "chlorine": r"\[#17:\d+\]",
+    "bromine": r"\[#35:\d+\]",
+    "iodine": r"\[#53:\d+\]",
+    "halogen": r"\[#(9|17|35|53):\d+\]",
+}
+
+
+def rules_select_generalized(
+    rules_df: DataFrame,
+    n_rules: int | None = None,
+    fraction_coverage: float | None = None,
+    anaerobic: bool = False,
+    include_containing: list[str] | None = None,
+    exclude_containing: list[str] | None = None,
+    base_name: str = "Metacyc_generalized",
+) -> tuple[DataFrame, str]:
+    """S6 full selection semantics (reference rules.py:28-211
+    metacyc_generalized): feature include/exclude over the SMARTS via the
+    RULE_FEATURE_PATTERNS vocabulary, the anaerobic O2-reactant cut, then
+    top-N or fraction-coverage CDF restriction over the survivors, and the
+    reference's composed rule-name string. All filters are `rlike`
+    predicates pushed onto the (tiny, broadcastable) rules dimension.
+
+    Returns (selected rules DF, rule_name).
+    """
+    from pyspark.sql import Window
+
+    df = rules_df
+    name_append = ""
+    if anaerobic:
+        df = df.where(~F.col("reactants").rlike(r"^O2|;O2|O2;"))
+        name_append += "_anaerobic"
+    if include_containing:
+        unknown = set(include_containing) - set(RULE_FEATURE_PATTERNS)
+        if unknown:
+            raise ValueError(f"unknown rule features: {sorted(unknown)}")
+        pat = "|".join(RULE_FEATURE_PATTERNS[f] for f in include_containing)
+        df = df.where(F.col("smarts").rlike(pat))
+    if exclude_containing:
+        unknown = set(exclude_containing) - set(RULE_FEATURE_PATTERNS)
+        if unknown:
+            raise ValueError(f"unknown rule features: {sorted(unknown)}")
+        pat = "|".join(RULE_FEATURE_PATTERNS[f] for f in exclude_containing)
+        df = df.where(~F.col("smarts").rlike(pat))
+
+    if include_containing:
+        name_append += "_with_inclusion"
+    if exclude_containing:
+        name_append += "_with_exclusion"
+
+    if n_rules is not None:
+        df = rules_top_n(df, n_rules)
+        name = f"{base_name}_{n_rules}_rules"
+    elif fraction_coverage is not None:
+        order = [F.col("counts").desc_nulls_last(), F.col("name")]
+        w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy()
+        df = (
+            df.withColumn("__cum", F.sum("counts").over(w_cum))
+            .withColumn("__total", F.sum("counts").over(tot))
+            .where((F.col("__cum") - F.col("counts")) <= fraction_coverage * F.col("__total"))
+            .drop("__cum", "__total")
+        )
+        name = f"{base_name}_{fraction_coverage}_fraction_coverage".replace(".", ",")
+    else:
+        name = base_name
+    return df, name + name_append
 
 
 def bnice_paths(data_dir: str | None = None) -> tuple[str, str, str]:

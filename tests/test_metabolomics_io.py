@@ -111,6 +111,82 @@ def test_rules_readers(spark, tmp_path):
     assert co["ATP"][1].startswith("X")
 
 
+def test_compound_hash_blocks_and_wildcards():
+    """X1 parity vectors (reference tests/test_unit/test_utils.py:18-50 —
+    sha1 over InChIKey blocks needs no chemistry): 1-block vs 2-block
+    hashing and the wildcard-SMILES fallback."""
+    from mine_database_spark.operators.expansion import compound_id
+
+    ik = "LFQSCWFLJHTTHZ-UHFFFAOYSA-N"  # ethanol
+    assert compound_id(ik, "Coreactant") == "Xa41fe8492d86f214ba494e3d04da2f0854c0e2ea"
+    assert compound_id(ik, "Predicted") == "Ca41fe8492d86f214ba494e3d04da2f0854c0e2ea"
+    ik2 = "WQZGKKKJIJFFOK-DVKNGEFBSA-N"  # glucose
+    assert compound_id(ik2, "Starting Compound", inchi_blocks=2) == (
+        "Cf95a3c17f908e427c3127b4e8c3d8575c286d6ce"
+    )
+    assert compound_id(ik2, "Starting Compound", inchi_blocks=1) == (
+        "C9ab1a08d72c90a8167d1f3a668d8f1138e534a07"
+    )
+    # wildcard SMILES hash the raw SMILES, whatever the inchi key says
+    import hashlib
+
+    w = compound_id("IGNORED-KEY-N", "Predicted", smiles="CC(*)O")
+    assert w == "C" + hashlib.sha1(b"CC(*)O").hexdigest()
+    # no wildcard → smiles param is inert
+    assert compound_id(ik, "Predicted", smiles="CCO") == compound_id(ik, "Predicted")
+
+
+def test_compound_list_json(spark, tmp_path):
+    """S1/S2: .json seed lists (reference utils.py:84-94 file_to_dict_list
+    accepts JSON) — array-of-objects form, structure column sniffed."""
+    from mine_database_spark.sources.readers import read_compound_list
+
+    f = tmp_path / "seeds.json"
+    f.write_text(
+        '[{"id": "j1", "structure": "abcd", "name": "x"},'
+        ' {"id": "j2", "structure": "efgh", "name": "y"}]'
+    )
+    seeds = read_compound_list(spark, str(f))
+    rows = {r["id"]: r["structure"] for r in seeds.collect()}
+    assert rows == {"j1": "abcd", "j2": "efgh"}
+
+
+def test_rules_select_generalized(spark):
+    """S6 full selection semantics (reference rules.py:28-211): feature
+    include/exclude rlike vocabulary, anaerobic O2 cut, coverage CDF cut,
+    and the reference's composed rule-name strings."""
+    from mine_database_spark.sources.readers import rules_select_generalized
+
+    rows = [
+        # name, reactants, smarts, counts
+        ("r_arom", "Any", "[#6:1]:[#6:2]>>[#6:1]", 50),
+        ("r_halo", "Any", "[#17:1][#6:2]>>[#6:2]", 30),
+        ("r_oxy", "O2;Any", "[#8:1]=[#6:2]>>[#6:2]", 15),
+        ("r_plain", "Any", "[#6:1][#6:2]>>[#6:1]", 5),
+    ]
+    df = spark.createDataFrame(rows, "name string, reactants string, smarts string, counts int")
+
+    inc, name = rules_select_generalized(df, include_containing=["aromatic", "halogen"])
+    assert {r["name"] for r in inc.collect()} == {"r_arom", "r_halo"}
+    assert name == "Metacyc_generalized_with_inclusion"
+
+    exc, name = rules_select_generalized(
+        df, fraction_coverage=0.9, exclude_containing=["aromatic", "halogen"]
+    )
+    # survivors: r_oxy(15) + r_plain(5); CDF cut at 0.9 keeps both
+    assert {r["name"] for r in exc.collect()} == {"r_oxy", "r_plain"}
+    assert name == "Metacyc_generalized_0,9_fraction_coverage_with_exclusion"
+
+    ana, name = rules_select_generalized(df, n_rules=2, anaerobic=True)
+    assert {r["name"] for r in ana.collect()} == {"r_arom", "r_halo"}
+    assert name == "Metacyc_generalized_2_rules_anaerobic"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown rule features"):
+        rules_select_generalized(df, include_containing=["plutonium"])
+
+
 def test_bnice_static_paths(spark, tmp_path, monkeypatch):
     """S8: bnice_paths resolves the original-rules TSV pair against a
     configured data dir (arg or $MINE_RULES_DIR) and the rules path feeds
