@@ -83,12 +83,14 @@ def spectral_scores(
             # ε-tolerant sorted-merge alignment (metabolomics.py:463-514)
             ai = bi = 0
             dot = 0.0
+            n_match = 0
             na = float(np.dot(qi, qi))
             nb = float(np.dot(si, si))
             while ai < len(qmz) and bi < len(smz):
                 d = qmz[ai] - smz[bi]
                 if abs(d) <= tolerance:
                     dot += qi[ai] * si[bi]
+                    n_match += 1
                     ai += 1
                     bi += 1
                 elif d < 0:
@@ -96,8 +98,10 @@ def spectral_scores(
                 else:
                     bi += 1
             if metric == "jaccard":
-                matches = dot
-                return matches / (len(qmz) + len(smz) - matches) if (len(qmz) + len(smz) - matches) else 0.0
+                # reference metabolomics.py:435-460: |matched m/z pairs| /
+                # |union| — a COUNT, not the intensity product sum
+                denom = len(qmz) + len(smz) - n_match
+                return n_match / denom if denom else 0.0
             denom = (na * nb) ** 0.5
             return dot / denom if denom else 0.0
 

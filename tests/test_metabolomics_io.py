@@ -70,6 +70,25 @@ def test_spectral_scoring(spark):
     assert res["Cbbb"][0] == 0.0
 
 
+def test_spectral_scoring_reference_vectors(spark):
+    """X9/X11 exact parity vectors (reference
+    tests/test_unit/test_metabolomics.py:197-222): dot=0.90909 and
+    jaccard=0.5 for the same spectra pair at ε=0.01."""
+    from mine_database_spark.operators.metabolomics import spectral_scores
+
+    y = [{"mz": 10.011, "intensity": 10.0}, {"mz": 20.009, "intensity": 300.0},
+         {"mz": 25.0, "intensity": 100.0}]
+    df = spark.createDataFrame(
+        [("p1", "Cy", y)],
+        "peak_id string, _id string, spectra array<struct<mz:double,intensity:double>>",
+    )
+    x = [(10.0, 100.0), (20.0, 300.0), (25.0, 10.0)]
+    dot = spectral_scores(df, x, metric="dot", tolerance=0.01).collect()[0]["score"]
+    assert round(dot, 5) == 0.90909
+    jac = spectral_scores(df, x, metric="jaccard", tolerance=0.01).collect()[0]["score"]
+    assert jac == 0.5
+
+
 def test_score_compounds(spark, peaks, adducts, core):
     from mine_database_spark.operators.metabolomics import find_db_hits, score_compounds
 
