@@ -938,10 +938,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode rides the scan; one (doc_id, gram) partial-agg shuffle
     then a doc_id agg — both map-side combinable, no Python.
     """
-    from mine_database_spark.functions.text import word_shingles
+    from mine_database_spark.functions.text import word_shingle_strings
 
     (d,) = _t(spark, sf_dir, "documents")
-    g = d.select("doc_id", F.explode(word_shingles(tokens(F.col("text")), 2)).alias("gram"))
+    g = d.select("doc_id", F.explode(word_shingle_strings(F.col("text"), 2)).alias("gram"))
     per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     return (
         per.groupBy("doc_id")
@@ -1202,14 +1202,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is O(eval docs) and the corpus text is scanned exactly once
     (the doc_id base list re-reads one pruned column).
     """
-    from mine_database_spark.functions.text import word_shingles
+    from mine_database_spark.functions.text import word_shingle_strings
 
     k = 8
     (d,) = _t(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), k))).alias("h"),
+        F.explode(F.array_distinct(word_shingle_strings(F.col("text"), k))).alias("h"),
     )
     byh = (
         g.groupBy("h")

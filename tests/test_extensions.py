@@ -197,6 +197,32 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.8, recall
 
 
+def test_word_shingle_strings_matches_hof_form(spark):
+    """The one-pass regex word-shingle extractor must equal the
+    token-array slice/concat_ws form exactly, across k, whitespace runs,
+    short docs, and unicode tokens."""
+    import random
+
+    from mine_database_spark.functions.text import (
+        tokens,
+        word_shingle_strings,
+        word_shingles,
+    )
+
+    random.seed(5)
+    vocab = ["alpha", "beta", "γδ", "x1", "日本", "z"]
+    rows = [(0, ""), (1, "one"), (2, "  two   tokens  "), (3, "a b c"), (4, None)]
+    rows += [(i, " ".join(random.choice(vocab) for _ in range(random.randint(0, 12))))
+             for i in range(5, 200)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for k in (2, 3, 8):
+        a = {(r["doc_id"], r["s"]) for r in df.select(
+            "doc_id", F.explode(word_shingles(tokens(F.col("text")), k)).alias("s")).collect()}
+        b = {(r["doc_id"], r["s"]) for r in df.select(
+            "doc_id", F.explode(word_shingle_strings(F.col("text"), k)).alias("s")).collect()}
+        assert a == b, k
+
+
 def test_winnow_shuffle_free_matches_window_form(spark):
     """The shuffle-free array-expression winnowing must agree EXACTLY with
     the independent window-form twin on real corpus data, and handle the
