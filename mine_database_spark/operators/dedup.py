@@ -35,27 +35,20 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, k: int = 5,
                   distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) pairs — the inverted-index building block.
 
-    Built as posexplode + lead() window rather than
-    transform(sequence, slice) array expressions — the window form measured
-    ~7× faster (nested array slicing falls out of codegen) and shuffles once
-    on doc_id.
+    Shingles come from ONE linear regex pass per row
+    (word_shingle_strings), so gram construction needs NO shuffle at all —
+    the earlier posexplode + lead() window form shuffled every token on
+    doc_id before the grams even existed.
 
     Pass distinct=False when the consumer is duplicate-insensitive (e.g. a
     min-aggregate): the (doc_id, shingle) distinct is its own shuffle AND
-    breaks doc_id-partitioning reuse for a following groupBy(doc_id) —
-    skipping it removes two exchanges (measured 1.7× end-to-end on minhash).
+    breaks doc_id-partitioning reuse for a following groupBy(doc_id).
     """
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
-    sh = (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
-            leads[-1].alias("__guard"),
-        )
-        .where(F.col("__guard").isNotNull())
-        .select("doc_id", "shingle")
+    from mine_database_spark.functions.text import word_shingle_strings
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingle_strings(F.col(text_col), k)).alias("shingle"),
     )
     return sh.distinct() if distinct else sh
 
