@@ -49,6 +49,7 @@ HEADLINE = [
     "pii_scan",
     "token_stats",
     "contamination_check",
+    "url_stats",
     "ann_cosine_topk",
     "spectral_cosine",
     "model_jaccard",

@@ -1256,6 +1256,73 @@ LEFT JOIN hit USING (doc_id)
 """
 
 
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain analysis — the C4/RefinedWeb domain-filtering primitive:
+    per registrable domain, page count, distinct users, mean path depth,
+    and the https share. The synthetic corpus has no URLs, so each event
+    derives a deterministic URL in BOTH engines (the pii_scan pattern),
+    then the real extractors run: host from the URL, registrable domain
+    as the last two host labels, path-segment depth.
+
+    Scale: pure regexp scan + ONE map-side-combined aggregation keyed by
+    domain — the per-domain quality/blocklist rollup shape.
+    """
+    (e,) = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.when(F.col("event_id") % 4 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(F.col("event_id") % 3 == 0, F.lit("cdn.")).otherwise(F.lit("www.")),
+        F.lit("site"), (F.col("user_id") % 40).cast("string"),
+        F.lit(".example"),
+        F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+                     (F.col("event_id") % 3 + 1).cast("int")),
+        F.lit("/"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 2 == 0, F.concat(F.lit("/p/"), F.col("event_id").cast("string")))
+         .otherwise(F.lit("")),
+    )
+    u = e.select("user_id", url.alias("url"))
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    d = u.select(
+        "user_id",
+        "url",
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        (F.size(F.split(F.regexp_extract(F.col("url"), r"^https?://[^/]+(/.*)?$", 1), "/")) - 1)
+        .alias("depth"),
+        F.when(F.col("url").startswith("https://"), 1).otherwise(0).alias("is_https"),
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("depth"), 6).alias("avg_depth"),
+        F.round(F.avg("is_https"), 6).alias("https_share"),
+    )
+
+
+_Q_URL_STATS_SQL = """
+WITH u AS (
+  SELECT user_id,
+         (CASE WHEN event_id % 4 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN event_id % 3 = 0 THEN 'cdn.' ELSE 'www.' END)
+         || 'site' || CAST(user_id % 40 AS VARCHAR) || '.example'
+         || (['com', 'org', 'net'])[CAST(event_id % 3 + 1 AS INT)]
+         || '/' || event_type
+         || (CASE WHEN event_id % 2 = 0 THEN '/p/' || CAST(event_id AS VARCHAR) ELSE '' END)
+         AS url
+  FROM events
+),
+d AS (
+  SELECT user_id, url,
+         regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1), '([^.]+\\.[^.]+)$', 1) AS domain,
+         len(string_split(regexp_extract(url, '^https?://[^/]+(/.*)?$', 1), '/')) - 1 AS depth,
+         CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END AS is_https
+  FROM u
+)
+SELECT domain, COUNT(*) AS n_pages, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(AVG(depth), 6) AS avg_depth, round(AVG(is_https), 6) AS https_share
+FROM d GROUP BY domain
+"""
+
+
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage: the top-100 corpus tokens by frequency (ties
     broken lexically) form the vocab; each doc reports its token count and
@@ -2030,6 +2097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "contamination_check": q_contamination_check,
     "vocab_oov": q_vocab_oov,
+    "url_stats": q_url_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2085,6 +2153,7 @@ ORACLES: dict[str, str] = {
     "token_stats": _Q_TOKEN_STATS_SQL,
     "contamination_check": _Q_CONTAMINATION_SQL,
     "vocab_oov": _Q_VOCAB_OOV_SQL,
+    "url_stats": _Q_URL_STATS_SQL,
     "ann_cosine_topk": _Q_ANN_SQL,
     "embed_neardup": _Q_EMBED_NEARDUP_SQL,
     "embed_neardup_lsh": _Q_EMBED_NEARDUP_LSH_SQL,
