@@ -82,6 +82,47 @@ def stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def stream_contamination(
+    doc_stream: DataFrame,
+    train_shingles: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming decontamination: incoming docs are scored against a STATIC
+    train shingle set (one column `shingle`) as they arrive — the
+    stream-static join pattern (no state, no watermark; each doc's result
+    is final on arrival). Emits (doc_id, n_shingles, n_shared,
+    contamination_rate) in update mode via the per-doc aggregation.
+
+    Scale: the batch side explodes per-doc-distinct shingles inside the
+    row (same one-pass extractor as the batch query); the static side is a
+    plain DataFrame, so Spark plans a regular join per micro-batch with
+    all the usual strategies (broadcast if small, shuffle if not).
+    """
+    from mine_database_spark.functions.text import word_shingle_strings
+
+    sh = doc_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingle_strings(F.col(text_col), k))).alias("shingle"),
+    )
+    t = train_shingles.select("shingle").distinct().withColumn("__hit", F.lit(1))
+    joined = sh.join(t, "shingle", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("contamination_rate"),
+        )
+    )
+
+
 def annotate_peaks_foreach_batch(core_compounds: DataFrame, adducts: DataFrame, tolerance: float = 0.001):
     """Returns a foreachBatch function that annotates each micro-batch of
     peaks against the static compound dimension (SURVEY §2.11: J2 is

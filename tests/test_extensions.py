@@ -177,6 +177,39 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert 1 in survivors or 4 in survivors
 
 
+def test_stream_contamination(spark, tmp_path):
+    """Stream-static decontamination: a doc sharing an 8-gram with the
+    train set scores shared shingles on arrival; a clean doc scores 0."""
+    from mine_database_spark.functions.text import word_shingle_strings
+    from mine_database_spark.streaming.windows import stream_contamination
+
+    train_docs = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id int, text string"
+    )
+    train = train_docs.select(F.explode(word_shingle_strings(F.col("text"), 8)).alias("shingle"))
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # doc 1 contains the train 8-gram "b c d e f g h i"; doc 2 is disjoint
+    (src / "d.csv").write_text(
+        "1,x b c d e f g h i y\n2,q r s t u v w x y z\n"
+    )
+    stream = spark.readStream.schema("doc_id int, text string").csv(str(src))
+    q = (
+        stream_contamination(stream, train)
+        .writeStream.format("memory")
+        .queryName("contam_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    rows = {r["doc_id"]: (r["n_shingles"], r["n_shared"]) for r in
+            spark.sql("select * from contam_stream_test").collect()}
+    assert rows[1] == (3, 1), rows   # 10 tokens → 3 shingles; 1 shared
+    assert rows[2] == (3, 0), rows
+
+
 def test_ivf_ann_recall(spark):
     """IVF candidates must be a high-recall approximation of brute force and
     agree with it on scores for every returned pair."""
