@@ -865,6 +865,31 @@ def test_feasibility_filter_cascade_and_fallbacks(spark):
     assert rxns_wild.count() == 1
 
 
+def test_run_template_end_to_end(spark, tmp_path):
+    """examples/run_template.py (the reference's pickaxe_run_template
+    analogue) runs the full rules→seeds→filters→transform→write pipeline
+    on the toy fixture and leaves a loadable warehouse."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_template",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "run_template.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.run(out_dir=str(tmp_path / "out"))
+    # fadh 'abab' + nadh 'ababab' through ab>>cd (+ cd>>ef chain) for 2 gens
+    assert res["n_compounds"] > 6 and res["n_reactions"] > 4, res
+
+    from mine_database_spark.sources.writers import load_warehouse
+
+    cpds, rxns, edges = load_warehouse(spark, str(tmp_path / "out" / "warehouse"))
+    assert cpds.count() == res["n_compounds"]
+    assert rxns.count() == res["n_reactions"]
+    assert edges.count() > 0
+
+
 def test_kbase_export_and_targets_sink(spark, network, tmp_path):
     """S19 KBase TSV pair: cofactor compounds excluded, equations rendered
     '(stoich) id' with X ids rewritten to C, fixed direction/compartment
