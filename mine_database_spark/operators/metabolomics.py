@@ -61,11 +61,14 @@ def spectral_scores(
     hits_with_spectra: DataFrame,
     query_ms2: list[tuple[float, float]],
     metric: str = "dot",
-    tolerance: float = 0.05,
+    tolerance: float = 0.01,
     spectra_col: str = "spectra",
 ) -> DataFrame:
     """X9-X11: ε-tolerant two-pointer spectral alignment scored per hit,
-    then per-peak ranking (W3). Query spectrum is broadcast into the UDF."""
+    then per-peak ranking (W3). Query spectrum is broadcast into the UDF.
+    Default tolerance matches the reference's standalone dot_product/jaccard
+    epsilon (metabolomics.py:404,435 = 0.01); score_stored_spectra keeps the
+    reference's score_isomers default (0.005, :640)."""
     q = sorted(query_ms2)
 
     @F.pandas_udf("double")
