@@ -145,9 +145,12 @@ class BaseFilter:
 # F1: molecular weight window (filters/property.py:17-99)
 
 class MWFilter(BaseFilter):
+    """F1 (filters/property.py:41-58): a None bound means UNBOUNDED on that
+    side, exactly as the reference."""
+
     filter_name = "MW"
 
-    def __init__(self, min_mw: float = 0.0, max_mw: float = 10000.0):
+    def __init__(self, min_mw: float | None = None, max_mw: float | None = None):
         self.min_mw, self.max_mw = min_mw, max_mw
 
     def choose(self, cands: DataFrame, generation: int) -> DataFrame:
@@ -158,9 +161,13 @@ class MWFilter(BaseFilter):
             b = get_backend()
             return smiles.map(b.exact_mol_wt)
 
-        return cands.select(
-            "_id", mw(F.col("smiles")).between(self.min_mw, self.max_mw).alias("keep")
-        )
+        m = mw(F.col("smiles"))
+        keep = F.lit(True)
+        if self.min_mw is not None:
+            keep = keep & (m >= self.min_mw)
+        if self.max_mw is not None:
+            keep = keep & (m <= self.max_mw)
+        return cands.select("_id", keep.alias("keep"))
 
 
 # ---------------------------------------------------------------------------
