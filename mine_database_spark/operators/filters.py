@@ -174,16 +174,26 @@ class MWFilter(BaseFilter):
 # F2: per-element atom-count ranges (filters/property.py:102-189)
 
 class AtomicCompositionFilter(BaseFilter):
+    """F2 (filters/property.py:123-189). Reference semantics, exactly:
+    a constraint applies only to elements PRESENT in the compound (a
+    compound lacking a constrained element passes that constraint — the
+    reference iterates the compound's own atom_count), and falsy range
+    endpoints default to 0 / 10^5 (`range[0] or 0`, `range[1] or 10**5`,
+    including the quirk that an explicit 0 upper bound means unbounded)."""
+
     filter_name = "AtomicComposition"
 
-    def __init__(self, ranges: dict[str, tuple[int, int]]):
+    def __init__(self, ranges: dict[str, tuple[int | None, int | None]]):
         self.ranges = ranges
 
     def choose(self, cands: DataFrame, generation: int) -> DataFrame:
         cond = F.lit(True)
         for el, (lo, hi) in self.ranges.items():
-            cnt = F.coalesce(F.col("atom_count").getItem(el), F.lit(0))
-            cond = cond & cnt.between(lo, hi)
+            cnt = F.col("atom_count").getItem(el)
+            lo_v, hi_v = (lo or 0), (hi or 10**5)
+            cond = cond & F.when(cnt.isNull(), F.lit(True)).otherwise(
+                cnt.between(lo_v, hi_v)
+            )
         return cands.select("_id", cond.alias("keep"))
 
 

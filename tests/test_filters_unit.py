@@ -15,22 +15,31 @@ def _cpd(cid, smiles, atom_count, gen=1, ctype="Predicted", expand=True):
 
 
 def test_atomic_composition_filter(spark):
-    """F2 (filters/property.py:102-189): keep iff every configured element
-    count falls in its range; missing elements count as 0."""
+    """F2 (filters/property.py:123-189), reference semantics: a constraint
+    binds only elements PRESENT in the compound (missing element = that
+    constraint passes), and falsy endpoints default to 0 / 10^5."""
     from mine_database_spark.operators.filters import AtomicCompositionFilter
 
     cands = spark.createDataFrame(
         [
             _cpd("C1aa", "cc", {"C": 2, "O": 1}),
             _cpd("C2aa", "ccc", {"C": 9}),          # C out of range
-            _cpd("C3aa", "c", {"C": 1}),            # O missing -> 0, in [0,2]
+            _cpd("C3aa", "c", {"O": 1}),            # C missing -> C constraint passes
             _cpd("C4aa", "co3", {"C": 1, "O": 3}),  # O out of range
+            _cpd("C5aa", "n", {"N": 4}),            # no constrained element present
         ],
         COMPOUND_SCHEMA,
     )
     f = AtomicCompositionFilter({"C": (1, 5), "O": (0, 2)})
     got = {r["_id"]: r["keep"] for r in f.choose(cands, generation=1).collect()}
-    assert got == {"C1aa": True, "C2aa": False, "C3aa": True, "C4aa": False}
+    assert got == {"C1aa": True, "C2aa": False, "C3aa": True, "C4aa": False, "C5aa": True}
+
+    # falsy endpoints: None lower -> 0, None/0 upper -> 10^5 (the
+    # reference's `or` defaults, including 0-means-unbounded on the max)
+    f2 = AtomicCompositionFilter({"C": (None, None), "O": (2, 0)})
+    got2 = {r["_id"]: r["keep"] for r in f2.choose(cands, generation=1).collect()}
+    assert got2["C1aa"] is False  # O=1 < min 2
+    assert got2["C4aa"] is True   # O=3 <= 10^5 (0 upper treated as unset)
 
 
 def test_target_reactivity_guard(spark):
