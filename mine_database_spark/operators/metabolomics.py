@@ -16,20 +16,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def adduct_windows(peaks: DataFrame, adducts: DataFrame, tolerance: float = 0.001) -> DataFrame:
+def adduct_windows(
+    peaks: DataFrame, adducts: DataFrame, tolerance: float = 0.001, ppm: bool = False
+) -> DataFrame:
     """Peak × adduct candidate neutral-mass windows (X12 arithmetic:
-    (mz − ion_mass)/mass_mult ± tol, metabolomics.py:211-218)."""
+    (mz − ion_mass)/mass_mult ± precision, metabolomics.py:211-218).
+
+    ppm=False: `tolerance` is an absolute window in Da (the convention the
+    reference's enumerate_possible_masses and MetabolomicsFilter document
+    and test). ppm=True mirrors the reference's relative mode EXACTLY,
+    including its formula `precision = tolerance/100000 · mass`
+    (metabolomics.py:213-214 divides by 1e5, not the 1e6 the name 'ppm'
+    suggests — faithful port, quirk preserved)."""
     p = peaks.select("name", "mz", F.col("charge").alias("p_charge"))
     a = adducts.select("adduct_name", "mass_mult", "ion_mass", F.col("charge").alias("a_charge"))
     mass = (F.col("mz") - F.col("ion_mass")) / F.col("mass_mult")
+    precision = (F.lit(tolerance) / 100000.0) * mass if ppm else F.lit(tolerance)
     return (
         p.crossJoin(F.broadcast(a))
         .where(F.col("p_charge") == F.col("a_charge"))
         .select(
             F.col("name").alias("peak_id"),
             "adduct_name",
-            (mass - tolerance).alias("lo"),
-            (mass + tolerance).alias("hi"),
+            (mass - precision).alias("lo"),
+            (mass + precision).alias("hi"),
         )
     )
 
@@ -40,14 +50,17 @@ def find_db_hits(
     core_compounds: DataFrame,
     tolerance: float = 0.001,
     halogen_filter: bool = False,
+    ppm: bool = False,
 ) -> DataFrame:
-    """J2 range join: compounds whose mass falls in any peak/adduct window.
+    """J2 range join: compounds whose mass falls in any peak/adduct window
+    (tolerance in Da, or the reference's relative mode with ppm=True — see
+    adduct_windows).
 
     The windows side is tiny → broadcast nested-loop is the right plan; at
     100 TB bucket both sides on floor(mass/τ) and join bucket±1 first
     (SURVEY §4) — same results, equi-join shuffle instead of BNLJ.
     """
-    w = adduct_windows(peaks, adducts, tolerance)
+    w = adduct_windows(peaks, adducts, tolerance, ppm=ppm)
     hits = core_compounds.join(
         F.broadcast(w), (F.col("mass") >= F.col("lo")) & (F.col("mass") <= F.col("hi"))
     )

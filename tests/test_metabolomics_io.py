@@ -45,6 +45,13 @@ def test_adduct_math_golden(spark, peaks, adducts):
     w = adduct_windows(peaks, adducts, tolerance=0.001)
     row = [r for r in w.collect() if r["peak_id"] == "p1" and r["adduct_name"] == "[M+H]+"][0]
     assert abs((row["lo"] + row["hi"]) / 2 - 426.022124) < 1e-9
+    assert abs((row["hi"] - row["lo"]) / 2 - 0.001) < 1e-12  # absolute Da mode
+
+    # relative mode mirrors the reference formula tol/1e5 * mass exactly
+    # (metabolomics.py:213-214 — documented quirk: /1e5, not /1e6)
+    wp = adduct_windows(peaks, adducts, tolerance=5.0, ppm=True)
+    rp = [r for r in wp.collect() if r["peak_id"] == "p1" and r["adduct_name"] == "[M+H]+"][0]
+    assert abs((rp["hi"] - rp["lo"]) / 2 - (5.0 / 100000.0) * 426.022124) < 1e-9
 
 
 def test_find_db_hits_range_join(spark, peaks, adducts, core):
