@@ -79,6 +79,15 @@ def test_contamination_check_single_text_scan(spark, sf_smoke):
     assert n_text_scans == 1, full
 
 
+def test_url_stats_scan_agg_shape(spark, sf_smoke):
+    """url_stats is a pure scan + one aggregation: no joins, partial
+    aggregation below the single domain-key exchange."""
+    plan = plan_str(QUERIES["url_stats"](spark, sf_smoke), mode="simple")
+    assert "Join" not in plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post
+
+
 def test_vocab_oov_broadcasts_vocab(spark, sf_smoke):
     """The top-100 vocabulary must broadcast into the per-token probe —
     never a sort-merge join on the token stream."""
