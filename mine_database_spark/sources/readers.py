@@ -8,8 +8,6 @@ too. Big inputs (compound lists, peak files) go through spark.read.
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,9 +71,19 @@ def read_compound_list(spark: SparkSession, path: str, id_field: str = "id") -> 
     Formats as the reference (utils.py:84-94): .tsv/.txt → tab CSV,
     .json → a JSON array of objects (multiLine) or JSON-lines, else CSV."""
     if path.endswith(".json"):
-        df = spark.read.option("multiLine", True).json(path)
-        if not df.columns or df.columns == ["_corrupt_record"]:
-            df = spark.read.json(path)  # JSON-lines fallback
+        # Sniff the first non-blank line to dispatch array vs JSON-lines:
+        # multiLine parses exactly ONE top-level value, so pointing it at a
+        # JSON-lines file silently yields only the first object (no
+        # _corrupt_record to fall back on) — the form must be decided
+        # before choosing the reader.
+        head = [r[0] for r in spark.read.text(path).where(F.trim("value") != "").head(1)]
+        first = head[0].lstrip() if head else ""
+        if first.startswith("["):
+            df = spark.read.option("multiLine", True).json(path)
+        else:
+            df = spark.read.json(path)
+            if not df.columns or df.columns == ["_corrupt_record"]:
+                df = spark.read.option("multiLine", True).json(path)
     else:
         sep = "\t" if path.endswith((".tsv", ".txt")) else ","
         df = spark.read.option("sep", sep).option("header", True).csv(path)
@@ -93,21 +101,26 @@ def read_compound_list(spark: SparkSession, path: str, id_field: str = "id") -> 
 
 
 def read_adducts(spark: SparkSession, path: str, charge: str = "+") -> DataFrame:
-    """S22 (metabolomics.py:118-142): whitespace/tab file with '#' comments."""
-    rows = []
-    raw = spark.sparkContext.textFile(path).collect()
-    for line in raw:
-        line = line.strip()
-        if not line or line.startswith("#"):
-            continue
-        parts = re.split(r"[\t ]+", line)
-        if len(parts) < 3:
-            continue
-        try:
-            rows.append((parts[0], float(parts[1]), float(parts[2]), charge))
-        except ValueError:
-            continue
-    return spark.createDataFrame(rows, ADDUCT_SCHEMA)
+    """S22 (metabolomics.py:118-142): whitespace/tab file with '#' comments.
+
+    Fully distributed: spark.read.text + a native regexp split — no driver
+    collect. Unparseable numeric fields drop (cast → NULL → filtered), the
+    reference's try/except ValueError semantics."""
+    parts = F.split(F.trim("value"), r"[\t ]+")
+    df = (
+        spark.read.text(path)
+        .where((F.trim("value") != "") & ~F.trim("value").startswith("#"))
+        .select(
+            F.element_at(parts, 1).alias("adduct_name"),
+            F.element_at(parts, 2).try_cast("double").alias("mass_mult"),
+            F.element_at(parts, 3).try_cast("double").alias("ion_mass"),
+            F.lit(charge).alias("charge"),
+            F.size(parts).alias("__n"),
+        )
+        .where((F.col("__n") >= 3) & F.col("mass_mult").isNotNull() & F.col("ion_mass").isNotNull())
+        .drop("__n")
+    )
+    return df
 
 
 def _record_table(spark: SparkSession, path: str, sep_regex: str) -> DataFrame:

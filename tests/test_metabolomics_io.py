@@ -177,6 +177,37 @@ def test_compound_list_json(spark, tmp_path):
     assert rows == {"j1": "abcd", "j2": "efgh"}
 
 
+def test_compound_list_jsonl_multi_row(spark, tmp_path):
+    """S1/S2 regression: JSON-LINES seed files must yield every row.
+    A multiLine read of a JSONL file parses only the first object (with no
+    _corrupt_record to signal it), so the reader sniffs the form first."""
+    from mine_database_spark.sources.readers import read_compound_list
+
+    f = tmp_path / "seeds_lines.json"
+    f.write_text(
+        '{"id": "l1", "structure": "abcd"}\n'
+        '{"id": "l2", "structure": "efgh"}\n'
+        '{"id": "l3", "structure": "ijkl"}\n'
+    )
+    seeds = read_compound_list(spark, str(f))
+    rows = {r["id"]: r["structure"] for r in seeds.collect()}
+    assert rows == {"l1": "abcd", "l2": "efgh", "l3": "ijkl"}
+
+
+def test_compound_list_json_array_pretty(spark, tmp_path):
+    """Array form spread over multiple lines still parses via multiLine."""
+    from mine_database_spark.sources.readers import read_compound_list
+
+    f = tmp_path / "seeds_pretty.json"
+    f.write_text(
+        '[\n  {"id": "p1", "structure": "abcd"},\n'
+        '  {"id": "p2", "structure": "efgh"}\n]\n'
+    )
+    seeds = read_compound_list(spark, str(f))
+    rows = {r["id"]: r["structure"] for r in seeds.collect()}
+    assert rows == {"p1": "abcd", "p2": "efgh"}
+
+
 def test_rules_select_generalized(spark):
     """S6 full selection semantics (reference rules.py:28-211): feature
     include/exclude rlike vocabulary, anaerobic O2 cut, coverage CDF cut,
@@ -266,9 +297,18 @@ def test_peak_file_readers(spark, tmp_path):
     assert len(rows["peakA"]["ms2"]) == 2
 
     ad = tmp_path / "adducts.txt"
-    ad.write_text("# name mult mass\n[M+H]+\t1.0\t1.007276\n[M+Na]+ 1.0 22.989218\n")
+    ad.write_text(
+        "# name mult mass\n[M+H]+\t1.0\t1.007276\n[M+Na]+ 1.0 22.989218\n"
+        "short_line\n[M+bad]+ x y\n"
+    )
     a = read_adducts(spark, str(ad))
-    assert a.count() == 2
+    rows = {r["adduct_name"]: r for r in a.collect()}
+    assert set(rows) == {"[M+H]+", "[M+Na]+"}  # comment/short/unparseable dropped
+    assert rows["[M+H]+"]["mass_mult"] == 1.0 and rows["[M+H]+"]["ion_mass"] == 1.007276
+    assert rows["[M+Na]+"]["charge"] == "+"
+    # distributed: a text FileScan, not a driver-collected local relation
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Scan text" in plan and "ExistingRDD" not in plan
 
 
 def test_warehouse_roundtrip(spark, tmp_path):
