@@ -56,9 +56,9 @@ def find_db_hits(
     (tolerance in Da, or the reference's relative mode with ppm=True — see
     adduct_windows).
 
-    The windows side is tiny → broadcast nested-loop is the right plan; at
-    100 TB bucket both sides on floor(mass/τ) and join bucket±1 first
-    (SURVEY §4) — same results, equi-join shuffle instead of BNLJ.
+    The windows side is tiny → broadcast nested-loop is the right plan at
+    reference scale; find_db_hits_bucketed is the result-identical 100 TB
+    twin (SURVEY §4 floor(mass/width) equi-join — no BNLJ in its plan).
     """
     w = adduct_windows(peaks, adducts, tolerance, ppm=ppm)
     hits = core_compounds.join(
@@ -66,6 +66,62 @@ def find_db_hits(
     )
     if halogen_filter:
         # reference drops halogenated formulas via regex (metabolomics.py:239-241)
+        hits = hits.where(~F.col("formula").rlike("F[^e]|Cl|Br"))
+    return hits.select("peak_id", "adduct_name", "_id", "smiles", "formula", "mass")
+
+
+def find_db_hits_bucketed(
+    peaks: DataFrame,
+    adducts: DataFrame,
+    core_compounds: DataFrame,
+    tolerance: float = 0.001,
+    halogen_filter: bool = False,
+    ppm: bool = False,
+    bucket_width: float | None = None,
+    broadcast_windows: bool = True,
+) -> DataFrame:
+    """Scale twin of find_db_hits — the SURVEY §4 bucketed-mass EQUI-join.
+
+    Same results as the BNLJ form (reference J2, metabolomics.py:189-271),
+    different physical plan: each window explodes to the floor(mass/width)
+    buckets it overlaps (sequence() — correct for any width), compounds key
+    on their single bucket, and the join is a hash join on the bucket
+    followed by the exact [lo, hi] filter. A compound lives in exactly one
+    bucket so no post-join dedup is needed.
+
+    At reference scale the windows side is tiny and find_db_hits' BNLJ is
+    fine; at 100 TB (billions of peaks × billions of compounds) the BNLJ is
+    quadratic while this stays one linear shuffle — or zero shuffles with
+    broadcast_windows=True while windows fit in memory. Set
+    broadcast_windows=False to let AQE pick a shuffled hash join when the
+    peak list itself is huge.
+
+    bucket_width defaults to the window span (2·tolerance in Da mode; the
+    2 kDa worst-case span in the reference's relative mode) so windows
+    overlap ≤2 buckets; any positive width gives identical results.
+    """
+    if bucket_width is None:
+        bucket_width = 2.0 * tolerance if not ppm else 2.0 * (tolerance / 100000.0) * 2000.0
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    w = adduct_windows(peaks, adducts, tolerance, ppm=ppm)
+    bw = w.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / F.lit(bucket_width)),
+                F.floor(F.col("hi") / F.lit(bucket_width)),
+            )
+        ),
+    )
+    if broadcast_windows:
+        bw = F.broadcast(bw)
+    hits = (
+        core_compounds.withColumn("bucket", F.floor(F.col("mass") / F.lit(bucket_width)))
+        .join(bw, "bucket")
+        .where((F.col("mass") >= F.col("lo")) & (F.col("mass") <= F.col("hi")))
+    )
+    if halogen_filter:
         hits = hits.where(~F.col("formula").rlike("F[^e]|Cl|Br"))
     return hits.select("peak_id", "adduct_name", "_id", "smiles", "formula", "mass")
 

@@ -415,6 +415,64 @@ FROM orders JOIN windows ON o_totalprice >= lo AND o_totalprice < hi
 """
 
 
+def q_mass_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 scale twin through the REAL find_db_hits_bucketed API
+    (metabolomics.py — SURVEY §4's floor(mass/width) equi-join): peaks are
+    high-value orders (mz = o_totalprice), adducts are region rows, core
+    compounds are parts (mass = p_retailprice). The oracle is the plain
+    range-join semantics, so a green row proves the bucketed rewrite is
+    result-identical.
+
+    Scale: windows explode to their ≤2 overlapping buckets and broadcast;
+    the join is a hash join on the bucket key + exact window filter — no
+    BroadcastNestedLoopJoin anywhere (test_plans.py gate). All mass math in
+    IEEE doubles, bit-identical across engines.
+    """
+    from mine_database_spark.operators import metabolomics as mtb
+
+    r, o, p = _t(spark, sf_dir, "region", "orders", "part")
+    peaks = o.where(F.col("o_totalprice") > 80000.0).select(
+        F.col("o_orderkey").alias("name"),
+        F.col("o_totalprice").alias("mz"),
+        F.lit("+").alias("charge"),
+    )
+    adducts = r.select(
+        F.col("r_name").alias("adduct_name"),
+        F.lit(100.0).alias("mass_mult"),
+        (F.col("r_regionkey") * 1000.0).alias("ion_mass"),
+        F.lit("+").alias("charge"),
+    )
+    core = p.select(
+        F.col("p_partkey").alias("_id"),
+        F.col("p_name").alias("smiles"),
+        F.col("p_brand").alias("formula"),
+        F.col("p_retailprice").alias("mass"),
+    )
+    hits = mtb.find_db_hits_bucketed(peaks, adducts, core, tolerance=0.05)
+    return hits.select(
+        "peak_id", "adduct_name", "_id", "smiles", "formula", F.round("mass", 2).alias("mass")
+    )
+
+
+_Q_RANGE_JOIN_BUCKETED_SQL = """
+WITH peaks AS (
+  SELECT o_orderkey AS peak_id, o_totalprice AS mz FROM orders WHERE o_totalprice > 80000.0
+),
+adducts AS (
+  SELECT r_name AS adduct_name, 100.0 AS mass_mult, r_regionkey * 1000.0 AS ion_mass FROM region
+),
+windows AS (
+  SELECT peak_id, adduct_name,
+         (mz - ion_mass) / mass_mult - 0.05 AS lo,
+         (mz - ion_mass) / mass_mult + 0.05 AS hi
+  FROM peaks CROSS JOIN adducts
+)
+SELECT w.peak_id, w.adduct_name, p.p_partkey AS _id, p.p_name AS smiles,
+       p.p_brand AS formula, round(p.p_retailprice, 2) AS mass
+FROM part p JOIN windows w ON p.p_retailprice >= w.lo AND p.p_retailprice <= w.hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # Provenance scoring (SURVEY §2.5 J9: score_compounds 0.75/0.25 weighting,
 # metabolomics.py:1209-1267 — semi-join flags + when/otherwise arithmetic)
@@ -2068,6 +2126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intermediate_rules": q_intermediate_rules,
     "operator_census": q_operator_census,
     "mass_range_join": q_mass_range_join,
+    "mass_range_join_bucketed": q_mass_range_join_bucketed,
     "provenance_score": q_provenance_score,
     "weighted_sample": q_weighted_sample,
     "topk_per_group": q_topk_per_group,
@@ -2124,6 +2183,7 @@ ORACLES: dict[str, str] = {
     "intermediate_rules": _Q_INTERMEDIATE_RULES_SQL,
     "operator_census": _Q_OPERATOR_CENSUS_SQL,
     "mass_range_join": _Q_RANGE_JOIN_SQL,
+    "mass_range_join_bucketed": _Q_RANGE_JOIN_BUCKETED_SQL,
     "provenance_score": _Q_PROVENANCE_SQL,
     "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,
     "topk_per_group": _Q_TOPK_SQL,

@@ -63,6 +63,35 @@ def test_find_db_hits_range_join(spark, peaks, adducts, core):
     assert not any(cid == "Cddd" for _, cid in got)
 
 
+def test_find_db_hits_bucketed_equals_bnlj(spark, peaks, adducts, core):
+    """The SURVEY §4 bucketed equi-join twin must return exactly the BNLJ
+    form's rows — in Da mode, ppm mode, with the halogen filter, and for
+    windows that straddle a bucket boundary — with no BNLJ in its plan."""
+    from mine_database_spark.operators.metabolomics import find_db_hits, find_db_hits_bucketed
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for kw in (
+        dict(tolerance=0.001),
+        dict(tolerance=5.0, ppm=True),
+        dict(tolerance=0.05, halogen_filter=True),
+        # window [426.021, 426.023] straddles the floor(mass/1e-3) boundary
+        dict(tolerance=0.001, bucket_width=0.001),
+        # absurdly wide window → many buckets per window, still exact
+        dict(tolerance=40.0, bucket_width=0.5),
+    ):
+        hkw = {k: v for k, v in kw.items() if k != "bucket_width"}
+        assert rows(find_db_hits_bucketed(peaks, adducts, core, **kw)) == rows(
+            find_db_hits(peaks, adducts, core, **hkw)
+        ), kw
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_width"):
+        find_db_hits_bucketed(peaks, adducts, core, bucket_width=0.0)
+
+
 def test_spectral_scoring(spark):
     from mine_database_spark.operators.metabolomics import spectral_scores
 

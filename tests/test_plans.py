@@ -52,6 +52,27 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_find_db_hits_bucketed_no_bnlj(spark):
+    """The bucketed mass-range twin must plan as a hash join on the bucket
+    key — never a BroadcastNestedLoopJoin or cartesian product."""
+    from mine_database_spark.operators.metabolomics import find_db_hits, find_db_hits_bucketed
+    from mine_database_spark.schemas import ADDUCT_SCHEMA, CORE_COMPOUND_SCHEMA, PEAK_SCHEMA
+
+    peaks = spark.createDataFrame(
+        [("p1", 5.0, 427.0294, "+", None, [])], PEAK_SCHEMA
+    )
+    adducts = spark.createDataFrame([("[M+H]+", 1.0, 1.007276, "+")], ADDUCT_SCHEMA)
+    core = spark.createDataFrame(
+        [("Caaa", "mol1", "IK1", 426.022124, 0, "C10", 1.0, [1], ["m"])], CORE_COMPOUND_SCHEMA
+    )
+    plan = plan_str(find_db_hits_bucketed(peaks, adducts, core))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # contrast: the reference-scale form is the BNLJ
+    assert "BroadcastNestedLoopJoin" in plan_str(find_db_hits(peaks, adducts, core))
+
+
 def test_no_row_python_udf_in_headline_queries(spark, sf_smoke):
     """Python enters the plan only via Arrow (pandas UDF / mapInPandas),
     never via row-at-a-time BatchEvalPython."""
