@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mine_database_spark.functions.text import tokens, word_shingles
 
@@ -128,7 +129,8 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 5, threshold: float = 0.5,
                         candidates: DataFrame | None = None,
-                        df_cap: int | None = None) -> DataFrame:
+                        df_cap: int | None = None,
+                        storage_level: StorageLevel | None = None) -> DataFrame:
     """Pairs with shingle-set Jaccard >= threshold.
 
     Pair generation goes through the shared-shingle inverted index (an
@@ -145,6 +147,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
       capped shingle universe: sizes and intersections both exclude capped
       shingles, so the result is exact for the reduced universe — the
       standard production near-dup approximation.
+
+    The shingle table feeds three plan branches (sizes + both self-join
+    sides); `storage_level` (e.g. StorageLevel.MEMORY_AND_DISK) persists it
+    across them at interactive scale. The default None does NOT persist:
+    the table is O(corpus tokens), and pinning it at 100 TB is an
+    eviction/OOM hazard — recomputing the scan is the safe default there.
 
     Returns (a_id, b_id, jaccard) with jaccard rounded to 6 digits.
     """
@@ -167,7 +175,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sh = sh.cache()
+    if storage_level is not None:
+        sh = sh.persist(storage_level)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -234,6 +243,8 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     cross-checking) shuffles one row per character — a ~20-50× row
     amplification that becomes the bottleneck at 100 TB.
     """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
     t = F.col(text_col)
     empty = F.array().cast("array<bigint>")
     # overlapping k-grams in ONE linear regex pass (lookahead capture;
@@ -251,12 +262,13 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     # least(element_at...) instead of array_min(slice...): no per-window
     # array allocation (~10% faster; HOF lambdas evaluate interpreted, so
     # allocations dominate). n_wins bounds j+w-1 ≤ size, safe under ANSI.
-    win_mins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_wins),
-            lambda j: F.least(*[F.element_at(F.col("__hs"), j + i) for i in range(w)]),
-        )
+    # F.least needs ≥2 args: with w == 1 the window min IS the element
+    win_of = (
+        (lambda j: F.element_at(F.col("__hs"), j))
+        if w == 1
+        else (lambda j: F.least(*[F.element_at(F.col("__hs"), j + i) for i in range(w)]))
     )
+    win_mins = F.array_distinct(F.transform(F.sequence(F.lit(1), n_wins), win_of))
     return d.select(
         "doc_id",
         F.explode(F.when(n_wins >= 1, win_mins).otherwise(empty)).alias("fingerprint"),
@@ -270,14 +282,17 @@ def winnow_fingerprints_window(docs: DataFrame, id_col: str = "doc_id", text_col
     winnow_fingerprints; kept as an independent implementation for
     cross-checking the shuffle-free form (tests pin exact agreement).
     """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
     chars = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(F.split(F.col(text_col), "")).alias("pos", "c")
-    )
+    ).where(F.col("c") != "")  # split('', '') yields [''] — not a char
     wo = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("c", i).over(wo) for i in range(1, k)]
+    last = leads[-1] if leads else F.col("c")  # k == 1: the gram is the char
     grams = (
         chars.select(
-            "doc_id", "pos", F.concat(F.col("c"), *leads).alias("gram"), leads[-1].alias("__g")
+            "doc_id", "pos", F.concat(F.col("c"), *leads).alias("gram"), last.alias("__g")
         )
         .where(F.col("__g").isNotNull())
     )

@@ -145,13 +145,15 @@ class BaseFilter:
 # F1: molecular weight window (filters/property.py:17-99)
 
 class MWFilter(BaseFilter):
-    """F1 (filters/property.py:41-58): a None bound means UNBOUNDED on that
-    side, exactly as the reference."""
+    """F1 (filters/property.py:41-58). Reference bound coercion, exactly:
+    `min_MW or 0` / `max_MW or 100000` — None (or a falsy 0) becomes the
+    0 / 10^5 default, including the quirk that an explicit max of 0 means
+    the 10^5 cap, matching the sibling AtomicCompositionFilter."""
 
     filter_name = "MW"
 
     def __init__(self, min_mw: float | None = None, max_mw: float | None = None):
-        self.min_mw, self.max_mw = min_mw, max_mw
+        self.min_mw, self.max_mw = (min_mw or 0), (max_mw or 100000)
 
     def choose(self, cands: DataFrame, generation: int) -> DataFrame:
         @F.pandas_udf("double")
@@ -162,12 +164,7 @@ class MWFilter(BaseFilter):
             return smiles.map(b.exact_mol_wt)
 
         m = mw(F.col("smiles"))
-        keep = F.lit(True)
-        if self.min_mw is not None:
-            keep = keep & (m >= self.min_mw)
-        if self.max_mw is not None:
-            keep = keep & (m <= self.max_mw)
-        return cands.select("_id", keep.alias("keep"))
+        return cands.select("_id", ((m >= self.min_mw) & (m <= self.max_mw)).alias("keep"))
 
 
 # ---------------------------------------------------------------------------

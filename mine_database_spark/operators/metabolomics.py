@@ -142,33 +142,57 @@ def spectral_scores(
 
     @F.pandas_udf("double")
     def score(spectra: pd.Series) -> pd.Series:
-        qmz = np.array([m for m, _ in q])
-        qi = np.array([i for _, i in q])
+        qmz = np.array([m for m, _ in q], dtype=np.float64)
+        qi = np.array([i for _, i in q], dtype=np.float64)
+        na = float(np.dot(qi, qi))
 
-        def one(spec):
-            if spec is None or len(spec) == 0:
-                return 0.0
-            smz = np.array([p["mz"] for p in spec])
-            si = np.array([p["intensity"] for p in spec])
-            order = np.argsort(smz)
-            smz, si = smz[order], si[order]
-            # ε-tolerant sorted-merge alignment (metabolomics.py:463-514)
+        def greedy(smz, si):
+            # exact twin of the reference's generator walk
+            # (metabolomics.py:463-514): match on |Δ| < ε (STRICT, the
+            # reference's `difference < epsilon`), both pointers advance on
+            # match, the smaller side advances alone otherwise
             ai = bi = 0
             dot = 0.0
             n_match = 0
-            na = float(np.dot(qi, qi))
-            nb = float(np.dot(si, si))
             while ai < len(qmz) and bi < len(smz):
                 d = qmz[ai] - smz[bi]
-                if abs(d) <= tolerance:
+                if abs(d) < tolerance:
                     dot += qi[ai] * si[bi]
-                    n_match += 1
+                    # jaccard counts a matched PAIR only when both
+                    # intensities are truthy (reference `if val1 and val2`,
+                    # metabolomics.py:455-457)
+                    if qi[ai] and si[bi]:
+                        n_match += 1
                     ai += 1
                     bi += 1
                 elif d < 0:
                     ai += 1
                 else:
                     bi += 1
+            return dot, n_match
+
+        def one(spec):
+            if spec is None or len(spec) == 0:
+                return 0.0
+            smz = np.array([p["mz"] for p in spec], dtype=np.float64)
+            si = np.array([p["intensity"] for p in spec], dtype=np.float64)
+            order = np.lexsort((si, smz))  # reference sorts (mz, intensity) tuples
+            smz, si = smz[order], si[order]
+            nb = float(np.dot(si, si))
+            # Vectorized fast path: when every query peak has at most one
+            # candidate within ±ε and no two query peaks share a candidate,
+            # the greedy walk matches exactly those (q, s) pairs — one
+            # searchsorted pass instead of a Python loop. Ambiguous rows
+            # (peak clusters tighter than 2ε) fall back to the exact twin.
+            lo = np.searchsorted(smz, qmz - tolerance, side="right")  # s > q-ε
+            hi = np.searchsorted(smz, qmz + tolerance, side="left")  # s < q+ε
+            if (hi - lo <= 1).all() and (lo[1:] >= hi[:-1]).all():
+                m = hi > lo
+                sidx = lo[m]
+                dot = float(np.dot(qi[m], si[sidx]))
+                n_match = int(np.count_nonzero((qi[m] != 0.0) & (si[sidx] != 0.0)))
+            else:
+                dot, n_match = greedy(smz, si)
             if metric == "jaccard":
                 # reference metabolomics.py:435-460: |matched m/z pairs| /
                 # |union| — a COUNT, not the intensity product sum

@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mine_database_spark.session import load_tables
 from mine_database_spark.functions.text import hex_uniform, tokens
@@ -867,7 +868,7 @@ SELECT src AS doc_id, least(src, MIN(dst)) AS component FROM reach GROUP BY src
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2)
+    return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2, storage_level=StorageLevel.MEMORY_AND_DISK)
 
 
 _Q_NGRAM_JACCARD_SQL = (
@@ -891,7 +892,7 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the self-join quadratic in posting-list length at scale); Jaccard
     is exact over the capped shingle universe, mirrored in the oracle."""
     (d,) = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2, df_cap=50)
+    return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2, df_cap=50, storage_level=StorageLevel.MEMORY_AND_DISK)
 
 
 _Q_NGRAM_JACCARD_CAPPED_SQL = (

@@ -237,6 +237,10 @@ def test_filters_cascade(spark, engine):
     c3, r3 = f2.apply(cpds, rxns, generation=1)
     assert c3.count() == cpds.count()
     assert r3.count() == rxns.count()
+    # reference bound coercion (property.py:48-49 `or`-defaults): None AND
+    # the falsy explicit 0 both coerce — max_MW=0 means the 10^5 cap
+    assert (MWFilter().min_mw, MWFilter().max_mw) == (0, 100000)
+    assert (MWFilter(0, 0).min_mw, MWFilter(0, 0).max_mw) == (0, 100000)
 
 
 def test_similarity_filter(spark, engine):

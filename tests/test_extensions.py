@@ -300,6 +300,22 @@ def test_winnow_shuffle_free_matches_window_form(spark):
     fb = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints_window(fuzz).collect()}
     assert fa == fb and len(fa) > 500
 
+    # w=1 (every gram selected) and k=1 (char grams) — F.least needs ≥2
+    # args, so w=1 previously raised at plan time; both twins must agree
+    for kw in (dict(k=5, w=1), dict(k=1, w=3), dict(k=1, w=1)):
+        f1 = {(r["doc_id"], r["fingerprint"]) for r in winnow_fingerprints(edges, **kw).collect()}
+        s1 = {(r["doc_id"], r["fingerprint"])
+              for r in winnow_fingerprints_window(edges, **kw).collect()}
+        assert f1 == s1, kw
+        assert len(f1) > 0, kw
+    import pytest as _pytest
+
+    for bad in (dict(k=0), dict(w=0), dict(k=-1, w=2)):
+        with _pytest.raises(ValueError, match="must be >= 1"):
+            winnow_fingerprints(edges, **bad)
+        with _pytest.raises(ValueError, match="must be >= 1"):
+            winnow_fingerprints_window(edges, **bad)
+
 
 def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
     """write_ivf_partitioned + ivf_topk_partitioned: the corpus scan reads
@@ -471,6 +487,33 @@ def test_ngram_jaccard_candidate_prefilter(spark):
     plan = restricted._jdf.queryExecution().optimizedPlan().toString()
     # two semi-joins: docs before the self-join (×2 sides) + exact pair set after
     assert plan.count("LeftSemi") >= 2
+
+
+def test_ngram_jaccard_persistence_is_caller_controlled(spark):
+    """Default: NO cached RDD survives the call (pinning an O(corpus tokens)
+    table at 100 TB is an eviction hazard); an explicit StorageLevel opts
+    in, with identical results either way."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mine_database_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [("d1", "the quick brown fox"), ("d2", "the quick brown cat"), ("d3", "zz qq")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_persistent()
+    plain = {tuple(r) for r in ngram_jaccard_pairs(docs, k=2, threshold=0.1).collect()}
+    assert n_persistent() == base, "default must not persist anything"
+    cached_df = ngram_jaccard_pairs(
+        docs, k=2, threshold=0.1, storage_level=StorageLevel.MEMORY_AND_DISK
+    )
+    cached = {tuple(r) for r in cached_df.collect()}
+    assert cached == plain and plain
+    assert n_persistent() > base, "explicit storage_level must persist"
+    spark.catalog.clearCache()
 
 
 def test_ngram_jaccard_df_cap(spark):

@@ -125,6 +125,94 @@ def test_spectral_scoring_reference_vectors(spark):
     assert jac == 0.5
 
 
+def test_spectral_jaccard_zero_intensity_and_strict_epsilon(spark):
+    """Two reference quirks pinned (metabolomics.py:455-457, 504):
+    a matched pair counts toward jaccard only when BOTH intensities are
+    truthy, and the ε comparison is STRICT (diff == ε is NOT a match)."""
+    from mine_database_spark.operators.metabolomics import spectral_scores
+
+    y = [{"mz": 10.0, "intensity": 0.0}, {"mz": 20.0, "intensity": 5.0}]
+    df = spark.createDataFrame(
+        [("p1", "Cz", y)],
+        "peak_id string, _id string, spectra array<struct<mz:double,intensity:double>>",
+    )
+    # 10.0 aligns but has zero intensity on one side → excluded from the
+    # count; 20.0 counts → jaccard = 1 / (2 + 2 - 1)
+    jac = spectral_scores(df, [(10.0, 3.0), (20.0, 4.0)], metric="jaccard").collect()[0]["score"]
+    assert jac == round(1 / 3, 6)
+    # diff exactly == ε: reference matches on difference < epsilon only
+    jac2 = spectral_scores(df, [(19.99, 4.0)], metric="jaccard", tolerance=0.01).collect()[0][
+        "score"
+    ]
+    assert jac2 == 0.0
+    dot2 = spectral_scores(df, [(19.99, 4.0)], metric="dot", tolerance=0.01).collect()[0]["score"]
+    assert dot2 == 0.0
+
+
+def test_spectral_fast_path_matches_greedy_walk(spark):
+    """The searchsorted fast path and the greedy-walk fallback must agree
+    with a pure-python twin of the reference's _approximate_matches on
+    random spectra — including clusters tighter than 2ε (which force the
+    fallback) and zero intensities."""
+    import numpy as np
+
+    from mine_database_spark.operators.metabolomics import spectral_scores
+
+    eps = 0.01
+
+    def ref_scores(q, s):
+        # reference metabolomics.py:404-514 semantics, verbatim walk
+        q, s = sorted(q), sorted(s)
+        ai = bi = dot = n_match = 0
+        while ai < len(q) and bi < len(s):
+            d = q[ai][0] - s[bi][0]
+            if abs(d) < eps:
+                dot += q[ai][1] * s[bi][1]
+                if q[ai][1] and s[bi][1]:
+                    n_match += 1
+                ai += 1
+                bi += 1
+            elif d < 0:
+                ai += 1
+            else:
+                bi += 1
+        na = sum(i * i for _, i in q) ** 0.5
+        nb = sum(i * i for _, i in s) ** 0.5
+        cos = dot / (na * nb) if na and nb else 0.0
+        jac = n_match / (len(q) + len(s) - n_match) if q or s else 0.0
+        return round(cos, 6), round(jac, 6)
+
+    rng = np.random.default_rng(7)
+    query = sorted(
+        (float(m), float(i))
+        for m, i in zip(rng.uniform(10, 10.5, 12), rng.choice([0.0, 1.0, 5.0], 12))
+    )
+    rows = []
+    for j in range(60):
+        n = int(rng.integers(0, 15))
+        # mz clustered into ~0.5 Da so many peaks sit within 2ε of each other
+        spec = [
+            {"mz": float(m), "intensity": float(i)}
+            for m, i in zip(sorted(rng.uniform(10, 10.5, n)), rng.choice([0.0, 1.0, 3.0], n))
+        ]
+        rows.append((f"p{j}", f"C{j}", spec))
+    df = spark.createDataFrame(
+        rows, "peak_id string, _id string, spectra array<struct<mz:double,intensity:double>>"
+    )
+    got_dot = {
+        r["_id"]: r["score"] for r in spectral_scores(df, query, metric="dot", tolerance=eps).collect()
+    }
+    got_jac = {
+        r["_id"]: r["score"]
+        for r in spectral_scores(df, query, metric="jaccard", tolerance=eps).collect()
+    }
+    for pid, cid, spec in rows:
+        s = [(p["mz"], p["intensity"]) for p in spec]
+        exp_dot, exp_jac = ref_scores(list(query), s)
+        assert got_dot[cid] == exp_dot, (cid, got_dot[cid], exp_dot)
+        assert got_jac[cid] == exp_jac, (cid, got_jac[cid], exp_jac)
+
+
 def test_score_compounds(spark, peaks, adducts, core):
     from mine_database_spark.operators.metabolomics import find_db_hits, score_compounds
 
