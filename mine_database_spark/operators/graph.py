@@ -178,7 +178,12 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
-def enumerate_paths(edges: DataFrame, starts: DataFrame, max_depth: int = 5) -> DataFrame:
+def enumerate_paths(
+    edges: DataFrame,
+    starts: DataFrame,
+    max_depth: int = 5,
+    excluded_nodes: DataFrame | None = None,
+) -> DataFrame:
     """Depth-capped simple-path enumeration from `starts` over directed
     `edges(src, dst)` — the reference's PathwaySearch carries exactly this
     growing path per frontier row (Scripts/pathway_search.py:59-144).
@@ -189,11 +194,22 @@ def enumerate_paths(edges: DataFrame, starts: DataFrame, max_depth: int = 5) -> 
     rendered path. At 100 TB the edge table is the big side, partitioned on
     `src`; only the (small) frontier with its path strings shuffles, and each
     round localCheckpoints to keep lineage flat across iterations.
+
+    `excluded_nodes` (one id column) removes nodes from the walk entirely —
+    no path may start at, pass through, or end on one. This is the generic
+    node-guard pathway_bfs builds its NP-likeness floor on
+    (pathway_search.py:32-43): one anti-join on each edge endpoint before
+    the iteration, not a per-hop predicate.
     """
     start_col = starts.columns[0]
     frontier = starts.select(
         F.col(start_col).alias("node"), F.array(F.col(start_col)).alias("nodes")
     ).distinct()
+    if excluded_nodes is not None:
+        bad = excluded_nodes.select(F.col(excluded_nodes.columns[0]).alias("node")).distinct()
+        frontier = frontier.join(bad, "node", "left_anti")
+        edges = edges.join(bad.withColumnRenamed("node", "src"), "src", "left_anti")
+        edges = edges.join(bad.withColumnRenamed("node", "dst"), "dst", "left_anti")
     levels = [frontier]
     for it in range(max_depth - 1):
         frontier = (

@@ -113,13 +113,49 @@ def assign_ids(compounds: DataFrame, reactions: DataFrame):
     return compounds_out, reactions_out
 
 
-def pathway_bfs(reactions: DataFrame, start_ids: list[str], end_ids: list[str], max_depth: int = 5) -> DataFrame:
+def pathway_bfs(
+    reactions: DataFrame,
+    start_ids: list[str],
+    end_ids: list[str],
+    max_depth: int = 5,
+    np_scores: DataFrame | None = None,
+    np_min: float | None = None,
+    energies: DataFrame | None = None,
+    gibbs_cap: float | None = None,
+) -> DataFrame:
     """G5: start→end pathway enumeration carrying path arrays; depth-capped
-    iterative joins (Scripts/pathway_search.py:59-144)."""
+    iterative joins (Scripts/pathway_search.py:59-144).
+
+    Constrained search (pathway_search.py:32-57): with `np_scores`
+    (id, NP_likeness) and `np_min`, compounds scoring <= np_min are excluded
+    from every hop (the reference's __compound_tests); with `energies`
+    (id, energy) and `gibbs_cap`, reactions with energy >= gibbs_cap are
+    excluded (__reaction_checks). A compound/reaction with NO score row
+    PASSES (the reference's KeyError → pass), so each guard is one anti-join
+    of the edge set against its failing ids — node/edge PRE-filters built
+    once before the iteration, not per-hop predicates re-evaluated in the
+    loop. Deliberate normalization: the guards apply uniformly to every hop
+    including start and end compounds (the reference's DFS appends the end
+    compound untested and __load_queue skips all checks on the first hop —
+    asymmetries its BFS does not share).
+    """
     spark = reactions.sparkSession
     fedges = reverse_edges(reactions).select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "rxn_id"
     )  # forward: reactant -> product
+    if energies is not None and gibbs_cap is not None:
+        idc, vc = energies.columns[0], energies.columns[1]
+        bad_r = energies.where(F.col(vc).isNotNull() & (F.col(vc) >= gibbs_cap)).select(
+            F.col(idc).alias("rxn_id")
+        )
+        fedges = fedges.join(bad_r, "rxn_id", "left_anti")
+    if np_scores is not None and np_min is not None:
+        idc, vc = np_scores.columns[0], np_scores.columns[1]
+        bad_c = np_scores.where(F.col(vc).isNotNull() & (F.col(vc) <= np_min)).select(
+            F.col(idc).alias("__bad")
+        )
+        fedges = fedges.join(bad_c.withColumnRenamed("__bad", "src"), "src", "left_anti")
+        fedges = fedges.join(bad_c.withColumnRenamed("__bad", "dst"), "dst", "left_anti")
     paths = spark.createDataFrame([(s, [s]) for s in start_ids], "node string, path array<string>")
     results = []
     for _ in range(max_depth):

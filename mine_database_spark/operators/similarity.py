@@ -207,10 +207,15 @@ def write_ivf_partitioned(
     scanning the corpus; ivf_topk_partitioned shows the pruned plan.
 
     Assignment is the same broadcast-codebook argmax projection as
-    ivf_topk (no shuffle); partitionBy adds the standard write-side
-    fan-out. At 100 TB raise n_centroids so single lists stay under the
-    file-size sweet spot and sort within partitions by vec_id for
-    min-max pruning on id lookups."""
+    ivf_topk (no shuffle). Before the write, one repartition on list_id +
+    in-partition sort by vec_id coalesces each inverted list into a single
+    parquet file with monotone vec_id row groups — without it, every write
+    task fans out a file into every list directory (tasks × lists small
+    files, the classic partitionBy mistake) and id lookups lose min-max
+    pruning. At 100 TB raise n_centroids so single lists stay under the
+    file-size sweet spot."""
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     cent_row = codebook if codebook is not None else (
         c.orderBy("vec_id")
@@ -222,7 +227,13 @@ def write_ivf_partitioned(
         .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
         .drop("__cents")
     )
-    assigned.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/corpus")
+    (
+        assigned.repartition("list_id")
+        .sortWithinPartitions("list_id", "vec_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(f"{path}/corpus")
+    )
     cent_row.write.mode("overwrite").parquet(f"{path}/codebook")
 
 

@@ -199,6 +199,67 @@ def test_prune_to_targets(spark, engine):
     assert pr1.count() == 1
 
 
+def test_pathway_bfs_constrained_guards(spark):
+    """G5 constrained search parity (Scripts/pathway_search.py:32-57):
+    the NP-likeness floor cuts paths through a low-scoring compound
+    (excluded when NP <= np_min), the ΔG cap cuts paths through an
+    endergonic reaction (excluded when energy >= gibbs_cap), and ids with
+    NO score row pass both guards (the reference's KeyError → pass)."""
+    from mine_database_spark.operators.network import pathway_bfs
+    from mine_database_spark.schemas import REACTION_SCHEMA
+
+    # A -> B -> C (via R1, R2) and A -> D -> C (via R3, R4)
+    rxns = spark.createDataFrame(
+        [
+            ("R1", [(1, "A")], [(1, "B")], ["op"], None),
+            ("R2", [(1, "B")], [(1, "C")], ["op"], None),
+            ("R3", [(1, "A")], [(1, "D")], ["op"], None),
+            ("R4", [(1, "D")], [(1, "C")], ["op"], None),
+        ],
+        REACTION_SCHEMA,
+    )
+
+    def paths(**kw):
+        return {tuple(r["path"]) for r in pathway_bfs(rxns, ["A"], ["C"], max_depth=3, **kw).collect()}
+
+    assert paths() == {("A", "B", "C"), ("A", "D", "C")}
+
+    # ΔG cap: R2 at exactly the cap is excluded (>=); R1/R3/R4 have no row
+    energies = spark.createDataFrame([("R2", 5.0)], "rxn_id string, energy double")
+    assert paths(energies=energies, gibbs_cap=5.0) == {("A", "D", "C")}
+    # below the cap it passes; a NULL energy passes too
+    assert paths(energies=energies, gibbs_cap=5.1) == {("A", "B", "C"), ("A", "D", "C")}
+    null_e = spark.createDataFrame([("R2", None)], "rxn_id string, energy double")
+    assert paths(energies=null_e, gibbs_cap=5.0) == {("A", "B", "C"), ("A", "D", "C")}
+
+    # NP floor: D at exactly the floor is excluded (<=); B/C have no row
+    np_scores = spark.createDataFrame([("D", 0.5), ("C", 2.0)], "_id string, np double")
+    assert paths(np_scores=np_scores, np_min=0.5) == {("A", "B", "C")}
+    # both guards together kill every path
+    assert paths(np_scores=np_scores, np_min=0.5, energies=energies, gibbs_cap=5.0) == set()
+    # an excluded END compound kills all paths to it
+    assert paths(np_scores=np_scores, np_min=2.0) == set()
+
+
+def test_enumerate_paths_excluded_nodes(spark):
+    """The generic node guard: excluded nodes appear in no path — not as
+    start, intermediate hop, or tail."""
+    from mine_database_spark.operators.graph import enumerate_paths
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 4), (4, 3)], "src int, dst int")
+    starts = spark.createDataFrame([(1,)], "node int")
+    full = {r["path"] for r in enumerate_paths(edges, starts, max_depth=3).collect()}
+    assert "1->2->3" in full and "1->4->3" in full
+
+    ex2 = spark.createDataFrame([(2,)], "id int")
+    got = {r["path"] for r in enumerate_paths(edges, starts, max_depth=3, excluded_nodes=ex2).collect()}
+    assert got == {"1", "1->4", "1->4->3"}
+
+    ex_start = spark.createDataFrame([(1,)], "id int")
+    none = enumerate_paths(edges, starts, max_depth=3, excluded_nodes=ex_start).collect()
+    assert none == []
+
+
 def test_assign_ids(spark, engine):
     """G6/W1: deterministic pkc/pkr ids + equation rendering."""
     from mine_database_spark.operators.network import assign_ids

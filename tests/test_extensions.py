@@ -348,6 +348,21 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
     n_probed = len(pf.split(" IN (")[1].split(")")[0].split(","))
     assert all_lists > 8 >= n_probed, (n_probed, all_lists)
 
+    # small-file control: the pre-write repartition coalesces each inverted
+    # list into EXACTLY one parquet file (no tasks × lists fan-out)
+    import glob
+
+    list_dirs = glob.glob(layout + "/corpus/list_id=*")
+    assert len(list_dirs) == all_lists
+    for d in list_dirs:
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1, (d, files)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_centroids"):
+        write_ivf_partitioned(e, layout + "_bad", n_centroids=0)
+
 
 def test_connected_components_known_graph(spark):
     """Two chains and a triangle with a shared node; labels must converge to
