@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mine_database_spark.queries.registry import QUERIES
 from mine_database_spark.session import get_spark
 
+# Historical headline order first (keeps per-query comparability with
+# BENCH_r1-r5 artifacts), then every remaining registry query appended
+# sorted — the bench gate covers the WHOLE registry, and a newly registered
+# query is benched automatically.
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
@@ -60,6 +64,8 @@ HEADLINE = [
     "product_of_native",
     "order_chain_paths",
 ]
+HEADLINE += sorted(set(QUERIES) - set(HEADLINE))
+assert set(HEADLINE) == set(QUERIES), sorted(set(QUERIES) ^ set(HEADLINE))
 
 
 def main() -> None:

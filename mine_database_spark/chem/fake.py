@@ -103,9 +103,18 @@ class FakeChemBackend:
         pat, repl = smarts.split(">>", 1)
         return (pat, repl)
 
-    def run_reaction(self, compiled_rule, reactant_smiles: list[str], max_products: int = 10000) -> list[list[str]]:
+    def run_reaction(
+        self,
+        compiled_rule,
+        reactant_smiles: list[str],
+        max_products: int = 10000,
+        explicit_h: bool = False,
+        kekulize: bool = True,
+    ) -> list[list[str]]:
         """Apply the rule to the reactant tuple; the wildcard substrate is the
         first reactant (reference binds 'Any' slots, reactions.py:224-298).
+        explicit_h/kekulize are RDKit mol-prep flags — no-ops for the fake
+        string chemistry, accepted for signature parity.
 
         Returns a list of product sets — one per match position, like RDKit's
         RunReactants enumerating attachment points.

@@ -169,16 +169,37 @@ class RDKitBackend:
         rxn.Initialize()
         return rxn
 
-    def run_reaction(self, compiled_rule, reactant_smiles: list[str], max_products: int = 10000):
-        mols = [Chem.MolFromSmiles(s) for s in reactant_smiles]
-        if any(m is None for m in mols):
-            return []
+    def run_reaction(
+        self,
+        compiled_rule,
+        reactant_smiles: list[str],
+        max_products: int = 10000,
+        explicit_h: bool = False,
+        kekulize: bool = True,
+    ):
+        """Reactant prep mirrors the reference (reactions.py:262-271):
+        RemoveHs → optional Kekulize(clearAromaticFlags) → AddHs when
+        explicit_h (rules like 2.7.1.a bind [#1] atoms); products RemoveHs
+        back before canonical SMILES (reactions.py:122-126)."""
+        mols = []
+        for s in reactant_smiles:
+            m = Chem.MolFromSmiles(s)
+            if m is None:
+                return []
+            m = Chem.RemoveHs(m)
+            if kekulize:
+                Chem.Kekulize(m, clearAromaticFlags=True)
+            if explicit_h:
+                m = Chem.AddHs(m)
+            mols.append(m)
         out = []
         for products in compiled_rule.RunReactants(tuple(mols), maxProducts=max_products):
             smis = []
             ok = True
             for p in products:
                 try:
+                    if explicit_h:
+                        p = Chem.RemoveHs(p)
                     Chem.SanitizeMol(p)
                     smis.append(Chem.MolToSmiles(p))
                 except Exception:

@@ -155,6 +155,8 @@ def _make_expand_fn(
     coreactants: dict[str, tuple[str, str]],
     max_products: int,
     check_balance: bool | None = None,
+    explicit_h: bool = False,
+    kekulize: bool = True,
 ):
     """Build the mapInPandas function. `coreactants` maps role name ->
     (smiles, c_id). The wildcard role 'Any' binds the frontier compound
@@ -201,7 +203,13 @@ def _make_expand_fn(
                         r_atoms = (
                             _side_atoms(backend, r_entries, r_uniq, atom_cache) if balance else None
                         )
-                        product_sets = backend.run_reaction(crule, r_smiles, max_products)
+                        product_sets = backend.run_reaction(
+                            crule,
+                            r_smiles,
+                            max_products,
+                            explicit_h=explicit_h,
+                            kekulize=kekulize,
+                        )
                     except Exception:
                         continue
                     r_ids = {cid for cid, _ in r_uniq}
@@ -291,6 +299,8 @@ class NetworkExpansion:
         max_products: int = 10000,
         frontier_partitions: int | None = None,
         check_balance: bool | None = None,
+        explicit_h: bool = False,
+        kekulize: bool = True,
     ):
         self.spark = spark
         self.rules = rules
@@ -298,6 +308,11 @@ class NetworkExpansion:
         self.max_products = max_products
         self.frontier_partitions = frontier_partitions
         self.check_balance = check_balance
+        # RDKit mol-prep flags threaded into backend.run_reaction (the
+        # reference Pickaxe(explicit_h=, kekulize=) pair, pickaxe.py:147-168;
+        # rules binding [#1] atoms, e.g. 2.7.1.a, need explicit_h=True)
+        self.explicit_h = explicit_h
+        self.kekulize = kekulize
 
     # -- state constructors -------------------------------------------------
     def starting_compounds(
@@ -408,7 +423,14 @@ class NetworkExpansion:
         frontier = frontier.repartition(nparts)  # molecule-cost skew (SURVEY §7.4)
 
         raw = frontier.mapInPandas(
-            _make_expand_fn(self.rules, self.coreactants, self.max_products, self.check_balance),
+            _make_expand_fn(
+                self.rules,
+                self.coreactants,
+                self.max_products,
+                self.check_balance,
+                explicit_h=self.explicit_h,
+                kekulize=self.kekulize,
+            ),
             _EXPANSION_OUT,
         )
         raw = raw.withColumn("_id", canonical_rxn_hash_col(F.col("reactants"), F.col("products")))

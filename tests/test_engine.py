@@ -199,6 +199,52 @@ def test_prune_to_targets(spark, engine):
     assert pr1.count() == 1
 
 
+def test_transform_all_rdkit_golden(spark):
+    """Real-chemistry golden (reference tests/test_unit/test_pickaxe.py:92-111
+    test_transform_all): the 2.7.1.a phosphorylation rule on FADH with
+    ATP/ADP coreactants, explicit_h=True, 2 generations → 31 compounds
+    (incl. the 2 coreactants), 49 reactions, generations {0, 1, 2}.
+    Auto-activates when rdkit is installed (pip install '.[rdkit]');
+    skipped under the fake backend, whose string chemistry pins the same
+    engine contracts in the sibling tests."""
+    import pytest as _pytest
+
+    from mine_database_spark.chem import get_backend
+    from mine_database_spark.operators.expansion import NetworkExpansion, Rule, compound_id
+
+    backend = get_backend()
+    if backend.name != "rdkit":
+        _pytest.skip("rdkit not installed — fake backend active")
+
+    # fixture data verbatim from reference tests/conftest.py:68-94 and
+    # tests/data/test_reaction_rules.tsv (rule 2.7.1.a)
+    ATP = (
+        "Nc1ncnc2c1ncn2[C@@H]1O[C@H](COP(=O)(O)OP(=O)(O)OP(=O)(O)O)[C@@H](O)[C@H]1O"
+    )
+    ADP = "Nc1ncnc2c1ncn2[C@@H]1O[C@H](COP(=O)(O)OP(=O)(O)O)[C@@H](O)[C@H]1O"
+    FADH = (
+        "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc"
+        "4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"
+    )
+    SMARTS = (
+        "[#6;H2D4:8][#8;H0D2:7][#15;H0D4:6][#8;H0D2:5][#15;H0D4:4][#8;H0D2:3]"
+        "[#15;H0D4:2][#8;H1D2R0:1].[#1;D1R0:11][#8;H1D2R0:10][#6:9]"
+        ">>[*:1]-[*:2]-[*:10]-[*:9].[*:8]-[*:7]-[*:6]-[*:5]-[*:4]-[*:3]-[*:11]"
+    )
+    co = {}
+    for name, smi in (("ATP", ATP), ("ADP", ADP)):
+        csmi = backend.canonical_smiles(smi)
+        co[name] = (csmi, compound_id(backend.inchi_key(csmi), "Coreactant", smiles=csmi))
+    rule = Rule("2.7.1.a", ["ATP", "Any"], ["Any", "ADP"], SMARTS)
+    engine = NetworkExpansion(spark, [rule], co, explicit_h=True)
+    compounds = engine.starting_compounds([("FADH", FADH)])
+    cpds, rxns = engine.transform_all(compounds, generations=2)
+    assert cpds.count() == 31
+    assert rxns.count() == 49
+    gens = {r["generation"] for r in cpds.select("generation").distinct().collect()}
+    assert gens == {0, 1, 2}
+
+
 def test_pathway_bfs_constrained_guards(spark):
     """G5 constrained search parity (Scripts/pathway_search.py:32-57):
     the NP-likeness floor cuts paths through a low-scoring compound
