@@ -319,3 +319,50 @@ def first_wins_dedup(df: DataFrame, key_col: str, order_cols: list[str]) -> Data
     """
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_hex: int = 4,
+) -> DataFrame:
+    """Incremental (cross-batch) exact dedup: rows of `new_docs` whose text
+    digest does NOT already appear in `corpus` — the "is this crawl batch
+    new against the existing 100 TB corpus?" filter.
+
+    Two-phase plan (the Bloom-filter pattern, exact by construction):
+      1. PREFILTER — the corpus's *bucket set* (first `bucket_hex` hex chars
+         of md5(text); 16^bucket_hex ≤ 65536 buckets) is a bounded-size
+         digest of arbitrarily many corpus rows. New docs whose bucket is
+         absent are guaranteed-new and skip phase 2 entirely (anti-join
+         against a ≤65536-row side that AQE/broadcast handles for free).
+      2. VERIFY — only bucket-colliding candidates anti-join the corpus on
+         the full digest, so the expensive full-width anti-join shuffles a
+         small candidate slice instead of the whole batch.
+
+    The union of both phases equals the plain digest anti-join exactly:
+    phase 1 can only pass rows whose digest cannot be in the corpus (no
+    false negatives at the bucket level), phase 2 is exact. At 100 TB the
+    corpus-side bucket set is a reusable, broadcastable artifact (persist it
+    once per corpus snapshot); only colliding candidates ever touch the
+    full corpus digest index.
+
+    Returns (id_col, digest).
+    """
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    new_d = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    ).withColumn("bucket", F.substring("digest", 1, bucket_hex))
+    corpus_d = corpus.select(F.md5(F.col(text_col)).alias("digest")).withColumn(
+        "bucket", F.substring("digest", 1, bucket_hex)
+    )
+    corpus_buckets = corpus_d.select("bucket").distinct()
+    definite_new = new_d.join(F.broadcast(corpus_buckets), "bucket", "left_anti")
+    candidates = new_d.join(F.broadcast(corpus_buckets), "bucket", "left_semi")
+    verified_new = candidates.join(corpus_d.select("digest"), "digest", "left_anti")
+    return definite_new.select(id_col, "digest").unionByName(
+        verified_new.select(id_col, "digest")
+    )

@@ -1,0 +1,192 @@
+"""Training-data shaping operators: context-window chunking, greedy sequence
+packing, and temperature-weighted domain mixture sampling.
+
+These extend the engine past the reference's own surface (SURVEY §2.13 —
+LLM-data-pipeline extensions): a 100 TB pretraining pipeline tokenizes,
+chunks, packs, and re-balances a corpus after the dedup/quality stages that
+dedup.py / functions/text.py already provide.
+
+Scale notes (the design constraints, in order):
+  * chunk_documents is a pure scan→generate projection — ZERO shuffles, no
+    Python; the chunk fan-out happens JVM-side via sequence()+posexplode so
+    a 100 TB corpus chunks at full scan throughput.
+  * pack_greedy is sequential *within a shard* by definition (bin state
+    depends on every prior doc), so it runs as one applyInPandas per shard
+    key — one hash exchange, state bounded by a shard's doc count, shards
+    pack in parallel. This mirrors how production packers shard the corpus
+    and pack each shard independently.
+  * temperature_sample needs only a per-source count aggregate (tiny —
+    O(#sources) rows, broadcast back) plus a stateless keep/drop scan; the
+    keep decision is a deterministic md5-uniform so resampling is
+    reproducible across runs and engines (no RNG seed plumbing).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mine_database_spark.functions.text import hex_uniform, token_count, tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size windows with a
+    fixed stride (overlapping when stride < chunk_size) — the standard
+    context-window chunking step before sequence packing.
+
+    A document with n tokens (n > 0) yields ceil(max(n - chunk_size, 0) /
+    stride) + 1 chunks; the last chunk clamps at the end of the document.
+    Empty documents yield no chunks.
+
+    Returns (id_col, chunk_idx, start_tok, n_toks, chunk_text).
+
+    Scale: scan → project → posexplode. No shuffle, no Python — the token
+    array, the start-offset sequence, and the slice/join all evaluate as
+    Catalyst expressions, so chunking is embarrassingly parallel and runs at
+    parquet scan speed regardless of corpus size.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError(f"chunk_size and stride must be >= 1, got {chunk_size}, {stride}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.greatest(F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))), F.lit(0))
+        + F.lit(1)
+    ).cast("int")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        n_chunks.alias("__k"),
+    ).where(F.col("__n") > 0)
+    start = F.col("chunk_idx").cast("bigint") * stride
+    return (
+        base.select(
+            id_col,
+            "__toks",
+            "__n",
+            F.posexplode(F.sequence(F.lit(0), F.col("__k") - 1)).alias("chunk_idx", "_v"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.alias("start_tok"),
+            F.least(F.lit(chunk_size).cast("bigint"), F.col("__n") - start).alias("n_toks"),
+            F.array_join(
+                F.slice(F.col("__toks"), (start + 1).cast("int"), chunk_size), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    capacity: int = 256,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: within each shard, walk documents
+    in id order and append each to the current bin unless it would overflow
+    `capacity` tokens, in which case open a new bin. A document longer than
+    capacity gets a bin of its own (and the next document opens a fresh one).
+
+    Returns (shard_col, id_col, n_toks, bin_id) — bin ids are 0-based per
+    shard.
+
+    Scale: packing is inherently sequential in the scan order (each bin
+    decision depends on the running fill), so global packing cannot
+    distribute. The production answer — and this implementation — is
+    per-shard packing: one hash exchange on shard_col, then an Arrow-batched
+    applyInPandas walks each shard independently. State is O(1) per shard
+    (the running fill); shards pack in parallel across executors. The token
+    count is computed JVM-side *before* the exchange so Python never touches
+    document text.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    sized = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_toks"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc", kind="mergesort").reset_index(drop=True)
+        bins, bin_id, fill = [], 0, 0
+        first = True
+        for n in pdf["n_toks"]:
+            n = int(n)
+            if first:
+                fill = n
+                first = False
+            elif fill + n <= capacity:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    packed = sized.groupBy("shard").applyInPandas(
+        pack, schema="shard string, doc bigint, n_toks bigint, bin_id bigint"
+    )
+    return packed.select(
+        F.col("shard").alias(shard_col),
+        F.col("doc").alias(id_col),
+        "n_toks",
+        "bin_id",
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted domain re-balancing: sample each source s with
+    probability p_s = min(1, (N * N_s^alpha / sum_t N_t^alpha) / N_s), the
+    keep-rate that reshapes the corpus toward the alpha-tempered source
+    distribution (alpha=1 keeps everything; alpha→0 equalizes sources).
+    The keep decision is hex_uniform(doc_id) < p_s — deterministic,
+    engine-reproducible, no RNG state.
+
+    Returns the kept (id_col, source_col, keep_prob[rounded 6]).
+
+    Scale: the per-source histogram is O(#sources) rows — computed with one
+    map-side-combinable groupBy, then broadcast back onto the scan. The
+    keep/drop pass itself is stateless and shuffle-free, so the operator
+    costs one tiny aggregate plus one corpus scan at 100 TB.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    hist = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).cast("double").alias("__ns")
+    )
+    tot = hist.agg(
+        F.sum("__ns").alias("__n"), F.sum(F.pow("__ns", F.lit(alpha))).alias("__wsum")
+    )
+    rates = hist.crossJoin(F.broadcast(tot)).select(
+        "__src",
+        F.least(
+            F.lit(1.0),
+            F.col("__n") * F.pow("__ns", F.lit(alpha)) / F.col("__wsum") / F.col("__ns"),
+        ).alias("__p"),
+    )
+    return (
+        docs.join(F.broadcast(rates), docs[source_col] == F.col("__src"))
+        .where(hex_uniform(F.col(id_col)) < F.col("__p"))
+        .select(id_col, source_col, F.round(F.col("__p"), 6).alias("keep_prob"))
+    )

@@ -24,6 +24,7 @@ from mine_database_spark.session import load_tables
 from mine_database_spark.functions.text import hex_uniform, tokens
 from mine_database_spark.operators import dedup as dd
 from mine_database_spark.operators import graph as gr
+from mine_database_spark.operators import packing as pk
 from mine_database_spark.operators import sessionize as sz
 from mine_database_spark.operators import similarity as sim
 
@@ -2112,6 +2113,179 @@ GROUP BY d.lang, g.b
 
 
 # ---------------------------------------------------------------------------
+# Training-data shaping (SURVEY §2.13 extensions): context-window chunking,
+# greedy sequence packing, temperature-weighted mixture sampling, unigram-LM
+# quality buckets, incremental cross-batch dedup (operators/packing.py,
+# operators/dedup.py:incremental_dedup)
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (64-token) context windows with stride 32 over every
+    document — the tokenize→chunk step before sequence packing.
+
+    Scale: scan → sequence() → posexplode, ZERO shuffles and zero Python
+    (plan-gated in test_plans.py); chunking runs at parquet scan speed."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return pk.chunk_documents(d, chunk_size=64, stride=32)
+
+
+_Q_DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CAST(greatest(ceil((n - 64) / 32.0), 0) AS BIGINT) + 1)) AS i
+  FROM n
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 32 AS BIGINT) AS start_tok,
+       CAST(least(64, n - i * 32) AS BIGINT) AS n_toks,
+       array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 64), ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing of documents into 256-token bins, one packer
+    per source shard (operators/packing.py:pack_greedy). The oracle is a
+    genuine recursive CTE walking each shard in doc_id order — packing is
+    the one training-data op that is *inherently* sequential per shard,
+    which is exactly why the Spark form shards first.
+
+    Scale: one hash exchange on the shard key; Arrow-batched per-shard
+    walk; token counts computed JVM-side so Python never sees text."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return pk.pack_greedy(d, capacity=256, shard_col="source")
+
+
+_Q_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT source, rn, doc_id, n_toks, CAST(0 AS BIGINT) AS bin_id, n_toks AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_toks,
+         CASE WHEN rec.fill + t.n_toks <= 256 THEN rec.bin_id ELSE rec.bin_id + 1 END,
+         CASE WHEN rec.fill + t.n_toks <= 256 THEN rec.fill + t.n_toks ELSE t.n_toks END
+  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1
+)
+SELECT source, doc_id, n_toks, bin_id FROM rec
+"""
+
+
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) re-balancing of the corpus across languages
+    (operators/packing.py:temperature_sample): rare languages keep
+    everything, the dominant language is down-sampled toward the tempered
+    distribution. Deterministic md5-uniform keep rule, so the oracle
+    reproduces the exact sample.
+
+    Scale: O(#domains) histogram broadcast back onto a stateless scan."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return pk.temperature_sample(d, alpha=0.5, source_col="lang")
+
+
+_Q_MIXTURE_SQL = """
+WITH h AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS ns FROM documents GROUP BY lang),
+tot AS (SELECT SUM(ns) AS n, SUM(pow(ns, 0.5)) AS wsum FROM h),
+r AS (
+  SELECT lang, least(1.0, tot.n * pow(h.ns, 0.5) / tot.wsum / h.ns) AS p
+  FROM h CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang, round(r.p, 6) AS keep_prob
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0 < r.p
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document: mean token
+    ln P(tok), the classic perplexity-style quality signal, bucketed into
+    deciles. Each ln term is quantized to an exact integer (×1e6) BEFORE
+    summing so the aggregate is order-independent and engine-exact — float
+    accumulation order can never flip a value.
+
+    Scale: two map-side-combinable token aggregates (term counts are the
+    LM; total folds in as a broadcast 1-row aggregate), a token-keyed join,
+    and a per-doc agg — the same shape as tfidf_topk."""
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    tot = cnt.agg(F.sum("ct").alias("t"))
+    term = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("ct") / F.col("t")) * 1e6).cast("bigint").alias("q"),
+        )
+    )
+    per = term.groupBy("doc_id").agg(
+        F.round(F.sum("q") / F.count(F.lit(1)) / 1e6, 6).alias("avg_logprob")
+    )
+    w = Window.orderBy("avg_logprob", "doc_id")
+    return per.select(
+        "doc_id", "avg_logprob", F.ntile(10).over(w).cast("int").alias("bucket")
+    )
+
+
+_Q_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+cnt AS (SELECT tok, COUNT(*) AS ct FROM toks GROUP BY tok),
+tot AS (SELECT SUM(ct) AS t FROM cnt),
+term AS (
+  SELECT toks.doc_id, CAST(round(ln(cnt.ct / tot.t) * 1e6) AS BIGINT) AS q
+  FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, round(SUM(q) / COUNT(*) / 1e6, 6) AS avg_logprob
+  FROM term GROUP BY doc_id
+)
+SELECT doc_id, avg_logprob,
+       CAST(ntile(10) OVER (ORDER BY avg_logprob, doc_id) AS INT) AS bucket
+FROM per
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup: docs in the 'new batch' (doc_id % 3 = 0) whose
+    canonical head (first 4 tokens) does not already appear in the corpus
+    (the other two thirds) — operators/dedup.py:incremental_dedup, the
+    two-phase bucket-prefilter + exact-verify plan. The oracle is the plain
+    digest anti-join the two phases must exactly equal."""
+    (d,) = _t(spark, sf_dir, "documents")
+    head = d.select(
+        "doc_id", F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ").alias("head")
+    )
+    new = head.where(F.col("doc_id") % 3 == 0)
+    corpus = head.where(F.col("doc_id") % 3 != 0)
+    return dd.incremental_dedup(new, corpus, text_col="head", bucket_hex=2)
+
+
+_Q_INCREMENTAL_DEDUP_SQL = f"""
+WITH h AS (
+  SELECT doc_id, md5(array_to_string(list_slice({_DUCK_TOKS}, 1, 4), ' ')) AS digest
+  FROM documents
+)
+SELECT a.doc_id, a.digest FROM h a
+WHERE a.doc_id % 3 = 0
+  AND NOT EXISTS (SELECT 1 FROM h b WHERE b.doc_id % 3 <> 0 AND b.digest = a.digest)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2169,6 +2343,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_jaccard": q_model_jaccard,
     "orphan_gc": q_orphan_gc,
     "regex_filter": q_regex_filter,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "domain_mixture_sample": q_domain_mixture_sample,
+    "unigram_logprob": q_unigram_logprob,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2226,5 +2405,10 @@ ORACLES: dict[str, str] = {
     "model_jaccard": _Q_MODEL_JACCARD_SQL,
     "orphan_gc": _Q_ORPHAN_SQL,
     "regex_filter": _Q_REGEX_FILTER_SQL,
+    "doc_chunks": _Q_DOC_CHUNKS_SQL,
+    "pack_sequences": _Q_PACK_SQL,
+    "domain_mixture_sample": _Q_MIXTURE_SQL,
+    "unigram_logprob": _Q_UNIGRAM_SQL,
+    "incremental_dedup": _Q_INCREMENTAL_DEDUP_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

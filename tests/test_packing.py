@@ -1,0 +1,164 @@
+"""Unit tests for the training-data shaping operators
+(operators/packing.py, operators/dedup.py:incremental_dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mine_database_spark.operators import packing as pk
+from mine_database_spark.operators.dedup import incremental_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+
+def test_chunk_edges(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "s", ""),  # empty -> no chunks
+            (2, "s", "a b c"),  # 3 toks < 64 -> one chunk
+            (3, "s", " ".join(f"t{i}" for i in range(65))),  # 65 toks -> 2 chunks
+            (4, "s", " ".join(f"t{i}" for i in range(64))),  # exactly 64 -> 1 chunk
+        ],
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in pk.chunk_documents(d, chunk_size=64, stride=32).collect()
+    }
+    assert {k[0] for k in out} == {2, 3, 4}
+    assert out[(2, 0)].n_toks == 3 and out[(2, 0)].chunk_text == "a b c"
+    assert (3, 0) in out and (3, 1) in out and (3, 2) not in out
+    assert out[(3, 1)].start_tok == 32 and out[(3, 1)].n_toks == 33
+    assert out[(3, 1)].chunk_text.split() == [f"t{i}" for i in range(32, 65)]
+    assert out[(4, 0)].n_toks == 64 and (4, 1) not in out
+
+
+def test_chunk_overlap_stride(spark):
+    d = _docs(spark, [(1, "s", " ".join(str(i) for i in range(10)))])
+    rows = sorted(
+        pk.chunk_documents(d, chunk_size=4, stride=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # n=10, size=4, stride=2 -> ceil(6/2)+1 = 4 chunks, starts 0,2,4,6
+    assert [r.start_tok for r in rows] == [0, 2, 4, 6]
+    assert rows[1].chunk_text == "2 3 4 5"
+    assert all(r.n_toks == 4 for r in rows)
+
+
+def test_chunk_validation():
+    with pytest.raises(ValueError):
+        pk.chunk_documents(None, chunk_size=0)
+    with pytest.raises(ValueError):
+        pk.chunk_documents(None, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# pack_greedy
+
+def _ref_pack(sizes, capacity):
+    bins, bin_id, fill, first = [], 0, 0, True
+    for n in sizes:
+        if first:
+            fill, first = n, False
+        elif fill + n <= capacity:
+            fill += n
+        else:
+            bin_id += 1
+            fill = n
+        bins.append(bin_id)
+    return bins
+
+
+def test_pack_matches_reference_walk(spark):
+    texts = ["a b c", "d e", "f g h i j k", "x", "y z w v u t s r q p", "m"]
+    d = _docs(spark, [(i, "s1" if i % 2 else "s2", t) for i, t in enumerate(texts)])
+    out = pk.pack_greedy(d, capacity=5, shard_col="source").collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.source, []).append(r)
+    for shard, rows in by_shard.items():
+        assert [r.bin_id for r in rows] == _ref_pack([r.n_toks for r in rows], 5), shard
+
+
+def test_pack_oversize_gets_own_bin(spark):
+    d = _docs(spark, [(1, "s", "a b"), (2, "s", " ".join("x" * 1 for _ in range(9))), (3, "s", "c")])
+    rows = {r.doc_id: r for r in pk.pack_greedy(d, capacity=4).collect()}
+    assert rows[1].bin_id == 0
+    assert rows[2].bin_id == 1  # 9 toks > capacity: own bin
+    assert rows[3].bin_id == 2  # next doc never joins an overflowed bin
+
+
+def test_pack_capacity_invariant(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = pk.pack_greedy(docs, capacity=256).collect()
+    fills = {}
+    for r in out:
+        fills.setdefault((r.source, r.bin_id), []).append(r.n_toks)
+    for (_, _), sizes in fills.items():
+        assert sum(sizes) <= 256 or len(sizes) == 1  # only oversize singletons exceed
+
+
+def test_pack_validation():
+    with pytest.raises(ValueError):
+        pk.pack_greedy(None, capacity=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample
+
+def test_temperature_alpha_one_keeps_all(spark):
+    d = _docs(spark, [(i, f"s{i % 3}", "x") for i in range(30)])
+    out = pk.temperature_sample(d, alpha=1.0, source_col="source")
+    assert out.count() == 30
+    assert out.select(F.min("keep_prob")).first()[0] == 1.0
+
+
+def test_temperature_downsamples_dominant(spark):
+    rows = [(i, "big" if i < 90 else "small", "x") for i in range(100)]
+    out = pk.temperature_sample(_docs(spark, rows), alpha=0.5, source_col="source")
+    probs = {r.source: r.keep_prob for r in out.select("source", "keep_prob").distinct().collect()}
+    assert probs["small"] == 1.0  # rare domain capped at keep-everything
+    assert 0 < probs["big"] < 1.0  # dominant domain down-sampled
+    kept_big = out.where(F.col("source") == "big").count()
+    assert kept_big < 90
+
+
+def test_temperature_validation():
+    with pytest.raises(ValueError):
+        pk.temperature_sample(None, alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+
+def test_incremental_equals_exact_anti_join(spark):
+    corpus = _docs(spark, [(i, "c", f"text number {i}") for i in range(50)])
+    # new batch: 10 dups of corpus rows + 10 genuinely new
+    new = _docs(
+        spark,
+        [(100 + i, "n", f"text number {i}") for i in range(10)]
+        + [(200 + i, "n", f"fresh text {i}") for i in range(10)],
+    )
+    for bucket_hex in (1, 2, 4):
+        got = sorted(
+            r.doc_id
+            for r in incremental_dedup(new, corpus, bucket_hex=bucket_hex).collect()
+        )
+        assert got == [200 + i for i in range(10)], bucket_hex
+
+
+def test_incremental_empty_corpus_keeps_all(spark):
+    corpus = _docs(spark, []).where(F.lit(False))
+    new = _docs(spark, [(1, "n", "a"), (2, "n", "b")])
+    assert incremental_dedup(new, corpus).count() == 2
+
+
+def test_incremental_validation(spark):
+    with pytest.raises(ValueError):
+        incremental_dedup(None, None, bucket_hex=0)

@@ -210,3 +210,38 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
         if after - before:
             offenders[name] = len(after - before)
     assert not offenders, offenders
+
+
+def test_doc_chunks_zero_shuffle_no_python(spark, sf_smoke):
+    """Chunking is per-document: scan -> project -> generate, with no
+    Exchange and no Python evaluation — it must run at parquet scan speed."""
+    plan = plan_str(QUERIES["doc_chunks"](spark, sf_smoke), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_smoke):
+    """Packing shards on the source key: exactly one hash exchange feeds
+    the Arrow-batched per-shard walk, and the token count is computed
+    JVM-side (the only Python in the plan is the packer itself)."""
+    plan = plan_str(QUERIES["pack_sequences"](spark, sf_smoke), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_domain_mixture_broadcasts_rates(spark, sf_smoke):
+    """The O(#domains) keep-rate table broadcasts back onto the scan —
+    the corpus itself is never shuffled for the keep/drop decision."""
+    plan = plan_str(QUERIES["domain_mixture_sample"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_prefilter_broadcasts(spark, sf_smoke):
+    """Both prefilter phases (anti + semi against the bucket set) must
+    broadcast the bounded bucket digest, never shuffle the batch on it."""
+    plan = plan_str(QUERIES["incremental_dedup"](spark, sf_smoke), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
