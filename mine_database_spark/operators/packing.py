@@ -86,7 +86,42 @@ def chunk_documents(
                 F.slice(F.col("__toks"), (start + 1).cast("int"), chunk_size), " "
             ).alias("chunk_text"),
         )
+        # stride > chunk_size can put the ceil'd last start at exactly n
+        # tokens — an empty window; never emit it
+        .where(F.col("n_toks") > 0)
     )
+
+
+def pack_walk(sizes: Iterable[int], capacity: int) -> list[int]:
+    """The pure greedy next-fit walk pack_greedy runs per shard: append to
+    the current bin unless it would exceed `capacity`, else open a new bin;
+    the first item always seeds bin 0 (even when oversize). Exposed at
+    module level so property tests can pin the kernel without Spark."""
+    bins, bin_id, fill, first = [], 0, 0, True
+    for n in sizes:
+        if first:
+            fill, first = n, False
+        elif fill + n <= capacity:
+            fill += n
+        else:
+            bin_id += 1
+            fill = n
+        bins.append(bin_id)
+    return bins
+
+
+def chunk_starts(n: int, chunk_size: int, stride: int) -> list[int]:
+    """The start offsets chunk_documents generates for an n-token document —
+    the same ceil((n - chunk_size)/stride)+1 arithmetic, as pure Python for
+    property tests. Empty documents yield no chunks."""
+    if n <= 0:
+        return []
+    import math
+
+    k = max(math.ceil((n - chunk_size) / stride), 0) + 1
+    # stride > chunk_size can push the ceil'd last start to exactly n
+    # (an empty window); drop it, mirroring the operator's n_toks > 0 guard
+    return [i * stride for i in range(k) if i * stride < n]
 
 
 def pack_greedy(
@@ -123,20 +158,9 @@ def pack_greedy(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc", kind="mergesort").reset_index(drop=True)
-        bins, bin_id, fill = [], 0, 0
-        first = True
-        for n in pdf["n_toks"]:
-            n = int(n)
-            if first:
-                fill = n
-                first = False
-            elif fill + n <= capacity:
-                fill += n
-            else:
-                bin_id += 1
-                fill = n
-            bins.append(bin_id)
-        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_id"] = pd.Series(
+            pack_walk([int(n) for n in pdf["n_toks"]], capacity), dtype="int64"
+        )
         return pdf
 
     packed = sized.groupBy("shard").applyInPandas(

@@ -2145,6 +2145,7 @@ SELECT doc_id,
        CAST(least(64, n - i * 32) AS BIGINT) AS n_toks,
        array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 64), ' ') AS chunk_text
 FROM c
+WHERE n - i * 32 > 0
 """
 
 

@@ -51,6 +51,14 @@ def test_chunk_overlap_stride(spark):
     assert all(r.n_toks == 4 for r in rows)
 
 
+def test_chunk_stride_gt_size_no_empty_window(spark):
+    # n=2, size=1, stride=2: the ceil formula alone would emit an empty
+    # window at start=2 == n; the operator must drop it
+    d = _docs(spark, [(1, "s", "a b")])
+    rows = pk.chunk_documents(d, chunk_size=1, stride=2).collect()
+    assert [(r.start_tok, r.n_toks, r.chunk_text) for r in rows] == [(0, 1, "a")]
+
+
 def test_chunk_validation():
     with pytest.raises(ValueError):
         pk.chunk_documents(None, chunk_size=0)

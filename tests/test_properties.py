@@ -143,3 +143,63 @@ def test_reaction_hash_order_invariant(spark):
     )
     hashes = [r[0] for r in df.select(canonical_rxn_hash_col(F.col("reactants"), F.col("products"))).collect()]
     assert hashes[0] == hashes[1]
+
+
+# ---------------------------------------------------------------------------
+# Training-data shaping kernels (operators/packing.py) — pure-Python walks
+# shared with the Spark operators, so every invariant pinned here holds for
+# the distributed form too.
+
+from mine_database_spark.operators.packing import chunk_starts, pack_walk
+
+
+@given(st.lists(st.integers(min_value=0, max_value=500), max_size=60),
+       st.integers(min_value=1, max_value=300))
+@settings(max_examples=300)
+def test_pack_walk_invariants(sizes, capacity):
+    bins = pack_walk(sizes, capacity)
+    assert len(bins) == len(sizes)
+    if not bins:
+        return
+    # bin ids start at 0 and advance by at most 1
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # capacity: a bin exceeds it only as an oversize singleton
+    fills: dict[int, list[int]] = {}
+    for n, b in zip(sizes, bins):
+        fills.setdefault(b, []).append(n)
+    for members in fills.values():
+        assert sum(members) <= capacity or len(members) == 1
+    # greediness: every new bin was forced — the previous bin could not
+    # have taken the next bin's first item
+    for i in range(1, len(bins)):
+        if bins[i] != bins[i - 1]:
+            assert sum(fills[bins[i - 1]]) + sizes[i] > capacity
+
+
+@given(st.integers(min_value=0, max_value=10_000),
+       st.integers(min_value=1, max_value=200),
+       st.integers(min_value=1, max_value=200))
+@settings(max_examples=300)
+def test_chunk_starts_invariants(n, chunk_size, stride):
+    starts = chunk_starts(n, chunk_size, stride)
+    if n == 0:
+        assert starts == []
+        return
+    assert starts[0] == 0
+    # strictly increasing by exactly `stride`
+    assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+    # every start lands inside the document — no empty windows, ever
+    assert starts[-1] < n
+    # overlapping/tiling windows (stride <= chunk_size) must reach the end,
+    # and the window BEFORE the last must not already cover the document
+    if stride <= chunk_size:
+        assert starts[-1] + chunk_size >= n
+        if len(starts) > 1:
+            assert starts[-2] + chunk_size < n
+    # full coverage when windows overlap or tile (stride <= chunk_size)
+    if stride <= chunk_size:
+        covered = set()
+        for s in starts:
+            covered.update(range(s, min(s + chunk_size, n)))
+        assert covered == set(range(n))
