@@ -133,3 +133,32 @@ def annotate_peaks_foreach_batch(core_compounds: DataFrame, adducts: DataFrame, 
         return find_db_hits(batch_df, adducts, core_compounds, tolerance)
 
     return process
+
+
+def stream_incremental_dedup(
+    doc_stream: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_text_col: str = "text",
+) -> DataFrame:
+    """Streaming cross-batch dedup: arriving docs pass through only when
+    their text digest is NOT in the STATIC historical corpus — the
+    stream-static left-anti twin of operators/dedup.py:incremental_dedup
+    (each doc's verdict is final on arrival: no state, no watermark).
+
+    Within-stream duplicates are a separate concern — chain
+    streaming/stateful.py:exact_dedup_stream after this for both.
+
+    Scale: the static side reduces to a digest-only projection, so each
+    micro-batch plans a regular anti-join with the usual strategies
+    (broadcast when the digest set is small; for a 100 TB corpus, point the
+    static side at the persisted bucket-digest artifact instead and let the
+    two-phase batch form handle the verify pass).
+
+    Emits (id_col, digest) per surviving doc in append mode.
+    """
+    digests = corpus.select(F.md5(F.col(corpus_text_col)).alias("digest")).distinct()
+    return doc_stream.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    ).join(digests, "digest", "left_anti")

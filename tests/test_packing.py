@@ -170,3 +170,26 @@ def test_incremental_empty_corpus_keeps_all(spark):
 def test_incremental_validation(spark):
     with pytest.raises(ValueError):
         incremental_dedup(None, None, bucket_hex=0)
+
+
+def test_stream_incremental_dedup(spark, tmp_path):
+    """Stream-static anti-join dedup: a doc whose text already exists in
+    the static corpus is dropped on arrival; new text passes through."""
+    from mine_database_spark.streaming.windows import stream_incremental_dedup
+
+    corpus = _docs(spark, [(100, "c", "seen before"), (101, "c", "also seen")])
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    (src / "d.csv").write_text("1,seen before\n2,brand new text\n3,also seen\n4,another new\n")
+    stream = spark.readStream.schema("doc_id long, text string").csv(str(src))
+    q = (
+        stream_incremental_dedup(stream, corpus)
+        .writeStream.format("memory")
+        .queryName("incr_dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    got = sorted(r.doc_id for r in spark.sql("select * from incr_dedup_stream_test").collect())
+    assert got == [2, 4]
