@@ -23,11 +23,11 @@ Scale notes (the design constraints, in order):
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mine_database_spark.functions.text import hex_uniform, token_count, tokens
@@ -171,6 +171,113 @@ def pack_greedy(
         F.col("doc").alias(id_col),
         "n_toks",
         "bin_id",
+    )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str | Column],
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running total of `value_col` in `order_cols` order,
+    WITHOUT the single-partition global sort a plain
+    `Window.orderBy(...)` (no partitionBy) compiles to.
+
+    Classic two-level distributed prefix sum, expressed entirely in
+    DataFrame ops:
+
+      1. `repartitionByRange(order_cols)` range-partitions the rows so
+         partition i holds a contiguous slice of the total order (partition
+         ids ascend with the range boundaries).
+      2. A window PARTITIONED BY the physical partition id computes each
+         row's local running total — every partition sorts and scans
+         independently, in parallel.
+      3. A per-partition total aggregate (O(#partitions) rows) is turned
+         into exclusive offsets with a tiny single-partition window and
+         broadcast back; global cum = local cum + partition offset.
+
+    The range exchange is built twice in the plan (once under the window,
+    once under the offsets aggregate) but Spark's ReuseExchange collapses
+    them into one physical shuffle. `order_cols` must be a TOTAL order
+    (include a unique tiebreak column) — with ties across a range boundary
+    the local/global split would be ambiguous.
+
+    Scale: one range shuffle of the fact table + one broadcast of
+    #partitions offset rows. The only single-partition step touches
+    O(#partitions) rows, never the data. This is the building block for
+    global-order assignments (shard ids, curriculum positions, global
+    ranks) that naive global windows make un-runnable at 100 TB.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*cols)
+    ).withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn(
+        "__local", F.sum(F.col(value_col).cast("bigint")).over(w_local)
+    )
+    # exclusive prefix of per-partition totals: O(#partitions) rows only
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("__tot"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).cast("bigint").alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(cum_col, (F.col("__local") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def token_budget_shards(
+    docs: DataFrame,
+    budget: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget output shard in
+    longest-first curriculum order: walk documents by (n_toks DESC, id),
+    accumulate token counts, and start a new shard each time the running
+    total crosses a `budget` boundary — shard_id = (cum - n_toks) DIV
+    budget. Every shard except the last holds >= budget tokens' worth of
+    start positions; a document always lands in the shard its first token
+    falls in, so shard sizes are balanced to within one document.
+
+    Returns (id_col, n_toks, cum_toks, shard_id).
+
+    Scale: token counts are a JVM regexp scan; the global running total is
+    distributed_prefix_sum — one range shuffle, parallel per-partition
+    windows, a broadcast of O(#partitions) offsets. No single-partition
+    sort of the corpus anywhere, so the assignment runs at shuffle speed
+    on a 1000-executor cluster.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    sized = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_toks")
+    )
+    cum = distributed_prefix_sum(
+        sized, "n_toks", [F.col("n_toks").desc(), F.col(id_col).asc()], cum_col="cum_toks"
+    )
+    return cum.select(
+        id_col,
+        "n_toks",
+        "cum_toks",
+        F.expr(f"(cum_toks - n_toks) div {int(budget)}").cast("bigint").alias("shard_id"),
     )
 
 

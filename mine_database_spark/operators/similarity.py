@@ -405,3 +405,103 @@ def embed_neardup_lsh(
         .where(F.col("score") >= threshold)
         .select("a_id", "b_id", "score")
     )
+
+
+def embed_neardup_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_blocks: int = 8,
+    quant_scale: float = 1.0e6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine near-duplicate pairs as a distributed blocked
+    GEMM — the fast form of the brute-force baseline (the LSH twin
+    `embed_neardup_lsh` remains the approximate 100 TB path).
+
+    Why not a cross join: scoring each pair with a per-row aggregate over
+    the two arrays evaluates interpreted (outside whole-stage codegen) and
+    materializes O(n²) rows carrying both vectors — measured ~17 µs/pair.
+    Here vectors are hashed into `n_blocks` blocks, the tiny (i ≤ j)
+    block-pair table fans each block out, and a cogrouped applyInPandas
+    computes each block×block score tile as ONE numpy matmul. Shuffle
+    volume is O(n · n_blocks) vector rows — never O(n²) — and the Arrow
+    output only carries pairs that pass the threshold.
+
+    Exactness (the reason this can share a value-level SQL oracle): each
+    component is quantized JVM-side to round(x · quant_scale) — an integer
+    held in a double. With 64-dim vectors and |x| ≤ ~4, every pairwise
+    product (≤ 2^46) and every dot-product sum (≤ 2^52) is an integer below
+    2^53, so float64 matmul is EXACT integer arithmetic: the result is
+    independent of summation order, BLAS blocking, or engine. The final
+    score sqrt/divide/round sequence is the same three IEEE ops in numpy,
+    Spark, and DuckDB, so values hash-match bit-for-bit. The UDF filters
+    with a 6e-5 margin under the threshold; the exact `round(score, 4) >=
+    threshold` cut happens JVM-side on the returned raw score.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    spark = embeddings.sparkSession
+
+    # the two cogroup sides are built as INDEPENDENT projections (fresh
+    # Alias expression ids each call) — deriving both from one shared
+    # DataFrame trips Spark's ambiguous-self-join analysis under cogroup
+    def side(pair_key: str) -> DataFrame:
+        q = embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: F.round(x * quant_scale)
+            ).alias("q"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+        )
+        rng = spark.range(n_blocks).select(F.col("id").cast("int"))
+        pairs = (
+            rng.select(F.col("id").alias("i"))
+            .crossJoin(rng.select(F.col("id").alias("j")))
+            .where(F.col("i") <= F.col("j"))
+        )
+        return q.join(F.broadcast(pairs), q.blk == pairs[pair_key]).select(
+            "i", "j", "vec_id", "q"
+        )
+
+    left, right = side("i"), side("j")
+    margin = threshold - 6e-5
+
+    def tile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "raw": pd.Series(dtype="float64")})
+        if l.empty or r.empty:
+            return empty
+        same = l["i"].iat[0] == l["j"].iat[0]
+        ia = l["vec_id"].to_numpy("int64")
+        ib = r["vec_id"].to_numpy("int64")
+        A = np.stack(l["q"].to_numpy())
+        B = np.stack(r["q"].to_numpy())
+        # exact integer math in float64: products <= 2^46, sums < 2^53
+        S = A @ B.T
+        denom = np.sqrt((A * A).sum(axis=1))[:, None] * np.sqrt((B * B).sum(axis=1))[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = S / denom
+        mask = raw >= margin
+        if same:
+            mask &= ia[:, None] < ib[None, :]
+        ai, bi = np.nonzero(mask)
+        a, b = ia[ai], ib[bi]
+        return pd.DataFrame(
+            {"a_id": np.minimum(a, b), "b_id": np.maximum(a, b), "raw": raw[ai, bi]}
+        )
+
+    tiles = (
+        left.groupBy("i", "j")
+        .cogroup(right.groupBy("i", "j"))
+        .applyInPandas(tile, schema="a_id bigint, b_id bigint, raw double")
+    )
+    return (
+        tiles.withColumn("score", F.round(F.col("raw"), 4))
+        .where(F.col("score") >= threshold)
+        .select("a_id", "b_id", "score")
+    )

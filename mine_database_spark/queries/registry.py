@@ -1536,29 +1536,24 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — EXACT all-pairs baseline.
-
-    This is the small-corpus oracle form; the production query at scale is
-    `embed_neardup_lsh` (banded-LSH candidates + exact rescore, no cross
-    join), whose recall against this exact form is pinned in pytest.
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs baseline,
+    computed as a distributed blocked GEMM (similarity.py:
+    embed_neardup_blocked): block-pair fan-out + one numpy matmul per
+    score tile, components quantized to round(x·1e6) so float64 matmul is
+    exact integer math and the score is engine/order-independent. The
+    approximate production query at scale is `embed_neardup_lsh` (banded
+    LSH, no all-pairs anything), whose recall against this exact form is
+    pinned in pytest.
     """
-    from mine_database_spark.functions.vectors import cosine
-
     (e,) = _t(spark, sf_dir, "embeddings")
-    v = e.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
-    a = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .where(F.col("score") >= 0.35)
-        .select("a_id", "b_id", "score")
-    )
+    return sim.embed_neardup_blocked(e, threshold=0.35)
 
 
 _Q_EMBED_NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -2286,6 +2281,36 @@ WHERE a.doc_id % 3 = 0
 """
 
 
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget output sharding in longest-first curriculum order
+    (operators/packing.py:token_budget_shards): running token total over
+    (n_toks DESC, doc_id), shard_id = (cum - n_toks) DIV 4096.
+
+    Scale: the running total is a two-level distributed prefix sum —
+    range-partition, per-partition parallel windows, broadcast
+    O(#partitions) offsets — NOT a single-partition global window; the
+    oracle below is exactly that naive global window, which the
+    distributed form must reproduce bit-for-bit."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return pk.token_budget_shards(d, budget=4096)
+
+
+_Q_TOKEN_SHARDS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks FROM documents
+),
+c AS (
+  SELECT doc_id, n_toks,
+         SUM(n_toks) OVER (ORDER BY n_toks DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM t
+)
+SELECT doc_id, n_toks, cum_toks,
+       CAST((cum_toks - n_toks) // 4096 AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2349,6 +2374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture_sample": q_domain_mixture_sample,
     "unigram_logprob": q_unigram_logprob,
     "incremental_dedup": q_incremental_dedup,
+    "token_shards": q_token_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -2411,5 +2437,6 @@ ORACLES: dict[str, str] = {
     "domain_mixture_sample": _Q_MIXTURE_SQL,
     "unigram_logprob": _Q_UNIGRAM_SQL,
     "incremental_dedup": _Q_INCREMENTAL_DEDUP_SQL,
+    "token_shards": _Q_TOKEN_SHARDS_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

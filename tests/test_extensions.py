@@ -1122,3 +1122,46 @@ def test_ivf_kmeans_codebook_recall(spark):
     # measured 0.86 (2-iter Lloyd, 16 lists, 4 probes); same 0.8 floor as
     # the LSH and first-N-codebook gates
     assert r_ref >= 0.8, r_ref
+
+
+def test_embed_neardup_blocked_equals_crossjoin(spark):
+    """The blocked-GEMM exact form must reproduce the naive quantized
+    cross-join pair-for-pair and score-for-score, at any block count —
+    including n_blocks=1 (single tile) and a NULL embedding row."""
+    from mine_database_spark.operators.similarity import embed_neardup_blocked
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    null_row = spark.createDataFrame(
+        [(99999, None, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    e = e.unionByName(null_row)
+    v = e.where(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: F.round(x * 1e6)).alias("q"),
+    )
+    a = v.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qa"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qb"))
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, r: p * r), F.lit(0.0), lambda acc, t: acc + t
+    )
+    naive = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("qa"), F.col("qb"))
+                / (F.sqrt(dot(F.col("qa"), F.col("qa"))) * F.sqrt(dot(F.col("qb"), F.col("qb")))),
+                4,
+            ),
+        )
+        .where(F.col("score") >= 0.35)
+        .collect()
+    }
+    for nb in (1, 3, 8):
+        got = {
+            (r["a_id"], r["b_id"]): r["score"]
+            for r in embed_neardup_blocked(e, threshold=0.35, n_blocks=nb).collect()
+        }
+        assert got == naive, f"n_blocks={nb}"

@@ -193,3 +193,69 @@ def test_stream_incremental_dedup(spark, tmp_path):
     assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
     got = sorted(r.doc_id for r in spark.sql("select * from incr_dedup_stream_test").collect())
     assert got == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# distributed_prefix_sum / token_budget_shards
+
+def test_prefix_sum_matches_serial(spark):
+    """The two-level distributed form must equal a serial walk — including
+    negative values, ties broken by the unique key, and inputs that arrive
+    in a scrambled partitioning."""
+    rows = [(i, ((i * 7919) % 23) - 5) for i in range(200)]
+    df = (
+        spark.createDataFrame(rows, "k bigint, v bigint")
+        .repartition(13)  # scramble: force the range exchange to do real work
+    )
+    out = pk.distributed_prefix_sum(df, "v", ["k"], cum_col="cum")
+    got = {r.k: r.cum for r in out.collect()}
+    acc, want = 0, {}
+    for k, v in rows:
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_prefix_sum_desc_order_and_num_partitions(spark):
+    rows = [(i, i % 7 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = pk.distributed_prefix_sum(
+        df, "v", [F.col("v").desc(), F.col("k").asc()], cum_col="cum", num_partitions=5
+    )
+    got = {r.k: r.cum for r in out.collect()}
+    acc, want = 0, {}
+    for k, v in sorted(rows, key=lambda t: (-t[1], t[0])):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_token_shards_matches_naive_global_window(spark):
+    from pyspark.sql import Window
+
+    d = _docs(
+        spark,
+        [(i, "s", " ".join("w" for _ in range((i * 13) % 29 + 1))) for i in range(120)],
+    ).repartition(7)
+    got = {
+        r.doc_id: (r.n_toks, r.cum_toks, r.shard_id)
+        for r in pk.token_budget_shards(d, budget=64).collect()
+    }
+    from mine_database_spark.functions.text import token_count
+
+    sized = d.select("doc_id", token_count(F.col("text")).cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        r.doc_id: (r.n, r.cum, (r.cum - r.n) // 64)
+        for r in sized.withColumn("cum", F.sum("n").over(w)).collect()
+    }
+    assert got == naive
+    # every shard but the last starts at a multiple-of-budget boundary
+    assert min(got[k][2] for k in got) == 0
+
+
+def test_token_shards_validation(spark):
+    with pytest.raises(ValueError):
+        pk.token_budget_shards(_docs(spark, [(1, "s", "a")]), budget=0)

@@ -245,3 +245,26 @@ def test_incremental_dedup_prefilter_broadcasts(spark, sf_smoke):
     plan = plan_str(QUERIES["incremental_dedup"](spark, sf_smoke), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_token_shards_distributed_prefix_sum_plan(spark, sf_smoke):
+    """token_shards must compute its global running total as the two-level
+    distributed prefix sum: a range exchange (reused across both branches),
+    a window PARTITIONED by the physical partition id (parallel — never a
+    global unpartitioned window over the corpus), and a broadcast of the
+    O(#partitions) offsets. The only SinglePartition exchange allowed is
+    the offsets branch, which sits above a partial aggregate."""
+    df = QUERIES["token_shards"](spark, sf_smoke)
+    # AQE applies ReuseExchange at runtime — run THIS DataFrame's own
+    # QueryExecution (a write would spawn a fresh one) so plan_str reflects
+    # the final adaptive plan, not the pre-execution sketch
+    df.collect()
+    plan = plan_str(df)
+    assert "rangepartitioning" in plan
+    assert "ReusedExchange" in plan, "range exchange must be shared, not recomputed"
+    assert "windowspecdefinition(__pid" in plan, "corpus window must be keyed by __pid"
+    # the corpus-side window is the one with a partition spec; the global
+    # (unpartitioned) window may only appear above the offsets HashAggregate
+    pre, _, post = plan.partition("HashAggregate")
+    assert "Exchange SinglePartition" not in pre
+    assert "BroadcastHashJoin" in plan
