@@ -321,3 +321,65 @@ def temperature_sample(
         .where(hex_uniform(F.col(id_col)) < F.col("__p"))
         .select(id_col, source_col, F.round(F.col("__p"), 6).alias("keep_prob"))
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over a total order, without the
+    single-partition sort `row_number() OVER (ORDER BY ...)` compiles to —
+    just distributed_prefix_sum over a constant 1."""
+    out = distributed_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        "__one",
+        order_cols,
+        cum_col=rank_col,
+        num_partitions=num_partitions,
+    )
+    return out.drop("__one")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: Sequence[str | Column],
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL NTILE(n) semantics at scale: with T rows, the first
+    T % n buckets hold T div n + 1 rows, the rest T div n — identical
+    values to `ntile(n) OVER (ORDER BY ...)`, computed from the
+    distributed rank plus one broadcast row count instead of a global
+    single-partition window.
+
+    Scale: distributed_rank's range shuffle + a broadcast 1-row count —
+    the pattern for any global-order assignment (percentile buckets,
+    train/val/test splits, curriculum deciles) over an arbitrarily large
+    table.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ranked = distributed_rank(df, order_cols, rank_col="__rank", num_partitions=num_partitions)
+    total = df.select(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    # exact integer arithmetic throughout (DIV, not double division — a
+    # double floor can mis-round for T near 2^50+): size = T div n, the
+    # first `extra` buckets hold size+1 rows. greatest() keeps the dead
+    # branch div-safe when size == 0 (T < n: cut == T, so every row takes
+    # the first branch).
+    return (
+        ranked.join(F.broadcast(total), how="cross")
+        .withColumn("__size", F.expr(f"__t DIV {int(n)}"))
+        .withColumn("__cut", F.expr(f"(__t % {int(n)}) * (__size + 1)"))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"CAST(CASE WHEN __rank <= __cut THEN (__rank - 1) DIV (__size + 1) "
+                f"ELSE (__t % {int(n)}) + (__rank - __cut - 1) DIV greatest(__size, 1L) "
+                f"END + 1 AS INT)"
+            ),
+        )
+        .drop("__rank", "__t", "__size", "__cut")
+    )

@@ -1,0 +1,164 @@
+"""Model-based document quality classification — the trainable scoring
+stage a pretraining corpus goes through AFTER the rule-based pre-filter
+(registry q_quality_rules) — the CCNet/fastText-style "does this look like
+reference text" classifier, as pure Spark expressions.
+
+Design mirrors heavy_filters.LogisticPairFeasibilityScorer: a pure-python
+numpy fit() on a (small, labeled) sample, then fully distributed scoring.
+The crucial property is that scoring never enters Python: features are
+scan-only JVM regexp expressions (functions/text.py idiom) and the logistic
+is a fixed arithmetic expression, so the 100 TB scoring pass is a pure
+whole-stage-codegen scan. fit() computes the SAME features driver-side in
+pure python (labeled samples are thousands of rows, not corpus-scale — the
+standard shape for this stage).
+
+The default weights ship pinned so scoring works dependency-free and the
+DuckDB oracle (registry q_quality_classifier) can reproduce every score.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mine_database_spark.functions.text import (
+    STOPWORDS_EN,
+    nonspace_chars,
+    stopword_token_count,
+    token_count,
+)
+
+# (name, weight) — trained offline on a synthetic clean-vs-spam sample with
+# fit(); order is load-bearing: z accumulates left-to-right in this order in
+# Spark, DuckDB, and the python twin, so scores hash-match across engines.
+DEFAULT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("len_score", 1.2),       # min(n_tokens/100, 1): enough text to judge
+    ("avg_token_len", 0.08),  # natural prose sits ~4-6; extremes are junk
+    ("stopword_ratio", 2.0),  # function words = sentence structure
+    ("upper_ratio", -1.5),    # SHOUTING / code / tables
+    ("digit_ratio", -2.0),    # serial-number & log spam
+)
+DEFAULT_BIAS = -1.0
+
+
+def _feature_cols(text: Column) -> dict[str, Column]:
+    """The classifier features as scan-only JVM expressions. Empty or
+    whitespace-only documents get 0.0 for every ratio (coalesce), matching
+    the python twin and the SQL oracle."""
+    n_tok = token_count(text)
+    safe_n = F.nullif(n_tok, F.lit(0))
+    chars = nonspace_chars(text)
+    safe_c = F.nullif(chars, F.lit(0))
+    return {
+        "len_score": F.least(n_tok / F.lit(100.0), F.lit(1.0)),
+        "avg_token_len": F.coalesce(chars / safe_n, F.lit(0.0)),
+        "stopword_ratio": F.coalesce(
+            stopword_token_count(text, list(STOPWORDS_EN)) / safe_n, F.lit(0.0)
+        ),
+        "upper_ratio": F.coalesce(
+            F.length(F.regexp_replace(text, "[^A-Z]", "")) / safe_c, F.lit(0.0)
+        ),
+        "digit_ratio": F.coalesce(
+            F.length(F.regexp_replace(text, "[^0-9]", "")) / safe_c, F.lit(0.0)
+        ),
+    }
+
+
+def _features_py(text: str) -> dict[str, float]:
+    """Pure-python twin of _feature_cols — same regex semantics (\\S+
+    tokens, whole-token stopword hits, character-class counts), used by
+    fit() so trained weights transfer exactly to the distributed scorer."""
+    toks = re.findall(r"\S+", text or "")
+    n_tok = len(toks)
+    chars = sum(len(t) for t in toks)
+    sw = sum(1 for t in toks if t in STOPWORDS_EN)
+    return {
+        "len_score": min(n_tok / 100.0, 1.0),
+        "avg_token_len": (chars / n_tok) if n_tok else 0.0,
+        "stopword_ratio": (sw / n_tok) if n_tok else 0.0,
+        "upper_ratio": (sum(1 for c in text if "A" <= c <= "Z") / chars) if chars else 0.0,
+        # ASCII range, not str.isdigit(): the JVM side matches [0-9] only
+        "digit_ratio": (sum(1 for c in text if "0" <= c <= "9") / chars) if chars else 0.0,
+    }
+
+
+class LogisticQualityClassifier:
+    """Logistic document-quality model over the five scan-only features.
+
+    `weights` is an ordered (name, w) sequence — scoring folds terms
+    left-to-right in that order so the float result is reproducible in any
+    engine that does the same (the registry oracle does).
+    """
+
+    def __init__(
+        self,
+        weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+        bias: float = DEFAULT_BIAS,
+    ):
+        self.weights = tuple(weights)
+        self.bias = float(bias)
+
+    def fit(
+        self,
+        texts: Iterable[str],
+        labels: Iterable[int],
+        lr: float = 0.5,
+        n_iter: int = 400,
+        l2: float = 1e-3,
+    ) -> "LogisticQualityClassifier":
+        """Full-batch logistic gradient descent on driver-side features —
+        labeled quality samples are small by construction; the corpus-scale
+        pass is score(), which is pure JVM."""
+        import numpy as np
+
+        names = [n for n, _ in self.weights]
+        x = np.array(
+            [[_features_py(t)[n] for n in names] + [1.0] for t in texts], dtype=float
+        )
+        y = np.array(list(labels), dtype=float)
+        if len(x) != len(y) or not len(y):
+            raise ValueError(f"need equal, nonzero samples/labels, got {len(x)}/{len(y)}")
+        w = np.zeros(x.shape[1])
+        for _ in range(n_iter):
+            z = 1.0 / (1.0 + np.exp(-(x @ w)))
+            grad = x.T @ (z - y) / len(y) + l2 * w
+            w -= lr * grad
+        self.weights = tuple((n, float(v)) for n, v in zip(names, w[:-1]))
+        self.bias = float(w[-1])
+        return self
+
+    def score_col(self, text: Column) -> Column:
+        feats = _feature_cols(text)
+        z: Column = F.lit(self.bias)
+        for name, w in self.weights:
+            z = z + F.lit(w) * feats[name]
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def score_py(self, text: str) -> float:
+        import math
+
+        feats = _features_py(text)
+        z = self.bias
+        for name, w in self.weights:
+            z = z + w * feats[name]
+        return 1.0 / (1.0 + math.exp(-z))
+
+    def transform(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        round_digits: int = 6,
+    ) -> DataFrame:
+        """(id_col, quality_prob, keep) for every document — one scan, zero
+        shuffles, zero Python."""
+        prob = F.round(self.score_col(F.col(text_col)), round_digits)
+        return docs.select(
+            id_col,
+            prob.alias("quality_prob"),
+            (prob >= F.lit(threshold)).alias("keep"),
+        )

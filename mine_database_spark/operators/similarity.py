@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mine_database_spark.functions.vectors import cosine
+from mine_database_spark.functions.vectors import cosine, cosine_maybe_unrolled
 
 
 def brute_force_topk(
@@ -26,18 +26,21 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, rank, vec_id, score). Deterministic tiebreak on
-    (rounded score desc, vec_id).
+    (rounded score desc, vec_id). `dim` (the embedding width) switches the
+    score to the bit-identical unrolled form that stays inside whole-stage
+    codegen; pass None for unknown/ragged widths.
     """
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), round_digits))
+        .withColumn("score", F.round(cosine_maybe_unrolled(F.col("v"), F.col("qv"), dim), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -137,6 +140,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -182,7 +186,7 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
+        .withColumn("score", F.round(cosine_maybe_unrolled(F.col("v"), F.col("qv"), dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -245,6 +249,7 @@ def ivf_topk_partitioned(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Approximate top-k over a write_ivf_partitioned layout with PARTITION
     PRUNING: the probe list ids are resolved first (one tiny action over the
@@ -264,7 +269,7 @@ def ivf_topk_partitioned(
     scored = (
         corpus.join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
+        .withColumn("score", F.round(cosine_maybe_unrolled(F.col("v"), F.col("qv"), dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -356,7 +361,7 @@ def lsh_bucketed_topk(
     scored = (
         cand.join(c, "vec_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
+        .withColumn("score", F.round(cosine_maybe_unrolled(F.col("v"), F.col("qv"), dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -401,7 +406,7 @@ def embed_neardup_lsh(
     return (
         cand.join(v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
         .join(v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")), "b_id")
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn("score", F.round(cosine_maybe_unrolled(F.col("va"), F.col("vb"), dim), 4))
         .where(F.col("score") >= threshold)
         .select("a_id", "b_id", "score")
     )

@@ -2227,9 +2227,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = term.groupBy("doc_id").agg(
         F.round(F.sum("q") / F.count(F.lit(1)) / 1e6, 6).alias("avg_logprob")
     )
-    w = Window.orderBy("avg_logprob", "doc_id")
-    return per.select(
-        "doc_id", "avg_logprob", F.ntile(10).over(w).cast("int").alias("bucket")
+    # decile assignment WITHOUT `ntile() OVER (ORDER BY ...)` — the global
+    # unpartitioned window would single-partition-sort every doc row at
+    # scale; distributed_ntile reproduces exact NTILE semantics from a
+    # range-partitioned distributed rank + one broadcast count
+    return pk.distributed_ntile(per, 10, ["avg_logprob", "doc_id"], out_col="bucket").select(
+        "doc_id", "avg_logprob", "bucket"
     )
 
 
@@ -2311,6 +2314,48 @@ FROM c
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/quality.py): logistic score
+    over five scan-only features with the pinned default weights — the
+    CCNet/fastText-style classifier stage after the rule-based pre-filter
+    (q_quality_rules). fit() trains the same model in pure python on a
+    labeled sample; scoring stays a zero-shuffle zero-Python JVM scan.
+
+    The oracle folds the weighted terms left-to-right in the same order, so
+    probabilities hash-match (exp() agrees across engines at round-6)."""
+    from mine_database_spark.operators.quality import LogisticQualityClassifier
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return LogisticQualityClassifier().transform(d)
+
+
+_Q_QUALITY_CLASSIFIER_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tok,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS chars,
+         CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+              x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS INT) AS sw,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INT) AS uppers,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS digits
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         (((((-1.0)
+           + 1.2  * least(n_tok / 100.0, 1.0))
+           + 0.08 * coalesce(chars / CAST(nullif(n_tok, 0) AS DOUBLE), 0.0))
+           + 2.0  * coalesce(sw / CAST(nullif(n_tok, 0) AS DOUBLE), 0.0))
+           + (-1.5) * coalesce(uppers / CAST(nullif(chars, 0) AS DOUBLE), 0.0))
+           + (-2.0) * coalesce(digits / CAST(nullif(chars, 0) AS DOUBLE), 0.0) AS z
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM z
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2375,6 +2420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "incremental_dedup": q_incremental_dedup,
     "token_shards": q_token_shards,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -2438,5 +2484,6 @@ ORACLES: dict[str, str] = {
     "unigram_logprob": _Q_UNIGRAM_SQL,
     "incremental_dedup": _Q_INCREMENTAL_DEDUP_SQL,
     "token_shards": _Q_TOKEN_SHARDS_SQL,
+    "quality_classifier": _Q_QUALITY_CLASSIFIER_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

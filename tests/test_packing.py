@@ -259,3 +259,27 @@ def test_token_shards_matches_naive_global_window(spark):
 def test_token_shards_validation(spark):
     with pytest.raises(ValueError):
         pk.token_budget_shards(_docs(spark, [(1, "s", "a")]), budget=0)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """distributed_ntile must equal ntile(n) OVER (ORDER BY ...) exactly,
+    across remainder shapes (T % n == 0, < n, > n cases) and T < n."""
+    from pyspark.sql import Window
+
+    for T, n in ((100, 10), (103, 10), (7, 10), (30, 4), (1, 3)):
+        rows = [(i, (i * 37) % 1000) for i in range(T)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(5)
+        got = {
+            r.k: r.bucket
+            for r in pk.distributed_ntile(df, n, [F.col("v"), F.col("k")]).collect()
+        }
+        w = Window.orderBy("v", "k")
+        want = {
+            r.k: r.b for r in df.select("k", F.ntile(n).over(w).alias("b")).collect()
+        }
+        assert got == want, (T, n)
+
+
+def test_distributed_ntile_validation(spark):
+    with pytest.raises(ValueError):
+        pk.distributed_ntile(spark.range(3), 0, ["id"])

@@ -1,0 +1,82 @@
+"""Tests for the model-based quality classifier (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mine_database_spark.operators.quality import (
+    DEFAULT_WEIGHTS,
+    LogisticQualityClassifier,
+    _features_py,
+)
+
+TEXTS = [
+    "",
+    "   ",
+    "the cat sat on the mat and it is a fine day for all of us to be in",
+    "ERROR 4042 ERROR 9913 ERROR 0007 ERROR 1234567890",
+    "A" * 50,
+    "mixed CASE with 123 numbers and the usual stopwords of a text",
+    "word",
+    "\tthe   of\nand  ",
+]
+
+
+def test_score_col_matches_python_twin(spark):
+    """The JVM expression and the pure-python twin must produce the same
+    probabilities (to float noise) on every edge case — empty docs,
+    whitespace-only, all-caps, digit spam."""
+    clf = LogisticQualityClassifier()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    got = {r.doc_id: r.p for r in df.select("doc_id", clf.score_col(F.col("text")).alias("p")).collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == pytest.approx(clf.score_py(t), abs=1e-12), (i, t)
+
+
+def test_fit_separates_and_transfers(spark):
+    """fit() on a labeled clean-vs-spam sample must (a) separate the two
+    classes in python and (b) transfer to the distributed scorer: the same
+    fitted object scores the same documents identically via Spark."""
+    clean = [
+        f"the quick brown fox number {i} jumps over the lazy dog and it is a fine day in the park for all of us"
+        for i in range(30)
+    ]
+    spam = [f"BUY {i}000 NOW!!! 555-{i:04d} CLICK 9999 WIN {i}$$$ 000 111 222" for i in range(30)]
+    clf = LogisticQualityClassifier().fit(clean + spam, [1] * 30 + [0] * 30)
+    assert min(clf.score_py(t) for t in clean) > max(clf.score_py(t) for t in spam)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean + spam)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.quality_prob for r in clf.transform(df).collect()}
+    for i, t in enumerate(clean + spam):
+        assert got[i] == pytest.approx(round(clf.score_py(t), 6), abs=1e-9)
+
+
+def test_features_empty_and_ratio_bounds():
+    for t in TEXTS:
+        f = _features_py(t)
+        assert set(f) == {n for n, _ in DEFAULT_WEIGHTS}
+        for v in f.values():
+            assert 0.0 <= v or f["avg_token_len"] == v  # ratios in [0,1]; avg len unbounded
+    assert _features_py("")["stopword_ratio"] == 0.0
+    assert _features_py("A1")["upper_ratio"] == 0.5
+    assert _features_py("A1")["digit_ratio"] == 0.5
+
+
+def test_fit_validation():
+    with pytest.raises(ValueError):
+        LogisticQualityClassifier().fit([], [])
+    with pytest.raises(ValueError):
+        LogisticQualityClassifier().fit(["a"], [1, 0])
+
+
+def test_transform_plan_is_pure_scan(spark):
+    """Scoring must stay a zero-shuffle, zero-Python scan."""
+    from tests.test_plans import plan_str
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_str(LogisticQualityClassifier().transform(d))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
