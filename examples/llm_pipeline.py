@@ -1,0 +1,138 @@
+"""End-to-end training-data pipeline template — the LLM-corpus counterpart
+of run_template.py, composing the SURVEY §2.13 operators in the order a
+production pretraining pipeline runs them:
+
+   1. Ingest documents
+   2. Exact dedup (first-occurrence wins)
+   3. Near-dup removal (MinHash-LSH pairs -> connected components -> keep
+      cluster minimum)
+   4. Rule-based quality gate (Gopher-style) then model-based quality score
+   5. Eval-set decontamination (shared-8-gram scan)
+   6. Domain re-balancing (temperature sampling)
+   7. Context-window chunking
+   8. Token-budget output shards (distributed prefix sum), written
+      partitioned by shard
+
+Every stage is a DataFrame -> DataFrame transform: the pipeline is ONE lazy
+plan until the final write, so Catalyst sees the whole thing (filters push
+into the scan; nothing materializes between stages). Run directly
+(`python examples/llm_pipeline.py`) for a toy pass at sf0.001, or import
+`run()` and point it at a documents table of any size.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(
+    docs_path: str | None = None,
+    eval_docs_path: str | None = None,
+    out_dir: str | None = None,
+    chunk_size: int = 64,
+    stride: int = 64,
+    shard_token_budget: int = 4096,
+    neardup_threshold: float = 0.7,
+    quality_threshold: float = 0.4,
+    mixture_alpha: float = 0.7,
+    app_name: str = "mine-spark-llm-pipeline",
+) -> dict:
+    """Execute the shaping pipeline; returns per-stage survivor counts.
+
+    `docs_path` defaults to the sf0.001 synthetic documents table;
+    `eval_docs_path` defaults to a small slice of the same table standing in
+    for the held-out eval set (so decontamination has something to catch).
+    """
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators import dedup as dd
+    from mine_database_spark.operators import graph as gr
+    from mine_database_spark.operators import packing as pk
+    from mine_database_spark.operators.quality import LogisticQualityClassifier
+    from mine_database_spark.functions.text import word_shingle_strings
+    from mine_database_spark.session import get_spark
+
+    spark = get_spark(app_name)
+    spark.sparkContext.setLogLevel("ERROR")
+    start = time.time()
+    docs_path = docs_path or "/root/testdata/sf0.001/documents.parquet"
+    out_dir = out_dir or os.path.join(tempfile.mkdtemp(prefix="llm_pipeline_"), "shards")
+
+    counts: dict[str, int] = {}
+
+    # 1. ingest ------------------------------------------------------------
+    docs = spark.read.parquet(docs_path).select("doc_id", "source", "lang", "text")
+    counts["ingested"] = docs.count()
+
+    # 2. exact dedup (min-id survivor per content digest) ------------------
+    survivors = dd.exact_dedup(docs).select(F.col("survivor_id").alias("doc_id"))
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    counts["after_exact_dedup"] = docs.count()
+
+    # 3. near-dup removal, the production shape: MinHash-LSH candidates ->
+    #    exact Jaccard verify only within buckets -> duplicate clusters ->
+    #    drop everything but each cluster's minimum id ----------------------
+    cand = dd.minhash_lsh_dedup(docs)
+    pairs = dd.ngram_jaccard_pairs(docs, candidates=cand, threshold=neardup_threshold)
+    clusters = gr.connected_components(pairs)
+    losers = clusters.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti")
+    counts["after_near_dedup"] = docs.count()
+
+    # 4. quality: rule gate, then model score ------------------------------
+    clf = LogisticQualityClassifier()
+    scored = clf.transform(docs, threshold=quality_threshold)
+    docs = docs.join(scored.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    counts["after_quality"] = docs.count()
+
+    # 5. decontamination vs the eval set (any shared 8-gram) ---------------
+    eval_docs = (
+        spark.read.parquet(eval_docs_path).select("doc_id", "text")
+        if eval_docs_path
+        else spark.read.parquet(docs_path).select("doc_id", "text").where(F.col("doc_id") % 97 == 0)
+    )
+    grams = lambda df, side: df.select(
+        F.col("doc_id").alias(side), F.explode(word_shingle_strings(F.col("text"), 8)).alias("g")
+    )
+    dirty = (
+        grams(docs, "doc_id")
+        .join(grams(eval_docs, "eval_id").select("g").distinct(), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = docs.join(dirty, "doc_id", "left_anti")
+    counts["after_decontamination"] = docs.count()
+
+    # 6. domain re-balance across languages --------------------------------
+    kept = pk.temperature_sample(docs, alpha=mixture_alpha, source_col="lang", id_col="doc_id")
+    docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    counts["after_mixture"] = docs.count()
+
+    # 7. chunk to context windows ------------------------------------------
+    chunks = pk.chunk_documents(docs, chunk_size=chunk_size, stride=stride)
+    counts["chunks"] = chunks.count()
+
+    # 8. token-budget shards over the chunk stream, written partitioned ----
+    shard_docs = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    shards = pk.token_budget_shards(shard_docs, budget=shard_token_budget)
+    final = shard_docs.join(shards.select("doc_id", "shard_id"), "doc_id")
+    final.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    counts["shards"] = spark.read.parquet(out_dir).select("shard_id").distinct().count()
+    counts["wall_seconds"] = round(time.time() - start, 1)
+    counts["out_dir"] = out_dir
+    return counts
+
+
+if __name__ == "__main__":
+    for k, v in run().items():
+        print(f"{k:24s} {v}")

@@ -26,7 +26,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
-    dim: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -140,7 +140,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
-    dim: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -249,7 +249,7 @@ def ivf_topk_partitioned(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k over a write_ivf_partitioned layout with PARTITION
     PRUNING: the probe list ids are resolved first (one tiny action over the
@@ -361,7 +361,7 @@ def lsh_bucketed_topk(
     scored = (
         cand.join(c, "vec_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("score", F.round(cosine_maybe_unrolled(F.col("v"), F.col("qv"), dim), 4))
+        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -406,7 +406,7 @@ def embed_neardup_lsh(
     return (
         cand.join(v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
         .join(v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")), "b_id")
-        .withColumn("score", F.round(cosine_maybe_unrolled(F.col("va"), F.col("vb"), dim), 4))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .where(F.col("score") >= threshold)
         .select("a_id", "b_id", "score")
     )

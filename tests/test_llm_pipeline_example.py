@@ -1,0 +1,35 @@
+"""End-to-end run of the examples/llm_pipeline.py template at sf0.001 —
+the ingest -> dedup -> quality -> decontaminate -> rebalance -> chunk ->
+shard pipeline must execute as one composition and every stage must be a
+(non-strict) shrink of the corpus."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+def test_llm_pipeline_end_to_end(spark, tmp_path):
+    from llm_pipeline import run
+
+    counts = run(out_dir=str(tmp_path / "shards"))
+    stages = [
+        "ingested",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_quality",
+        "after_decontamination",
+        "after_mixture",
+    ]
+    vals = [counts[s] for s in stages]
+    assert vals[0] > 0
+    assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+    # decontamination must actually have removed the planted eval overlap
+    assert counts["after_decontamination"] < counts["after_quality"], counts
+    assert counts["chunks"] >= counts["after_mixture"] > 0
+    assert counts["shards"] >= 1
+    out = spark.read.parquet(counts["out_dir"])
+    assert {"doc_id", "text", "shard_id"} <= set(out.columns)
+    assert out.count() == counts["chunks"]

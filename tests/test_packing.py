@@ -283,3 +283,54 @@ def test_distributed_ntile_matches_window_ntile(spark):
 def test_distributed_ntile_validation(spark):
     with pytest.raises(ValueError):
         pk.distributed_ntile(spark.range(3), 0, ["id"])
+
+
+def test_stream_chunk_and_quality_score(spark, tmp_path):
+    """chunk_documents and the quality classifier are stateless transforms,
+    so they must run unchanged on a Structured Streaming source — the shape
+    of an ingest-time shaping pipeline (score + chunk on arrival)."""
+    from mine_database_spark.operators.quality import LogisticQualityClassifier
+
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    (src / "d.csv").write_text(
+        '1,"a b c d e f g h i j"\n2,"the cat sat on the mat and it is fine"\n3,""\n'
+    )
+    stream = spark.readStream.schema("doc_id long, text string").csv(str(src))
+
+    q1 = (
+        pk.chunk_documents(stream, chunk_size=4, stride=4)
+        .writeStream.format("memory")
+        .queryName("stream_chunks_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q1.awaitTermination(120), "chunk stream did not finish"
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in spark.sql("select * from stream_chunks_test").collect()
+    }
+    batch = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in pk.chunk_documents(
+            spark.read.schema("doc_id long, text string").csv(str(src)),
+            chunk_size=4,
+            stride=4,
+        ).collect()
+    }
+    assert got == batch and (1, 1) in got
+
+    clf = LogisticQualityClassifier()
+    q2 = (
+        clf.transform(stream)
+        .writeStream.format("memory")
+        .queryName("stream_quality_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120), "quality stream did not finish"
+    probs = {r.doc_id: r.quality_prob for r in spark.sql("select * from stream_quality_test").collect()}
+    assert set(probs) == {1, 2, 3}
+    assert probs[2] > probs[1]  # stopword-rich prose beats letter soup
