@@ -88,6 +88,11 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(passes):
+        # steady-state hygiene: collect garbage at the pass boundary so a
+        # heap full of the previous pass's shuffle/broadcast debris doesn't
+        # dump a GC pause into an unlucky query mid-pass (observed as rare
+        # 3-5x per-query outliers with tight minimums)
+        spark.sparkContext._jvm.System.gc()
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)

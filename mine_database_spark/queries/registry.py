@@ -2369,6 +2369,44 @@ FROM z
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: doc count, total/mean token counts, exact
+    interpolated p50/p95 — the distribution table every corpus intake
+    produces before mixing decisions (and the input temperature_sample's
+    alpha gets tuned against).
+
+    Exact `percentile` (not approx_percentile) keeps the value oracle-able:
+    both engines linearly interpolate at rank (n-1)p over exact integer
+    token counts, so doubles match bit-for-bit. At 100 TB swap in
+    approx_percentile and drop the oracle row to rows-only — the audit
+    itself is one map-side-combinable aggregate either way."""
+    from mine_database_spark.functions.text import token_count
+
+    (d,) = _t(spark, sf_dir, "documents")
+    sized = d.select("source", token_count(F.col("text")).cast("bigint").alias("n"))
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.sum("n") / F.count(F.lit(1)), 6).alias("mean_tokens"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n", F.lit(0.95)), 4).alias("p95_tokens"),
+    )
+
+
+_Q_CORPUS_STATS_SQL = """
+WITH t AS (
+  SELECT source, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       round(SUM(n) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+       round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n, 0.95), 4) AS p95_tokens
+FROM t GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2434,6 +2472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "token_shards": q_token_shards,
     "quality_classifier": q_quality_classifier,
+    "corpus_stats": q_corpus_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2498,5 +2537,6 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": _Q_INCREMENTAL_DEDUP_SQL,
     "token_shards": _Q_TOKEN_SHARDS_SQL,
     "quality_classifier": _Q_QUALITY_CLASSIFIER_SQL,
+    "corpus_stats": _Q_CORPUS_STATS_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }
