@@ -383,3 +383,37 @@ def distributed_ntile(
         )
         .drop("__rank", "__t", "__size", "__cut")
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic dataset split assignment: each document lands in the
+    split whose cumulative-weight interval contains hex_uniform(salt‖id).
+    Hash-based (not random) so the assignment is stable across runs,
+    engines, partitionings, and corpus growth — adding documents never
+    moves an existing document's split, the property a training pipeline
+    needs for resumable preprocessing.
+
+    Returns docs + a `split` column. `salt` derives independent splits
+    from the same ids (e.g. per-epoch holdouts).
+
+    Scale: one stateless scan — no shuffle, no count, no Python.
+    """
+    total = sum(w for _, w in weights)
+    if not weights or total <= 0 or any(w < 0 for _, w in weights):
+        raise ValueError(f"weights must be nonnegative with positive sum, got {weights!r}")
+    u = hex_uniform(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # CASE built left-to-right (first matching cumulative interval wins);
+    # the last split is the otherwise-branch so u ~ 1.0 is always covered
+    acc = 0.0
+    expr = None
+    for name, w in weights[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    split = expr.otherwise(F.lit(weights[-1][0])) if expr is not None else F.lit(weights[-1][0])
+    return docs.withColumn("split", split)

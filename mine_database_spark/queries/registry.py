@@ -2407,6 +2407,30 @@ FROM t GROUP BY source
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment
+    (operators/packing.py:assign_splits): split = the cumulative-weight
+    interval containing hex_uniform(doc_id). Hash-based so adding documents
+    never moves an existing one — resumable preprocessing. One stateless
+    scan; the oracle rebuilds the identical md5-uniform and CASE."""
+    from mine_database_spark.operators.packing import assign_splits
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return assign_splits(d.select("doc_id"), (("train", 0.9), ("val", 0.05), ("test", 0.05)))
+
+
+_Q_DATASET_SPLIT_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.9 + 0.05 THEN 'val' ELSE 'test' END AS split
+FROM u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2473,6 +2497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_shards": q_token_shards,
     "quality_classifier": q_quality_classifier,
     "corpus_stats": q_corpus_stats,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -2538,5 +2563,6 @@ ORACLES: dict[str, str] = {
     "token_shards": _Q_TOKEN_SHARDS_SQL,
     "quality_classifier": _Q_QUALITY_CLASSIFIER_SQL,
     "corpus_stats": _Q_CORPUS_STATS_SQL,
+    "dataset_split": _Q_DATASET_SPLIT_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

@@ -334,3 +334,30 @@ def test_stream_chunk_and_quality_score(spark, tmp_path):
     probs = {r.doc_id: r.quality_prob for r in spark.sql("select * from stream_quality_test").collect()}
     assert set(probs) == {1, 2, 3}
     assert probs[2] > probs[1]  # stopword-rich prose beats letter soup
+
+
+def test_assign_splits_deterministic_and_stable(spark):
+    """Hash-based split assignment: reproducible across calls, independent
+    of partitioning, and STABLE under corpus growth (existing docs never
+    move split when new docs arrive) — the resumability property."""
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    a = {r.doc_id: r.split for r in pk.assign_splits(docs).collect()}
+    b = {r.doc_id: r.split for r in pk.assign_splits(docs.repartition(7)).collect()}
+    assert a == b
+    grown = spark.createDataFrame([(i,) for i in range(600)], "doc_id bigint")
+    g = {r.doc_id: r.split for r in pk.assign_splits(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    # roughly the declared proportions, and salt decorrelates
+    from collections import Counter
+    c = Counter(g.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"] and set(c) == {"train", "val", "test"}
+    s = {r.doc_id: r.split for r in pk.assign_splits(grown, salt="s2").collect()}
+    assert s != g
+
+
+def test_assign_splits_validation(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id bigint")
+    with pytest.raises(ValueError):
+        pk.assign_splits(docs, weights=())
+    with pytest.raises(ValueError):
+        pk.assign_splits(docs, weights=(("a", -1.0), ("b", 2.0)))
