@@ -203,3 +203,44 @@ def test_chunk_starts_invariants(n, chunk_size, stride):
         for s in starts:
             covered.update(range(s, min(s + chunk_size, n)))
         assert covered == set(range(n))
+
+
+# ---------------------------------------------------------------------------
+# shaping kernels: NTILE arithmetic and quality features
+
+@given(st.integers(min_value=0, max_value=400), st.integers(min_value=1, max_value=23))
+@settings(max_examples=200)
+def test_ntile_formula_matches_sql_semantics(T, n):
+    """The integer formula distributed_ntile evaluates (size/extra/cut per
+    rank) must equal SQL NTILE: first T % n buckets hold T//n + 1 rows."""
+    size, extra = T // n, T % n
+    cut = extra * (size + 1)
+    # reference: explicit bucket sizes
+    sizes = [size + 1] * extra + [size] * (n - extra)
+    ref = []
+    for b, width in enumerate(sizes, start=1):
+        ref.extend([b] * width)
+    got = []
+    for r in range(1, T + 1):
+        if r <= cut:
+            b = (r - 1) // (size + 1) + 1
+        else:
+            b = extra + (r - cut - 1) // max(size, 1) + 1
+        got.append(b)
+    assert got == ref
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=591), max_size=80))
+@settings(max_examples=300)
+def test_quality_features_invariants(text):
+    from mine_database_spark.operators.quality import _features_py
+
+    f = _features_py(text)
+    assert 0.0 <= f["len_score"] <= 1.0
+    assert 0.0 <= f["stopword_ratio"] <= 1.0
+    assert 0.0 <= f["upper_ratio"] <= 1.0
+    assert 0.0 <= f["digit_ratio"] <= 1.0
+    assert f["avg_token_len"] >= 0.0
+    # empty-token texts zero every ratio
+    if not text.split():
+        assert all(v == 0.0 for v in f.values())
