@@ -1165,3 +1165,48 @@ def test_embed_neardup_blocked_equals_crossjoin(spark):
             for r in embed_neardup_blocked(e, threshold=0.35, n_blocks=nb).collect()
         }
         assert got == naive, f"n_blocks={nb}"
+
+
+def test_streaming_stateful_dedup_with_ttl(spark, tmp_path):
+    """The TTL variant must keep exact-dedup semantics within a run (state
+    refresh on every sighting; eviction only on a quiet period) — this pins
+    the ProcessingTimeTimeout plumbing end-to-end with a long TTL so no
+    eviction can fire mid-test."""
+    from mine_database_spark.streaming.stateful import exact_dedup_stream
+
+    src = tmp_path / "dedup_ttl_src"
+    src.mkdir()
+    (src / "batch1.csv").write_text("1,hello world\n2,goodbye\n3,hello world")
+    (src / "batch2.csv").write_text("4,hello world\n5,fresh text")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        exact_dedup_stream(stream, state_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_ttl_test")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # a query with registered processing-time timeouts never self-terminates
+    # (it idles waiting for the TTL) — poll the sink, then stop explicitly
+    import time as _time
+
+    survivors: list[int] = []
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            survivors = sorted(
+                r["survivor_id"]
+                for r in spark.sql("select survivor_id from dedup_stream_ttl_test").collect()
+            )
+            if len(survivors) >= 3:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert len(survivors) == 3, survivors
+    assert 2 in survivors and 5 in survivors
