@@ -417,3 +417,49 @@ def assign_splits(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     split = expr.otherwise(F.lit(weights[-1][0])) if expr is not None else F.lit(weights[-1][0])
     return docs.withColumn("split", split)
+
+
+def pack_concat(
+    docs: DataFrame,
+    capacity: int = 256,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize pack_greedy's bins: per (shard, bin), the documents'
+    texts concatenated in walk order (id order) with `sep` — the actual
+    training-sequence payload — plus the token total and document count.
+
+    Returns (shard_col, bin_id, n_docs, n_toks, packed_text).
+
+    Scale: pack_greedy's single shard exchange, then one (shard, bin)
+    aggregation; the text concat happens in the aggregate (collect_list of
+    (id, text) structs, array_sort, join) so no per-document rows survive
+    the shuffle boundary. Bins are capacity-bounded, so per-group state is
+    bounded by construction — collect_list here cannot blow up the way an
+    unbounded group would.
+    """
+    bins = pack_greedy(docs, capacity, shard_col, id_col, text_col).select(
+        F.col(shard_col).alias("__shard"), F.col(id_col).alias("__doc"), "n_toks", "bin_id"
+    )
+    joined = docs.select(
+        F.col(shard_col).alias("__shard"), F.col(id_col).alias("__doc"), F.col(text_col).alias("__text")
+    ).join(bins, ["__shard", "__doc"])
+    return (
+        joined.groupBy("__shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_toks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("__doc"), F.col("__text")))),
+                    lambda s: s["__text"],
+                ),
+                sep,
+            ).alias("packed_text"),
+        )
+        .select(
+            F.col("__shard").alias(shard_col), "bin_id", "n_docs", "n_toks", "packed_text"
+        )
+    )

@@ -2431,6 +2431,41 @@ FROM u
 """
 
 
+def q_packed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing output (operators/packing.py:pack_concat): per
+    (source shard, bin), the member documents' texts concatenated in walk
+    order plus token/doc totals — the actual training-sequence payload
+    downstream of pack_sequences. The oracle re-walks the same recursive
+    CTE and string_aggs in doc order."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return pk.pack_concat(d, capacity=256, shard_col="source")
+
+
+_Q_PACK_CONCAT_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT source, rn, doc_id, n_toks, CAST(0 AS BIGINT) AS bin_id, n_toks AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_toks,
+         CASE WHEN rec.fill + t.n_toks <= 256 THEN rec.bin_id ELSE rec.bin_id + 1 END,
+         CASE WHEN rec.fill + t.n_toks <= 256 THEN rec.fill + t.n_toks ELSE t.n_toks END
+  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1
+)
+SELECT rec.source, rec.bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(rec.n_toks) AS BIGINT) AS n_toks,
+       string_agg(d.text, ' ' ORDER BY rec.doc_id) AS packed_text
+FROM rec JOIN documents d ON d.doc_id = rec.doc_id
+GROUP BY rec.source, rec.bin_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2498,6 +2533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "corpus_stats": q_corpus_stats,
     "dataset_split": q_dataset_split,
+    "packed_texts": q_packed_texts,
 }
 
 ORACLES: dict[str, str] = {
@@ -2564,5 +2600,6 @@ ORACLES: dict[str, str] = {
     "quality_classifier": _Q_QUALITY_CLASSIFIER_SQL,
     "corpus_stats": _Q_CORPUS_STATS_SQL,
     "dataset_split": _Q_DATASET_SPLIT_SQL,
+    "packed_texts": _Q_PACK_CONCAT_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

@@ -361,3 +361,39 @@ def test_assign_splits_validation(spark):
         pk.assign_splits(docs, weights=())
     with pytest.raises(ValueError):
         pk.assign_splits(docs, weights=(("a", -1.0), ("b", 2.0)))
+
+
+def test_pack_concat_matches_walk(spark):
+    """pack_concat must concatenate exactly the pack_walk bins in doc
+    order, with exact token totals."""
+    d = _docs(
+        spark,
+        [(i, "s" if i % 2 else "t", " ".join(f"w{i}_{j}" for j in range((i % 5) + 1))) for i in range(20)],
+    )
+    out = {(r.source, r.bin_id): r for r in pk.pack_concat(d, capacity=6).collect()}
+    rows = sorted(d.collect(), key=lambda r: r.doc_id)
+    for shard in ("s", "t"):
+        docs = [(r.doc_id, r.text) for r in rows if r.source == shard]
+        bins = pk.pack_walk([len(t.split()) for _, t in docs], 6)
+        expect: dict[int, list[str]] = {}
+        for (did, text), b in zip(docs, bins):
+            expect.setdefault(b, []).append(text)
+        for b, texts in expect.items():
+            got = out[(shard, b)]
+            assert got.packed_text == " ".join(texts), (shard, b)
+            assert got.n_docs == len(texts)
+            assert got.n_toks == sum(len(t.split()) for t in texts)
+    assert set(out) == {(s, b) for s in ("s", "t") for b in set(pk.pack_walk([len(t.split()) for _, t in [(r.doc_id, r.text) for r in rows if r.source == s]], 6))}
+
+
+def test_empty_input_shaping_ops(spark):
+    """Every shaping operator must return an empty result (same schema) on
+    an empty corpus, not error."""
+    empty = _docs(spark, []).where(F.lit(False))
+    assert pk.chunk_documents(empty).count() == 0
+    assert pk.pack_greedy(empty).count() == 0
+    assert pk.pack_concat(empty).count() == 0
+    assert pk.temperature_sample(empty).count() == 0
+    assert pk.token_budget_shards(empty).count() == 0
+    assert pk.distributed_ntile(empty.select("doc_id"), 10, ["doc_id"]).count() == 0
+    assert pk.assign_splits(empty.select("doc_id")).count() == 0
