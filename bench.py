@@ -90,10 +90,14 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(passes):
-        # steady-state hygiene: collect garbage at the pass boundary so a
-        # heap full of the previous pass's shuffle/broadcast debris doesn't
-        # dump a GC pause into an unlucky query mid-pass (observed as rare
-        # 3-5x per-query outliers with tight minimums)
+        # pass-boundary hygiene: (1) drop data caches so a query that
+        # persists an intermediate (ngram_jaccard's shingle table) pays its
+        # materialization in EVERY pass — otherwise passes 2..N time a warm
+        # cache and the pinned entries compete with every other query's
+        # memory; (2) collect garbage so the previous pass's shuffle/
+        # broadcast debris doesn't dump a GC pause into an unlucky query
+        # mid-pass (observed as rare 3-5x outliers with tight minimums)
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         for name in HEADLINE:
             t0 = time.perf_counter()

@@ -13,9 +13,11 @@ production pretraining pipeline runs them:
    8. Token-budget output shards (distributed prefix sum), written
       partitioned by shard
 
-Every stage is a DataFrame -> DataFrame transform: the pipeline is ONE lazy
-plan until the final write, so Catalyst sees the whole thing (filters push
-into the scan; nothing materializes between stages). Run directly
+Every stage is a DataFrame -> DataFrame transform, so Catalyst sees whole
+stage chains (filters push into the scan). One deliberate materialization:
+the post-near-dup survivor set is persisted, because five downstream stages
+plus the per-stage count() reports all branch from it — without it each
+action would replay the dedup joins from the scan. Run directly
 (`python examples/llm_pipeline.py`) for a toy pass at sf0.001, or import
 `run()` and point it at a documents table of any size.
 """
@@ -83,7 +85,10 @@ def run(
     losers = clusters.where(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    docs = docs.join(losers, "doc_id", "left_anti")
+    # persist the survivor set: everything downstream (quality, decontam,
+    # mixture, chunking, the write) reuses it, and the per-stage count()
+    # reports below would otherwise replay the dedup stages once per stage
+    docs = docs.join(losers, "doc_id", "left_anti").persist()
     counts["after_near_dedup"] = docs.count()
 
     # 4. quality: rule gate, then model score ------------------------------
@@ -120,8 +125,11 @@ def run(
     counts["chunks"] = chunks.count()
 
     # 8. token-budget shards over the chunk stream, written partitioned ----
+    # chunk id = doc_id << 32 | chunk_idx: chunk_idx is a 32-bit int so the
+    # synthesized key is collision-free for doc_ids < 2^31 (a decimal
+    # multiplier could collide on pathologically long documents)
     shard_docs = chunks.select(
-        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("doc_id"),
+        (F.shiftleft(F.col("doc_id"), 32) + F.col("chunk_idx")).alias("doc_id"),
         F.col("chunk_text").alias("text"),
     )
     shards = pk.token_budget_shards(shard_docs, budget=shard_token_budget)
@@ -130,6 +138,7 @@ def run(
     counts["shards"] = spark.read.parquet(out_dir).select("shard_id").distinct().count()
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["out_dir"] = out_dir
+    docs.unpersist()
     return counts
 
 

@@ -341,7 +341,7 @@ def incremental_dedup(
 
     Two-phase plan (the Bloom-filter pattern, exact by construction):
       1. PREFILTER — the corpus's *bucket set* (first `bucket_hex` hex chars
-         of md5(text); 16^bucket_hex ≤ 65536 buckets) is a bounded-size
+         of md5(text); 16^bucket_hex ≤ ~1M buckets) is a bounded-size
          digest of arbitrarily many corpus rows. New docs whose bucket is
          absent are guaranteed-new and skip phase 2 entirely (anti-join
          against a ≤65536-row side that AQE/broadcast handles for free).
@@ -358,8 +358,12 @@ def incremental_dedup(
 
     Returns (id_col, digest).
     """
-    if not 1 <= bucket_hex <= 8:
-        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    # 5 hex chars = 16^5 ≈ 1M buckets is the most the force-broadcast
+    # bucket set can justify; wider would let the "bounded-size digest"
+    # grow toward the corpus cardinality and OOM the driver via the
+    # broadcast hint
+    if not 1 <= bucket_hex <= 5:
+        raise ValueError(f"bucket_hex must be in [1, 5], got {bucket_hex}")
     new_d = new_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")
     ).withColumn("bucket", F.substring("digest", 1, bucket_hex))

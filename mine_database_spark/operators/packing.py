@@ -163,9 +163,14 @@ def pack_greedy(
         )
         return pdf
 
-    packed = sized.groupBy("shard").applyInPandas(
-        pack, schema="shard string, doc bigint, n_toks bigint, bin_id bigint"
+    # output schema derives from the input: shard/doc keep their real types
+    # (an int shard key or string doc ids must not be coerced)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(sized.schema.fields) + [T.StructField("bin_id", T.LongType())]
     )
+    packed = sized.groupBy("shard").applyInPandas(pack, schema=out_schema)
     return packed.select(
         F.col("shard").alias(shard_col),
         F.col("doc").alias(id_col),

@@ -70,8 +70,13 @@ def _feature_cols(text: Column) -> dict[str, Column]:
 def _features_py(text: str) -> dict[str, float]:
     """Pure-python twin of _feature_cols — same regex semantics (\\S+
     tokens, whole-token stopword hits, character-class counts), used by
-    fit() so trained weights transfer exactly to the distributed scorer."""
-    toks = re.findall(r"\S+", text or "")
+    fit() so trained weights transfer exactly to the distributed scorer.
+
+    re.ASCII is load-bearing: Java's default \\s is ASCII-only, so NBSP and
+    other Unicode whitespace are token CHARACTERS on the JVM side; Python's
+    default Unicode \\s would split on them and train on different feature
+    values than scoring applies."""
+    toks = re.findall(r"\S+", text or "", flags=re.ASCII)
     n_tok = len(toks)
     chars = sum(len(t) for t in toks)
     sw = sum(1 for t in toks if t in STOPWORDS_EN)

@@ -449,6 +449,17 @@ def embed_neardup_blocked(
 
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # the tile kernel packs ids into int64 numpy arrays and emits
+        # bigint pairs; non-integral ids would crash inside the UDF at
+        # runtime — fail at plan time with a pointer to the string-safe twin
+        raise ValueError(
+            f"embed_neardup_blocked needs an integral {id_col} (got {id_type});"
+            " map ids to integers first or use embed_neardup_lsh"
+        )
     spark = embeddings.sparkSession
 
     # the two cogroup sides are built as INDEPENDENT projections (fresh

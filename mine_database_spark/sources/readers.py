@@ -106,10 +106,14 @@ def read_adducts(spark: SparkSession, path: str, charge: str = "+") -> DataFrame
     Fully distributed: spark.read.text + a native regexp split — no driver
     collect. Unparseable numeric fields drop (cast → NULL → filtered), the
     reference's try/except ValueError semantics."""
-    parts = F.split(F.trim("value"), r"[\t ]+")
+    # NOT F.trim(): Spark trim strips spaces only, so a tab-indented data
+    # line would split into a leading '' field and silently drop (the
+    # reference's line.strip() removes tabs too)
+    clean = F.regexp_replace("value", r"^[\t ]+|[\t ]+$", "")
+    parts = F.split(clean, r"[\t ]+")
     df = (
         spark.read.text(path)
-        .where((F.trim("value") != "") & ~F.trim("value").startswith("#"))
+        .where((clean != "") & ~clean.startswith("#"))
         .select(
             F.element_at(parts, 1).alias("adduct_name"),
             F.element_at(parts, 2).try_cast("double").alias("mass_mult"),

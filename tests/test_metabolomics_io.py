@@ -417,10 +417,14 @@ def test_peak_file_readers(spark, tmp_path):
     ad.write_text(
         "# name mult mass\n[M+H]+\t1.0\t1.007276\n[M+Na]+ 1.0 22.989218\n"
         "short_line\n[M+bad]+ x y\n"
+        # tab-INDENTED data and comment lines: line.strip() semantics — a
+        # space-only trim would split a leading '' field and silently drop
+        "\t[M+K]+\t1.0\t38.963158\n\t# indented comment\n"
     )
     a = read_adducts(spark, str(ad))
     rows = {r["adduct_name"]: r for r in a.collect()}
-    assert set(rows) == {"[M+H]+", "[M+Na]+"}  # comment/short/unparseable dropped
+    assert set(rows) == {"[M+H]+", "[M+Na]+", "[M+K]+"}  # comment/short/unparseable dropped
+    assert rows["[M+K]+"]["ion_mass"] == 38.963158
     assert rows["[M+H]+"]["mass_mult"] == 1.0 and rows["[M+H]+"]["ion_mass"] == 1.007276
     assert rows["[M+Na]+"]["charge"] == "+"
     # distributed: a text FileScan, not a driver-collected local relation

@@ -397,3 +397,20 @@ def test_empty_input_shaping_ops(spark):
     assert pk.token_budget_shards(empty).count() == 0
     assert pk.distributed_ntile(empty.select("doc_id"), 10, ["doc_id"]).count() == 0
     assert pk.assign_splits(empty.select("doc_id")).count() == 0
+
+
+def test_pack_greedy_nonstring_shard_and_string_ids(spark):
+    """The Arrow output schema must derive from the input types: an int
+    shard key and string doc ids pack without coercion errors."""
+    d = spark.createDataFrame(
+        [(f"d{i:02d}", i % 2, "w " * ((i % 3) + 1)) for i in range(10)],
+        "doc_id string, source int, text string",
+    )
+    out = pk.pack_greedy(d, capacity=3).collect()
+    assert {r.source for r in out} == {0, 1}
+    assert all(isinstance(r.doc_id, str) for r in out)
+    for shard in (0, 1):
+        docs = sorted((r.doc_id, r.n_toks) for r in out if r.source == shard)
+        assert [r.bin_id for r in sorted(out, key=lambda r: r.doc_id) if r.source == shard] == pk.pack_walk(
+            [n for _, n in docs], 3
+        )

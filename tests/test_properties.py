@@ -241,6 +241,7 @@ def test_quality_features_invariants(text):
     assert 0.0 <= f["upper_ratio"] <= 1.0
     assert 0.0 <= f["digit_ratio"] <= 1.0
     assert f["avg_token_len"] >= 0.0
-    # empty-token texts zero every ratio
-    if not text.split():
+    # empty-token texts zero every ratio (ASCII whitespace rule: NBSP etc.
+    # are token characters, matching the JVM side)
+    if not re.findall(r"\S+", text, flags=re.ASCII):
         assert all(v == 0.0 for v in f.values())

@@ -20,6 +20,10 @@ TEXTS = [
     "mixed CASE with 123 numbers and the usual stopwords of a text",
     "word",
     "\tthe   of\nand  ",
+    # Unicode whitespace: NBSP is a token CHARACTER under Java's ASCII \\s
+    # (and under the twin's re.ASCII) — 'foo bar' is ONE 7-char token
+    "foo bar and the 123",
+    "  ",  # only Unicode spaces -> one "token" of them, 0 stopwords
 ]
 
 
