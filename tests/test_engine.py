@@ -424,3 +424,16 @@ def test_reactions_per_operator(spark, engine):
     cpds, rxns = engine.transform_all(compounds, generations=1)
     got = {r["operator"]: r["n_reactions"] for r in reactions_per_operator(rxns).collect()}
     assert len(got) == 1 and sum(got.values()) == rxns.count()
+
+
+def test_bench_covers_whole_registry():
+    """bench.py's HEADLINE list must cover every registry query (the
+    driver's per-round benchmark gates on it); a query registered without
+    bench coverage would silently escape the perf gate."""
+    import bench
+
+    from mine_database_spark.queries.registry import ORACLES, QUERIES
+
+    assert set(bench.HEADLINE) == set(QUERIES)
+    # every query also carries a value-level oracle (rows+schema+hash gate)
+    assert set(ORACLES) == set(QUERIES)
