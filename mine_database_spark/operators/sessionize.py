@@ -80,5 +80,15 @@ def tumbling_window_agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(cents).alias("sum_value_cents"),
         )
-        .withColumn("avg_value", F.round(F.col("sum_value_cents") / F.col("n_events") / 100.0, 4))
+        # 4-decimal half-up average in EXACT integer arithmetic:
+        # round(s/n/100, 4) as a double can land exactly on a decimal .5e-4
+        # boundary (e.g. 88959/24/100 = 37.06625) where Spark's BigDecimal
+        # rounding (shortest decimal repr) and a numeric engine's rounding
+        # disagree by one ulp-digit. (200*s + n) div (2n) is the exact
+        # half-up numerator in 1e-4 units (values nonneg), then one exact
+        # small-int / 1e4 division — deterministic in any engine.
+        .withColumn(
+            "avg_value",
+            F.expr("(200 * sum_value_cents + n_events) div (2 * n_events)") / 10000.0,
+        )
     )

@@ -387,10 +387,16 @@ def embed_neardup_lsh(
     This is the scale path for embed-cosine dedup: the all-pairs cross join
     (kept as the exact oracle baseline in the registry) is replaced by a
     self-equi-join on band signatures — shuffle keyed by bucket, candidate
-    volume governed by (n_planes, rows_per_band), never O(n²)."""
-    v = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    volume governed by (n_planes, rows_per_band), never O(n²).
+
+    Scores use the same round(x·1e6)-quantized components as the
+    embed_neardup_blocked exact baseline (engine-exact, order-independent),
+    so LSH output is a strict subset of the blocked baseline's pairs. The
+    rescore itself is score_pairs_blocked — work O(|candidates|·dim) in
+    vectorized batch math, never a per-pair vector join — with a quantized
+    fold fallback (identical values) for non-integral id columns."""
+    from pyspark.sql import types as T
+
     bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
     cand = (
         bands.join(
@@ -402,6 +408,21 @@ def embed_neardup_lsh(
         .where(F.col("vec_id") < F.col("b_id"))
         .select(F.col("vec_id").alias("a_id"), "b_id")
         .distinct()
+    )
+    if isinstance(
+        embeddings.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        return score_pairs_blocked(
+            cand, embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    # string-id fallback: per-pair join + fold over the SAME quantized
+    # components — exact integer sums, so values match the kernel path
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: F.round(x * 1.0e6)
+        ).alias("v"),
     )
     return (
         cand.join(v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
@@ -518,6 +539,113 @@ def embed_neardup_blocked(
     )
     return (
         tiles.withColumn("score", F.round(F.col("raw"), 4))
+        .where(F.col("score") >= threshold)
+        .select("a_id", "b_id", "score")
+    )
+
+
+def score_pairs_blocked(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_blocks: int = 8,
+    quant_scale: float = 1.0e6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine scores for an explicit CANDIDATE PAIR list — the
+    rescore half of every candidate-generation scheme (LSH bands, minhash,
+    IVF) as vectorized batch math instead of a per-pair join + interpreted
+    fold.
+
+    `pairs` is (a_id, b_id); returns (a_id, b_id, score) for pairs with
+    round(score, 4) >= threshold. Work is O(|pairs| · dim), NEVER O(n²):
+    pairs group by their (block(a), block(b)) cell, vectors replicate to
+    the cells that need them (2 · n_blocks narrow rows per vector), and a
+    cogrouped kernel gathers each cell's vectors into matrices and scores
+    its pair list with one row-wise einsum. No per-pair vector
+    materialization ever crosses a shuffle.
+
+    Same exactness contract as embed_neardup_blocked: components quantize
+    JVM-side to round(x · quant_scale) integers, so every product and sum
+    is exact in float64 regardless of order — scores are engine-exact and
+    SQL-oracle-checkable. Ids must be integral (same int64 kernel).
+    """
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"score_pairs_blocked needs an integral {id_col} (got {id_type})"
+        )
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    blk = lambda c: F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")
+    keyed_pairs = pairs.select(
+        F.col("a_id"), F.col("b_id"), blk(F.col("a_id")).alias("i"), blk(F.col("b_id")).alias("j")
+    )
+
+    # vectors replicated to every cell that can reference them: as the "a"
+    # role (their block is i, any j) and the "b" role (any i). Built as an
+    # independent projection per role (fresh exprIds — cogroup's
+    # ambiguous-self-join check).
+    def role(side: str) -> DataFrame:
+        q = embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: F.round(x * quant_scale)
+            ).alias("q"),
+            blk(F.col(id_col)).alias("blk"),
+        )
+        other = spark.range(n_blocks).select(F.col("id").cast("int").alias("other"))
+        if side == "a":
+            return q.crossJoin(F.broadcast(other)).select(
+                F.col("blk").alias("i"), F.col("other").alias("j"), "vid", "q"
+            )
+        return q.crossJoin(F.broadcast(other)).select(
+            F.col("other").alias("i"), F.col("blk").alias("j"), "vid", "q"
+        )
+
+    vecs = role("a").unionByName(role("b"))
+    margin = threshold - 6e-5
+
+    def cell(p: pd.DataFrame, v: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "raw": pd.Series(dtype="float64")})
+        if p.empty or v.empty:
+            return empty
+        # duplicate vids (a-role + b-role rows when i == j) collapse here
+        v = v.drop_duplicates("vid")
+        ids = v["vid"].to_numpy("int64")
+        M = np.stack(v["q"].to_numpy())
+        pos = {int(x): k for k, x in enumerate(ids)}
+        ia = p["a_id"].to_numpy("int64")
+        ib = p["b_id"].to_numpy("int64")
+        ka = np.array([pos.get(int(x), -1) for x in ia])
+        kb = np.array([pos.get(int(x), -1) for x in ib])
+        ok = (ka >= 0) & (kb >= 0)  # pairs referencing NULL-embedding ids drop
+        if not ok.any():
+            return empty
+        A, B = M[ka[ok]], M[kb[ok]]
+        dots = np.einsum("ij,ij->i", A, B)  # exact: integer math in float64
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = dots / (norms[ka[ok]] * norms[kb[ok]])
+        m = raw >= margin
+        return pd.DataFrame({"a_id": ia[ok][m], "b_id": ib[ok][m], "raw": raw[m]})
+
+    scored = (
+        keyed_pairs.groupBy("i", "j")
+        .cogroup(vecs.groupBy("i", "j"))
+        .applyInPandas(cell, schema="a_id bigint, b_id bigint, raw double")
+    )
+    return (
+        scored.withColumn("score", F.round(F.col("raw"), 4))
         .where(F.col("score") >= threshold)
         .select("a_id", "b_id", "score")
     )

@@ -780,7 +780,8 @@ _Q_TUMBLING_SQL = """
 SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
-       round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / COUNT(*) / 100.0, 4) AS avg_value
+       ((200 * CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) + COUNT(*))
+          // (2 * COUNT(*))) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1584,15 +1585,16 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_EMBED_NEARDUP_LSH_SQL = (
     "WITH " + _LSH_BANDS_SQL + """,
+eq AS (SELECT vec_id, list_transform(v, x -> round(x * 1000000.0)) AS q FROM e),
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
 )
 SELECT a_id, b_id,
-       round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS score
-FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
-WHERE round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) >= 0.35
+       round(list_dot_product(ea.q, eb.q) / (sqrt(list_dot_product(ea.q, ea.q)) * sqrt(list_dot_product(eb.q, eb.q))), 4) AS score
+FROM cand JOIN eq ea ON ea.vec_id = a_id JOIN eq eb ON eb.vec_id = b_id
+WHERE round(list_dot_product(ea.q, eb.q) / (sqrt(list_dot_product(ea.q, ea.q)) * sqrt(list_dot_product(eb.q, eb.q))), 4) >= 0.35
 """
 )
 

@@ -574,26 +574,62 @@ def test_lsh_ann_recall_gate(spark):
 
 def test_embed_neardup_lsh_recall_gate(spark):
     """LSH-bucketed near-dup pairs: subset of the exact pairs (no false
-    positives — rescore is exact) with recall >= 0.8."""
-    from mine_database_spark.operators.similarity import embed_neardup_lsh
+    positives — the rescore shares the blocked baseline's quantized cosine)
+    with recall >= 0.8. Scores must MATCH the exact baseline's on shared
+    pairs bit-for-bit (same quantized definition, different plan)."""
+    from mine_database_spark.operators.similarity import (
+        embed_neardup_blocked,
+        embed_neardup_lsh,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in embed_neardup_blocked(e, threshold=0.35).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in embed_neardup_lsh(e, threshold=0.35).collect()
+    }
+    assert set(approx) <= set(exact)  # exact rescore → no false positives
+    for pair, score in approx.items():
+        assert score == exact[pair], pair
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_score_pairs_blocked_equals_fold_path(spark):
+    """The cogrouped einsum kernel and the quantized per-pair fold must
+    produce identical (pair, score) sets for an arbitrary candidate list —
+    including pairs referencing missing/NULL-embedding ids (dropped)."""
+    from mine_database_spark.operators.similarity import score_pairs_blocked
     from mine_database_spark.functions.vectors import cosine
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
-    exact = {
-        (r["a_id"], r["b_id"])
-        for r in a.crossJoin(b)
-        .where(F.col("a_id") < F.col("b_id"))
+    ids = [r.vec_id for r in e.select("vec_id").orderBy("vec_id").limit(40).collect()]
+    pair_rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :: 7]]
+    pair_rows.append((ids[0], 987654321))  # references a missing id
+    pairs = spark.createDataFrame(pair_rows, "a_id bigint, b_id bigint")
+    got = {
+        (r.a_id, r.b_id): r.score
+        for r in score_pairs_blocked(pairs, e, threshold=0.0, n_blocks=3).collect()
+    }
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: F.round(x * 1e6)).alias("q"),
+    )
+    want = {
+        (r.a_id, r.b_id): r.score
+        for r in pairs.join(
+            v.select(F.col("vec_id").alias("a_id"), F.col("q").alias("va")), "a_id"
+        )
+        .join(v.select(F.col("vec_id").alias("b_id"), F.col("q").alias("vb")), "b_id")
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .where(F.col("score") >= 0.35)
+        .where(F.col("score") >= 0.0)
         .collect()
     }
-    approx = {(r["a_id"], r["b_id"]) for r in embed_neardup_lsh(e, threshold=0.35).collect()}
-    assert approx <= exact  # exact rescore → no false positives
-    recall = len(approx) / len(exact)
-    assert recall >= 0.8, recall
+    assert got == want
+    assert (ids[0], 987654321) not in got
 
 
 def test_connected_components_nonconvergence_raises(spark):
