@@ -84,11 +84,17 @@ def tumbling_window_agg(
         # round(s/n/100, 4) as a double can land exactly on a decimal .5e-4
         # boundary (e.g. 88959/24/100 = 37.06625) where Spark's BigDecimal
         # rounding (shortest decimal repr) and a numeric engine's rounding
-        # disagree by one ulp-digit. (200*s + n) div (2n) is the exact
-        # half-up numerator in 1e-4 units (values nonneg), then one exact
-        # small-int / 1e4 division — deterministic in any engine.
+        # disagree by one ulp-digit. (200*|s| + n) div (2n) is the exact
+        # half-AWAY-FROM-ZERO numerator in 1e-4 units; the sign is applied
+        # after the magnitude rounds because Spark's `div` truncates toward
+        # zero (a negative sum fed straight through would come out 1e-4
+        # short of the round() behavior this replaces).
         .withColumn(
             "avg_value",
-            F.expr("(200 * sum_value_cents + n_events) div (2 * n_events)") / 10000.0,
+            F.expr(
+                "CASE WHEN sum_value_cents < 0 THEN -1 ELSE 1 END"
+                " * ((200 * abs(sum_value_cents) + n_events) div (2 * n_events))"
+            )
+            / 10000.0,
         )
     )

@@ -424,10 +424,23 @@ def embed_neardup_lsh(
             F.col(vec_col).cast("array<double>"), lambda x: F.round(x * 1.0e6)
         ).alias("v"),
     )
+    from mine_database_spark.functions.vectors import dot, norm
+
+    # zero-norm (all-zero-quantized) vectors have undefined cosine and must
+    # drop — matching the einsum kernel path, which masks them out (numpy
+    # NaN >= margin is False). A bare division would THROW under ANSI mode
+    # (0/0), and Spark's NaN-ordering would otherwise rank NaN above every
+    # threshold; the when() yields NULL instead, which the filter drops.
+    # The SQL oracle's NOT isnan() clause drops the same pairs (DuckDB's
+    # IEEE 0/0 is NaN, no error).
+    denom = norm(F.col("va")) * norm(F.col("vb"))
+    score = F.round(
+        F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom), 4
+    )
     return (
         cand.join(v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
         .join(v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")), "b_id")
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn("score", score)
         .where(F.col("score") >= threshold)
         .select("a_id", "b_id", "score")
     )
@@ -492,7 +505,10 @@ def embed_neardup_blocked(
             F.transform(
                 F.col(vec_col).cast("array<double>"), lambda x: F.round(x * quant_scale)
             ).alias("q"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+            # cast matches score_pairs_blocked's bigint hashing (xxhash64
+            # is type-sensitive; any consistent partition into blocks is
+            # correct, this keeps the two kernels' cells aligned)
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_blocks)).cast("int").alias("blk"),
         )
         rng = spark.range(n_blocks).select(F.col("id").cast("int"))
         pairs = (
@@ -584,7 +600,11 @@ def score_pairs_blocked(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    blk = lambda c: F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")
+    # xxhash64 is TYPE-sensitive (hash(7 as int) != hash(7 as bigint)) —
+    # the pairs frame and the embeddings id column may legitimately differ
+    # in width, so both sides hash the value as bigint or pairs would land
+    # in cells whose vector set doesn't contain them (silent drops)
+    blk = lambda c: F.pmod(F.xxhash64(c.cast("long")), F.lit(n_blocks)).cast("int")
     keyed_pairs = pairs.select(
         F.col("a_id"), F.col("b_id"), blk(F.col("a_id")).alias("i"), blk(F.col("b_id")).alias("j")
     )
@@ -610,7 +630,16 @@ def score_pairs_blocked(
             F.col("other").alias("i"), F.col("blk").alias("j"), "vid", "q"
         )
 
-    vecs = role("a").unionByName(role("b"))
+    # ship vectors only to cells that actually hold candidate pairs — the
+    # occupied-cell list is at most n_blocks² rows, and a sparse pair list
+    # (high threshold, few candidates) would otherwise Arrow-serialize full
+    # vector slices into cells the kernel immediately returns empty for
+    occupied = keyed_pairs.select("i", "j").distinct()
+    vecs = (
+        role("a")
+        .unionByName(role("b"))
+        .join(F.broadcast(occupied), ["i", "j"], "left_semi")
+    )
     margin = threshold - 6e-5
 
     def cell(p: pd.DataFrame, v: pd.DataFrame) -> pd.DataFrame:

@@ -780,8 +780,9 @@ _Q_TUMBLING_SQL = """
 SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
-       ((200 * CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) + COUNT(*))
-          // (2 * COUNT(*))) / 10000.0 AS avg_value
+       (CASE WHEN SUM(CAST(round(value * 100) AS BIGINT)) < 0 THEN -1 ELSE 1 END
+          * ((200 * abs(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)) + COUNT(*))
+             // (2 * COUNT(*)))) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1572,6 +1573,7 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+  AND NOT isnan(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
 """
 
 
@@ -1595,6 +1597,7 @@ SELECT a_id, b_id,
        round(list_dot_product(ea.q, eb.q) / (sqrt(list_dot_product(ea.q, ea.q)) * sqrt(list_dot_product(eb.q, eb.q))), 4) AS score
 FROM cand JOIN eq ea ON ea.vec_id = a_id JOIN eq eb ON eb.vec_id = b_id
 WHERE round(list_dot_product(ea.q, eb.q) / (sqrt(list_dot_product(ea.q, ea.q)) * sqrt(list_dot_product(eb.q, eb.q))), 4) >= 0.35
+  AND NOT isnan(list_dot_product(ea.q, eb.q) / (sqrt(list_dot_product(ea.q, ea.q)) * sqrt(list_dot_product(eb.q, eb.q))))
 """
 )
 

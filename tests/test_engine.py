@@ -426,14 +426,16 @@ def test_reactions_per_operator(spark, engine):
     assert len(got) == 1 and sum(got.values()) == rxns.count()
 
 
-def test_bench_covers_whole_registry():
-    """bench.py's HEADLINE list must cover every registry query (the
-    driver's per-round benchmark gates on it); a query registered without
-    bench coverage would silently escape the perf gate."""
+def test_bench_and_oracle_coverage():
+    """Every registry query must carry a value-level oracle (rows+schema+
+    hash gate) — a rows-only query would silently weaken the correctness
+    gate. (Bench coverage needs no test: bench.py auto-appends new registry
+    queries to HEADLINE and asserts equality at import.) HEADLINE must also
+    stay duplicate-free — a duplicate would double-count one query's time
+    in the reported total."""
     import bench
 
     from mine_database_spark.queries.registry import ORACLES, QUERIES
 
-    assert set(bench.HEADLINE) == set(QUERIES)
-    # every query also carries a value-level oracle (rows+schema+hash gate)
     assert set(ORACLES) == set(QUERIES)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))

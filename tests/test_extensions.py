@@ -1246,3 +1246,40 @@ def test_streaming_stateful_dedup_with_ttl(spark, tmp_path):
         q.stop()
     assert len(survivors) == 3, survivors
     assert 2 in survivors and 5 in survivors
+
+
+def test_score_pairs_blocked_type_and_zero_norm_edges(spark):
+    """Two silent-wrong-answer traps, pinned: (a) xxhash64 is type-
+    sensitive, so a bigint pair list over an int-typed embeddings id column
+    must still land pairs in the right cells; (b) zero-norm (all-zero)
+    vectors have undefined cosine and must drop on BOTH the kernel and
+    fold paths (numpy NaN-comparison vs Spark NaN-ordering divergence)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.similarity import (
+        embed_neardup_lsh,
+        score_pairs_blocked,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(30)
+    e_int = base.select(F.col("vec_id").cast("int").alias("vec_id"), "embedding")
+    ids = [r.vec_id for r in e_int.select("vec_id").orderBy("vec_id").collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]], "a_id bigint, b_id bigint"
+    )
+    got = score_pairs_blocked(pairs, e_int, threshold=-1.0, n_blocks=4).count()
+    assert got == len(ids) * (len(ids) - 1) // 2  # nothing silently dropped
+
+    zero = spark.createDataFrame(
+        [(90001, [0.0] * 64), (90002, [0.0] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    e_zero = base.select("vec_id", "embedding").unionByName(zero)
+    zpairs = spark.createDataFrame([(90001, 90002)], "a_id bigint, b_id bigint")
+    assert score_pairs_blocked(zpairs, e_zero, threshold=-1.0).count() == 0
+    # fold fallback (string ids) must agree: undefined-cosine pairs drop
+    e_str = e_zero.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    out = {
+        (r.a_id, r.b_id)
+        for r in embed_neardup_lsh(e_str, threshold=-1.0, id_col="vec_id").collect()
+    }
+    assert ("90001", "90002") not in out
