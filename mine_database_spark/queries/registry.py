@@ -2471,6 +2471,76 @@ GROUP BY rec.source, rec.bin_id
 """
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: L2-normalized vectors PQ-encode against a
+    deterministic seeded codebook (m=8 subspaces × 16 centroids), queries
+    rank the corpus by asymmetric-distance lookup sums
+    (similarity.py:pq_codebook/pq_encode/pq_topk). The oracle rebuilds the
+    identical codebook, codes, LUTs, and ordered sums in SQL — a full
+    value check of the whole PQ machinery. Production quality comes from
+    pq_codebook_trained + pq_topk_rescored (recall gates in pytest);
+    serving scans touch 4-byte codes, never raw vectors."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    q5 = e.where(F.col("vec_id") < 5)
+    cb = sim.pq_codebook(e)
+    codes = sim.pq_encode(e, cb)
+    return sim.pq_topk(codes, cb, q5, k=10)
+
+
+_Q_ANN_PQ_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+n AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+seeds AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+  FROM n ORDER BY vec_id LIMIT 16
+),
+ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+cents AS (
+  SELECT ss.s, seeds.pos, list_slice(seeds.v, ss.s * 8 + 1, ss.s * 8 + 8) AS cv
+  FROM seeds CROSS JOIN ss
+),
+subv AS (
+  SELECT n.vec_id, ss.s, list_slice(n.v, ss.s * 8 + 1, ss.s * 8 + 8) AS sv
+  FROM n CROSS JOIN ss
+),
+codes AS (
+  SELECT vec_id, s, pos AS code FROM (
+    SELECT subv.vec_id, subv.s, cents.pos,
+           row_number() OVER (
+             PARTITION BY subv.vec_id, subv.s
+             ORDER BY list_aggregate(list_transform(generate_series(1, 8),
+                        i -> (subv.sv[i] - cents.cv[i]) * (subv.sv[i] - cents.cv[i])), 'sum'),
+                      cents.pos
+           ) AS rn
+    FROM subv JOIN cents ON subv.s = cents.s
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, s, sv AS qsv FROM subv WHERE vec_id < 5
+),
+lut AS (
+  SELECT qsub.query_id, qsub.s, cents.pos,
+         list_aggregate(list_transform(generate_series(1, 8),
+           i -> qsub.qsv[i] * cents.cv[i]), 'sum') AS val
+  FROM qsub JOIN cents ON qsub.s = cents.s
+),
+approx AS (
+  SELECT l.query_id, c.vec_id,
+         round(list_aggregate(list(l.val ORDER BY l.s), 'sum'), 4) AS approx_score
+  FROM codes c JOIN lut l ON l.s = c.s AND l.pos = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, approx_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_score DESC, vec_id) AS INT) AS rank
+  FROM approx
+)
+SELECT query_id, rank, vec_id, approx_score FROM ranked WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2539,6 +2609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "dataset_split": q_dataset_split,
     "packed_texts": q_packed_texts,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2606,5 +2677,6 @@ ORACLES: dict[str, str] = {
     "corpus_stats": _Q_CORPUS_STATS_SQL,
     "dataset_split": _Q_DATASET_SPLIT_SQL,
     "packed_texts": _Q_PACK_CONCAT_SQL,
+    "ann_pq_topk": _Q_ANN_PQ_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

@@ -1283,3 +1283,48 @@ def test_score_pairs_blocked_type_and_zero_norm_edges(spark):
         for r in embed_neardup_lsh(e_str, threshold=-1.0, id_col="vec_id").collect()
     }
     assert ("90001", "90002") not in out
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    """PQ codes: length-m int arrays in [0, ks); seed vectors encode to
+    themselves; encoding is deterministic across partitionings."""
+    from mine_database_spark.operators.similarity import pq_codebook, pq_encode
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebook(e, m=8, ks=16)
+    codes = {r.vec_id: r.codes for r in pq_encode(e, cb, m=8).collect()}
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    codes2 = {r.vec_id: r.codes for r in pq_encode(e.repartition(7), cb, m=8).collect()}
+    assert codes == codes2
+    # the ks seed vectors are their own nearest centroids in every subspace
+    assert codes[0] == [0] * 8 and codes[1] == [1] * 8
+
+
+def test_pq_rescored_recall_gate(spark):
+    """ADC shortlist + exact re-rank (the serving shape) must recover the
+    brute-force top-10 with recall >= 0.85 at (m=16, ks=64, shortlist=50),
+    and every returned score must equal the brute-force score exactly
+    (the re-rank IS the exact cosine)."""
+    from mine_database_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebook_trained,
+        pq_encode,
+        pq_topk_rescored,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q5 = e.where(F.col("vec_id") < 5)
+    cb = pq_codebook_trained(e, m=16, ks=64, n_iter=4)
+    codes = pq_encode(e, cb, m=16)
+    got = {
+        (r.query_id, r.vec_id): r.score
+        for r in pq_topk_rescored(e, codes, cb, q5, k=10, shortlist=50, m=16).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id): r.score for r in brute_force_topk(e, q5, k=10).collect()
+    }
+    for pair, score in got.items():
+        if pair in exact:
+            assert score == exact[pair], pair
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.85, recall
