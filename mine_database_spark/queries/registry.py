@@ -2473,7 +2473,7 @@ GROUP BY rec.source, rec.bin_id
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: L2-normalized vectors PQ-encode against a
-    deterministic seeded codebook (m=8 subspaces × 16 centroids), queries
+    deterministic seeded codebook (m=4 subspaces × 8 centroids — sized as a machinery check, not a quality config), queries
     rank the corpus by asymmetric-distance lookup sums
     (similarity.py:pq_codebook/pq_encode/pq_topk). The oracle rebuilds the
     identical codebook, codes, LUTs, and ordered sums in SQL — a full
@@ -2482,9 +2482,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving scans touch 4-byte codes, never raw vectors."""
     (e,) = _t(spark, sf_dir, "embeddings")
     q5 = e.where(F.col("vec_id") < 5)
-    cb = sim.pq_codebook(e)
-    codes = sim.pq_encode(e, cb)
-    return sim.pq_topk(codes, cb, q5, k=10)
+    cb = sim.pq_codebook(e, m=4, ks=8)
+    codes = sim.pq_encode(e, cb, m=4)
+    return sim.pq_topk(codes, cb, q5, k=10, m=4)
 
 
 _Q_ANN_PQ_SQL = """
@@ -2492,15 +2492,15 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 n AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
 seeds AS (
   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS pos
-  FROM n ORDER BY vec_id LIMIT 16
+  FROM n ORDER BY vec_id LIMIT 8
 ),
-ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+ss AS (SELECT unnest(generate_series(0, 3)) AS s),
 cents AS (
-  SELECT ss.s, seeds.pos, list_slice(seeds.v, ss.s * 8 + 1, ss.s * 8 + 8) AS cv
+  SELECT ss.s, seeds.pos, list_slice(seeds.v, ss.s * 16 + 1, ss.s * 16 + 16) AS cv
   FROM seeds CROSS JOIN ss
 ),
 subv AS (
-  SELECT n.vec_id, ss.s, list_slice(n.v, ss.s * 8 + 1, ss.s * 8 + 8) AS sv
+  SELECT n.vec_id, ss.s, list_slice(n.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
   FROM n CROSS JOIN ss
 ),
 codes AS (
@@ -2508,7 +2508,7 @@ codes AS (
     SELECT subv.vec_id, subv.s, cents.pos,
            row_number() OVER (
              PARTITION BY subv.vec_id, subv.s
-             ORDER BY list_aggregate(list_transform(generate_series(1, 8),
+             ORDER BY list_aggregate(list_transform(generate_series(1, 16),
                         i -> (subv.sv[i] - cents.cv[i]) * (subv.sv[i] - cents.cv[i])), 'sum'),
                       cents.pos
            ) AS rn
@@ -2520,7 +2520,7 @@ qsub AS (
 ),
 lut AS (
   SELECT qsub.query_id, qsub.s, cents.pos,
-         list_aggregate(list_transform(generate_series(1, 8),
+         list_aggregate(list_transform(generate_series(1, 16),
            i -> qsub.qsv[i] * cents.cv[i]), 'sum') AS val
   FROM qsub JOIN cents ON qsub.s = cents.s
 ),
