@@ -980,3 +980,122 @@ def pq_topk_rescored(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "score")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    pq_codebook_df: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ — the canonical billion-scale ANN index, composed from the
+    engine's own pieces: an IVF coarse quantizer prunes the corpus to
+    n_probe inverted lists per query, the pruned candidates score by PQ
+    asymmetric-distance lookups over their 4-byte codes, and the ADC
+    shortlist (default 5k) exact-rescores from raw vectors.
+
+    Returns (query_id, rank, vec_id, score) — brute_force_topk's schema;
+    with n_probe = n_centroids and an unbounded shortlist the output
+    EQUALS brute force exactly (pinned in tests), because rescore is the
+    exact cosine and full probing makes candidate generation lossless.
+
+    Scale: the stored index is (vec_id, list_id, codes) — built with two
+    broadcast scan projections, no corpus shuffle; a query touches
+    ~n_probe/n_centroids of the code rows (partition the store by list_id
+    for file pruning, as write_ivf_partitioned does for raw IVF) and
+    fetches raw vectors only for the shortlist."""
+    shortlist = shortlist or 5 * k
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    cent_row = codebook if codebook is not None else (
+        c.orderBy("vec_id")
+        .limit(n_centroids)
+        .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))
+    )
+    pq_cb = pq_codebook_df if pq_codebook_df is not None else pq_codebook(
+        corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+
+    # the stored index: coarse list id + PQ codes per vector — two
+    # broadcast projections over one corpus scan, no shuffle
+    assigned = (
+        c.crossJoin(F.broadcast(cent_row))
+        .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
+        .drop("__cents")
+    )
+    codes = pq_encode(corpus, pq_cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    index = assigned.select("vec_id", "list_id").join(codes, "vec_id")
+
+    probes = (
+        q.crossJoin(F.broadcast(cent_row))
+        .withColumn("probe", F.explode(F.slice(_ranked_lists(F.col("qv")), 1, n_probe)))
+        .select("query_id", F.col("probe")["cid"].alias("list_id"))
+    )
+    sub = dim // m
+    qn = q.select("query_id", _unit(F.col("qv")).alias("nqv"))
+    luts = (
+        qn.crossJoin(F.broadcast(pq_cb))
+        .select(
+            "query_id",
+            F.transform(
+                F.col("__pq"),
+                lambda s_entry: F.transform(
+                    s_entry["cents"],
+                    lambda ct: F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("nqv"), s_entry["sub"] * sub + 1, sub),
+                            ct["cv"],
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                ),
+            ).alias("lut"),
+        )
+    )
+    cand = index.join(F.broadcast(probes), "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = cand.join(F.broadcast(luts), "query_id").withColumn(
+        "approx",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("lut"), s.cast("int") + 1),
+                F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
+            ),
+        ),
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("vec_id"))
+    short = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        short.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("score", F.round(cosine(F.col("v"), F.col("qv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )

@@ -1328,3 +1328,42 @@ def test_pq_rescored_recall_gate(spark):
             assert score == exact[pair], pair
     recall = len(set(got) & set(exact)) / len(exact)
     assert recall >= 0.85, recall
+
+
+def test_ivf_pq_lossless_when_fully_probed(spark):
+    """IVF+PQ with n_probe = n_centroids and an unbounded shortlist must
+    EQUAL brute force exactly: full probing makes candidate generation
+    lossless and the rescore is the exact cosine — approximation enters
+    only through probe pruning and shortlist truncation."""
+    from mine_database_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q5 = e.where(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.score)
+        for r in ivf_pq_topk(
+            e, q5, k=10, n_centroids=8, n_probe=8, shortlist=10**9
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.vec_id, r.score)
+        for r in brute_force_topk(e, q5, k=10).collect()
+    }
+    assert got == want
+
+
+def test_ivf_pq_recall_gate(spark):
+    """The pruned config (n_probe=4 of 16 lists, shortlist=50) must keep
+    recall@10 >= 0.6 vs brute force — probe pruning is the only recall
+    loss left after the exact rescore."""
+    from mine_database_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q5 = e.where(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_topk(e, q5, k=10, n_probe=4, shortlist=50, m=16, ks=16).collect()
+    }
+    want = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q5, k=10).collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall
