@@ -515,19 +515,23 @@ def test_ngram_jaccard_persistence_is_caller_controlled(spark):
     rows = [("d1", "the quick brown fox"), ("d2", "the quick brown cat"), ("d3", "zz qq")]
     docs = spark.createDataFrame(rows, "doc_id string, text string")
 
-    def n_persistent():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        # SET of ids, not a count: the ContextCleaner asynchronously drops
+        # other tests' localCheckpoint RDDs, so a count comparison flakes
+        # in-suite; new-id membership is immune to concurrent removals
+        return {x for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
 
     spark.catalog.clearCache()
-    base = n_persistent()
+    base = persistent_ids()
     plain = {tuple(r) for r in ngram_jaccard_pairs(docs, k=2, threshold=0.1).collect()}
-    assert n_persistent() == base, "default must not persist anything"
+    assert persistent_ids() - base == set(), "default must not persist anything"
+    before_cached = persistent_ids()
     cached_df = ngram_jaccard_pairs(
         docs, k=2, threshold=0.1, storage_level=StorageLevel.MEMORY_AND_DISK
     )
     cached = {tuple(r) for r in cached_df.collect()}
     assert cached == plain and plain
-    assert n_persistent() > base, "explicit storage_level must persist"
+    assert persistent_ids() - before_cached, "explicit storage_level must persist"
     spark.catalog.clearCache()
 
 
