@@ -2544,23 +2544,30 @@ SELECT query_id, rank, vec_id, approx_score FROM ranked WHERE rank <= 10
 # ---------------------------------------------------------------------------
 # registry
 
+# Dict ORDER matters: the driver's correctness gate hashes only the first 50
+# entries.  Round 7 front-loads the 15 queries added in round 6 (previously
+# positions 51-65, so never driver-checked) and rotates 15 long-stable basics
+# to the tail — those keep local DuckDB parity (tests/test_oracle_parity.py)
+# and bench coverage, and rotate back through the gate in later rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "region_revenue": q_region_revenue,
-    "frontier_select": q_frontier_select,
-    "first_wins_dedup": q_first_wins_dedup,
-    "content_hash_ids": q_content_hash_ids,
-    "collect_set_union": q_collect_set_union,
-    "assign_ids": q_assign_ids,
-    "rule_coverage_cdf": q_rule_coverage_cdf,
-    "intermediate_rules": q_intermediate_rules,
-    "operator_census": q_operator_census,
-    "mass_range_join": q_mass_range_join,
+    # --- round-6 additions, first time under the driver gate (15) ---
+    "spectral_cosine": q_spectral_cosine,
+    "model_jaccard": q_model_jaccard,
+    "orphan_gc": q_orphan_gc,
+    "regex_filter": q_regex_filter,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "domain_mixture_sample": q_domain_mixture_sample,
+    "unigram_logprob": q_unigram_logprob,
+    "incremental_dedup": q_incremental_dedup,
+    "token_shards": q_token_shards,
+    "quality_classifier": q_quality_classifier,
+    "corpus_stats": q_corpus_stats,
+    "dataset_split": q_dataset_split,
+    "packed_texts": q_packed_texts,
+    "ann_pq_topk": q_ann_pq_topk,
+    # --- retained from the historical gate set (35) ---
     "mass_range_join_bucketed": q_mass_range_join_bucketed,
-    "provenance_score": q_provenance_score,
-    "weighted_sample": q_weighted_sample,
-    "topk_per_group": q_topk_per_group,
     "copurchase_reach": q_copurchase_reach,
     "order_chain_paths": q_order_chain_paths,
     "tfidf_topk": q_tfidf_topk,
@@ -2595,21 +2602,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
-    "spectral_cosine": q_spectral_cosine,
-    "model_jaccard": q_model_jaccard,
-    "orphan_gc": q_orphan_gc,
-    "regex_filter": q_regex_filter,
-    "doc_chunks": q_doc_chunks,
-    "pack_sequences": q_pack_sequences,
-    "domain_mixture_sample": q_domain_mixture_sample,
-    "unigram_logprob": q_unigram_logprob,
-    "incremental_dedup": q_incremental_dedup,
-    "token_shards": q_token_shards,
-    "quality_classifier": q_quality_classifier,
-    "corpus_stats": q_corpus_stats,
-    "dataset_split": q_dataset_split,
-    "packed_texts": q_packed_texts,
-    "ann_pq_topk": q_ann_pq_topk,
+    # --- rotated out of the 50-row gate this round (15, all green in r6) ---
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "frontier_select": q_frontier_select,
+    "first_wins_dedup": q_first_wins_dedup,
+    "content_hash_ids": q_content_hash_ids,
+    "collect_set_union": q_collect_set_union,
+    "assign_ids": q_assign_ids,
+    "rule_coverage_cdf": q_rule_coverage_cdf,
+    "intermediate_rules": q_intermediate_rules,
+    "operator_census": q_operator_census,
+    "mass_range_join": q_mass_range_join,
+    "provenance_score": q_provenance_score,
+    "weighted_sample": q_weighted_sample,
+    "topk_per_group": q_topk_per_group,
 }
 
 ORACLES: dict[str, str] = {
