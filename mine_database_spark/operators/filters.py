@@ -474,10 +474,21 @@ class MetabolomicsFilter(BaseFilter):
             F.array_sort(F.collect_set("adduct_name")).alias("matched_adducts"),
         )
         out = with_mass.join(hits, "_id", "left")
+        # the reference grafts Matched_Peak_IDs / Matched_Adducts onto the
+        # compound dict and persists them (filters/metabolomics.py:198-259,
+        # databases.py:344-358); carry both via the __ann_ upsert so
+        # BaseFilter.apply lands them on kept compounds, like predicted_rt
+        ann = [
+            F.col("matched_peak_ids").alias("__ann_matched_peak_ids"),
+            F.col("matched_adducts").alias("__ann_matched_adducts"),
+        ]
         if self.filter_by_rt:
             return out.select(
                 "_id",
                 F.col("matched_peak_ids").isNotNull().alias("keep"),
                 F.col("predicted_rt").alias("__ann_predicted_rt"),
+                *ann,
             )
-        return out.select("_id", F.col("matched_peak_ids").isNotNull().alias("keep"))
+        return out.select(
+            "_id", F.col("matched_peak_ids").isNotNull().alias("keep"), *ann
+        )

@@ -602,16 +602,34 @@ def test_metabolomics_rt_filter(spark, adducts):
     )
     filt = MetabolomicsFilter(peaks, adducts, tolerance=0.001,
                               rt_predictor=pred, rt_threshold=4.5)
-    c2, _ = filt.apply(compounds, reactions, generation=1)
+    c2, r2 = filt.apply(compounds, reactions, generation=1)
     rows = {r["_id"]: r for r in c2.collect()}
     assert {k for k in rows if k.startswith("C")} == {"Crt1"}
     assert abs(rows["Crt1"]["predicted_rt"] - pred("aa")) < 1e-9
+    # the reference grafts Matched_Peak_IDs / Matched_Adducts onto kept
+    # compounds (filters/metabolomics.py:198-259); they ride the __ann_
+    # upsert and survive the cascade
+    assert rows["Crt1"]["matched_peak_ids"] == ["pk_a"]
+    assert rows["Crt1"]["matched_adducts"] == ["[M+H]+"]
+    # ...and a warehouse round-trip persists them (reference databases.py:344-358)
+    import tempfile
+
+    from mine_database_spark.sources.writers import load_warehouse, save_warehouse
+
+    with tempfile.TemporaryDirectory() as d:
+        save_warehouse(c2, r2, d)
+        cpds2, _, _ = load_warehouse(spark, d)
+        back = {r["_id"]: r for r in cpds2.collect()}
+        assert back["Crt1"]["matched_peak_ids"] == ["pk_a"]
+        assert back["Crt1"]["matched_adducts"] == ["[M+H]+"]
 
     # without an RT model the same peaks keep both compounds (mass-only path)
     c3, _ = MetabolomicsFilter(peaks, adducts, tolerance=0.001).apply(
         compounds, reactions, generation=1
     )
-    assert {r["_id"] for r in c3.collect() if r["_id"].startswith("C")} == {"Crt1", "Crt2"}
+    rows3 = {r["_id"]: r for r in c3.collect() if r["_id"].startswith("C")}
+    assert set(rows3) == {"Crt1", "Crt2"}
+    assert rows3["Crt2"]["matched_peak_ids"] == ["pk_b"]
 
 
 def test_spectra_storage_contract(spark, peaks, adducts, core, tmp_path):
