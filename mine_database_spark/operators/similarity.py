@@ -688,6 +688,40 @@ def _unit(v):
     return F.when(n != 0, F.transform(v, lambda x: x / n)).otherwise(v)
 
 
+def _unit_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """(out_id, v): L2-normalized vectors for a KNOWN dimensionality, as
+    TWO stacked projections — the norm is its own column (`__n`) and the
+    divisions reference that attribute.
+
+    Why not one unrolled expression: inside a single expression the norm
+    subtree sits in a when() branch, which codegen's subexpression
+    elimination skips, so it inlines into all dim divisions + the
+    condition (65 copies at dim=64), trips janino's 64 KB method limit,
+    and — worse than the interpreted fallback itself — the FAILED compile
+    re-runs on every execution of the plan (measured ~8s per run on a
+    5-row input). Two projections keep every generated method small.
+    CollapseProject cannot re-merge them: `__n` is non-cheap and
+    referenced dim+1 times. Same IEEE order as _unit's fold; all-zero
+    vectors pass through unchanged."""
+    vec = F.col(vec_col).cast("array<double>")
+    raw = df.select(F.col(id_col).alias(out_id), vec.alias("__r"))
+    nsum = " + ".join(f"__r[{i}] * __r[{i}]" for i in range(dim))
+    withn = raw.select(out_id, "__r", F.expr(f"SQRT({nsum})").alias("__n"))
+    divs = ", ".join(f"__r[{i}] / __n" for i in range(dim))
+    # one selectExpr call: per-element F.expr()s would each pay a py4j
+    # round trip (dim of them) during plan construction
+    return withn.selectExpr(
+        out_id,
+        f"CASE WHEN __n != 0.0D THEN array({divs}) ELSE __r END AS v",
+    )
+
+
 def pq_codebook(
     corpus: DataFrame,
     m: int = 8,
@@ -713,84 +747,233 @@ def pq_codebook(
         raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     sub = dim // m
     vec = F.col(vec_col).cast("array<double>")
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        (_unit(vec) if normalize else vec).alias("v"),
+    # order by id over the RAW vectors and only normalize the ks winners —
+    # normalizing first would pay the unit projection for the whole corpus
+    # inside TakeOrdered; then build all m subspaces from the ONE collected
+    # seed list (the previous m-way unionByName re-executed the seed
+    # sort-limit m times and shuffled twice to regroup what a single
+    # projection expresses)
+    topk = corpus.select(F.col(id_col).alias("vec_id"), vec.alias("__v0")).orderBy("vec_id").limit(ks)
+    seeds = (
+        _unit_select(topk, "vec_id", "__v0", dim)
+        if normalize
+        else topk.select("vec_id", F.col("__v0").alias("v"))
     )
-    seeds = c.orderBy("vec_id").limit(ks)
-    per_sub = [
-        seeds.select(
-            F.lit(s).alias("sub"),
-            F.col("vec_id").alias("cid"),
-            F.slice(F.col("v"), s * sub + 1, sub).alias("cv"),
-        )
-        for s in range(m)
-    ]
-    allc = per_sub[0]
-    for p in per_sub[1:]:
-        allc = allc.unionByName(p)
-    subs = allc.groupBy("sub").agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    # slice per row BEFORE collecting (m tiny collect_lists in ONE agg):
+    # slicing the seed vectors inside a transform over the collected list
+    # corrupts the later entries on Spark 4.1 (the HOF re-binds its lambda
+    # variable to reused UnsafeArrayData, so slices of an array nested in a
+    # struct alias stale buffers — observed as empty cv for the second half
+    # of the seeds), and the per-row form is simpler anyway
+    one = seeds.agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        F.slice(F.col("v"), s * sub + 1, sub).alias("cv"),
+                    )
+                )
+            ).alias(f"__c{s}")
+            for s in range(m)
+        ]
     )
-    return subs.agg(
-        F.array_sort(F.collect_list(F.struct("sub", "cents"))).alias("__pq")
+    return one.select(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("sub"), F.col(f"__c{s}").alias("cents"))
+                for s in range(m)
+            ]
+        ).alias("__pq")
     )
 
 
-def _pq_sub_codes(v, m: int, sub: int):
+def _pq_sub_codes(v_col: str, m: int, sub: int):
     """codes[s] = position (0-based) of the L2-nearest centroid of
-    subspace s for vector `v`, evaluated against the broadcast `__pq`
-    column. Deterministic tiebreak: lowest position wins (array_sort on
-    (dist, pos) structs orders by dist then pos)."""
-    def code_for(s_entry):
-        s = s_entry["sub"]
-        seg = F.slice(v, s * sub + 1, sub)
-        ranked = F.array_sort(
-            F.transform(
-                s_entry["cents"],
-                lambda ct, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(seg, ct["cv"], lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    i.alias("pos"),
-                ),
-            )
-        )
-        return ranked[0]["pos"]
+    subspace s for the vector in column `v_col`, evaluated against the
+    broadcast `__pq` column. Deterministic tiebreak: lowest position wins
+    (array_sort on (dist, pos) structs orders by dist then pos).
 
-    return F.transform(F.col("__pq"), code_for)
+    Both loops that a fold would run per row — over the m subspaces and
+    over the dim/m elements of each squared-L2 term — unroll into one
+    parsed expression (m and sub are known at plan time), eliminating the
+    interpreted aggregate/zip_with lambdas and their per-element array
+    allocations on the corpus scan. Accumulation order matches the old
+    fold exactly (left-to-right from the first term; IEEE 0.0+x == x), so
+    codes are bit-identical."""
+    def code_for(s: int) -> str:
+        dist = " + ".join(
+            f"({v_col}[{s * sub + j}] - ct.cv[{j}]) * ({v_col}[{s * sub + j}] - ct.cv[{j}])"
+            for j in range(sub)
+        )
+        return (
+            f"array_sort(transform(__pq[{s}].cents, (ct, i) -> "
+            f"struct(({dist}) AS d, i AS pos)))[0].pos"
+        )
+
+    return F.array(*[F.expr(code_for(s)) for s in range(m)])
+
+
+def _pq_lut_expr(q_col: str, m: int, sub: int) -> Column:
+    """lut[s][c] = dot(query subvector s, centroid c of subspace s) against
+    the broadcast `__pq` column, as a parsed expression with the dot
+    statically unrolled (same fold order as aggregate/zip_with)."""
+    inner = []
+    for s in range(m):
+        dot = " + ".join(f"{q_col}[{s * sub + j}] * ct.cv[{j}]" for j in range(sub))
+        inner.append(f"transform(__pq[{s}].cents, ct -> ({dot}))")
+    return F.expr("array(" + ", ".join(inner) + ")")
+
+
+def _pq_adc_expr(m: int) -> Column:
+    """Σ_s lut[s][codes[s]] as one HOF-free parsed expression — static
+    0-based array indexing compiles inside whole-stage codegen, unlike the
+    interpreted aggregate-over-sequence fold it replaces (same IEEE sum
+    order: left-to-right)."""
+    return F.expr(" + ".join(f"lut[{s}][codes[{s}]]" for s in range(m)))
+
+
+def _pq_encode_inlined(
+    corpus: DataFrame,
+    pq: list,
+    m: int,
+    sub: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    normalize: bool,
+) -> DataFrame:
+    """Compiled encode against a COLLECTED codebook (`pq` = the `__pq`
+    value): centroid components become double literals in the plan, so
+    there is no join at all — just one whole-stage-codegen scan.
+
+    Why this shape (each alternative was measured at sf0.1):
+    - attaching the 1-row codebook DataFrame needs a BroadcastNestedLoop
+      join, which never enters whole-stage codegen, so every distance
+      expression above it evaluates interpreted (~17s vs 0.9s here);
+    - one giant codes expression trips janino's 64 KB method limit and
+      the whole projection falls back to interpreted eval — splitting the
+      m*ks distances into separate COLUMNS gives each its own generated
+      method;
+    - the explode([1]) Generate is a deliberate CollapseProject barrier:
+      without it the optimizer folds the distance columns back into one
+      giant codes expression (each is referenced exactly once, so the
+      collapse heuristic allows it) and re-trips the method limit.
+
+    The argmin score is the EXPANDED squared-L2 form
+        score(c) = Σ_j cv_j²  −  2·(Σ_j r_j·cv_j / n)
+    which drops the Σ v_j² term (constant across a subspace's centroids,
+    so the argmin is unchanged) and never materializes the normalized
+    vector — this roughly halves the generated code vs (v_j − cv_j)²
+    terms, which matters because expressions cannot split into helper
+    methods inside whole-stage codegen and the full-form pipeline tripped
+    janino's 64 KB method limit as one fused stage (the failed compile
+    re-runs every execution, ~8s a pass). Σ cv_j² is a Python-computed
+    literal (same left-to-right IEEE order as the oracle's unrolled sum).
+    Tiebreak is lowest position (least() on (score, pos) structs is
+    lexicographic). The registered DuckDB oracle computes the identical
+    expression, so codes match bit-for-bit cross-engine."""
+    vec = F.col(vec_col).cast("array<double>")
+    raw = corpus.select(F.col(id_col).alias("vec_id"), vec.alias("__r"))
+    if normalize:
+        nsum = " + ".join(f"__r[{i}] * __r[{i}]" for i in range(dim))
+        # all-zero vectors: _unit passes them through unchanged, which is
+        # exactly a divide-by-1
+        c = raw.selectExpr(
+            "vec_id",
+            "__r",
+            f"CASE WHEN SQRT({nsum}) = 0.0D THEN 1.0D ELSE SQRT({nsum}) END AS __nz",
+        )
+    else:
+        c = raw.selectExpr("vec_id", "__r", "1.0D AS __nz")
+    dcols, argmins = [], []
+    for s_entry in pq:
+        s = int(s_entry["sub"])
+        cents = s_entry["cents"]
+        if not cents:
+            raise ValueError(f"PQ codebook subspace {s} has no centroids")
+        for ci, ct in enumerate(cents):
+            # string-cast literals: repr() round-trips the double exactly
+            # and survives exponent forms like 1e-05; the cast constant-
+            # folds to a plain double literal during optimization
+            csq = 0.0
+            for j in range(sub):
+                csq = csq + ct["cv"][j] * ct["cv"][j]
+            dot = " + ".join(
+                f"__r[{s * sub + j}] * CAST('{ct['cv'][j]!r}' AS DOUBLE)"
+                for j in range(sub)
+            )
+            dcols.append(
+                f"CAST('{csq!r}' AS DOUBLE) - 2.0D * (({dot}) / __nz) AS __d_{s}_{ci}"
+            )
+        cands = ", ".join(
+            f"struct(__d_{s}_{ci} AS d, {ci} AS pos)" for ci in range(len(cents))
+        )
+        argmins.append(f"least({cands}).pos" if len(cents) > 1 else f"({cands}).pos")
+    # selectExpr batches every column into one py4j call — with m*ks
+    # per-centroid F.expr() columns the round trips dominate build time
+    d = c.selectExpr("vec_id", *dcols).withColumn(
+        "__g", F.explode(F.array(F.lit(1)))
+    )
+    return d.selectExpr(
+        "vec_id", f"CAST(array({', '.join(argmins)}) AS array<int>) AS codes"
+    )
+
+
+def collect_pq_codebook(codebook: DataFrame) -> list:
+    """Materialize a one-row `__pq` codebook DataFrame into its plain
+    value (list of Rows) — the m·ks·(dim/m) doubles of a PQ codebook are
+    driver-sized by construction. Collect ONCE and hand the value to both
+    pq_encode and pq_topk so the codebook job runs a single time."""
+    return codebook.collect()[0]["__pq"]
 
 
 def pq_encode(
     corpus: DataFrame,
-    codebook: DataFrame,
+    codebook: DataFrame | list,
     m: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    ks: int | None = None,
 ) -> DataFrame:
     """(vec_id, codes array<int> of length m): each subspace's L2-nearest
-    centroid position. One broadcast of the 1-row codebook onto the corpus
-    scan — no shuffle; the corpus never moves."""
+    centroid position, computed in a single corpus scan — no shuffle; the
+    corpus never moves.
+
+    Pass `ks` (any non-None value opts in; the codebook's true per-subspace
+    centroid counts are read from the codebook itself), or pass the
+    codebook as an already-collected value (collect_pq_codebook), to
+    compile the encode: the tiny codebook is collected once on the driver
+    — the same bounded-dimension exception ivf_topk's probe pushdown
+    makes — and its centroids inline as literals so the whole encode is
+    one codegen scan stage (~20x the interpreted form). Without either,
+    the plan stays fully action-free: a transform() over the broadcast
+    centroid list, correct at any codebook shape but interpreted."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     sub = dim // m
+    if ks is not None or not isinstance(codebook, DataFrame):
+        pq = codebook if not isinstance(codebook, DataFrame) else collect_pq_codebook(codebook)
+        return _pq_encode_inlined(corpus, pq, m, sub, dim, id_col, vec_col, normalize)
     vec = F.col(vec_col).cast("array<double>")
+    # HOF path: keep the fold-style _unit — inside an interpreted
+    # transform() body the unrolled normalize would re-evaluate at
+    # every element reference (no CSE outside codegen)
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), (_unit(vec) if normalize else vec).alias("v")
+        F.col(id_col).alias("vec_id"),
+        (_unit(vec) if normalize else vec).alias("v"),
     )
     return (
         c.crossJoin(F.broadcast(codebook))
-        .select("vec_id", _pq_sub_codes(F.col("v"), m, sub).cast("array<int>").alias("codes"))
+        .select("vec_id", _pq_sub_codes("v", m, sub).cast("array<int>").alias("codes"))
     )
 
 
 def pq_topk(
     codes: DataFrame,
-    codebook: DataFrame,
+    codebook: DataFrame | list,
     queries: DataFrame,
     k: int = 10,
     m: int = 8,
@@ -801,9 +984,14 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): each
     query precomputes a lookup table lut[s][c] = dot(query subvector,
-    centroid c of subspace s) against the broadcast codebook; a code's
-    approximate dot product is then Σ_s lut[s][codes[s]] — m array lookups
-    per corpus row, never a dot product against raw vectors.
+    centroid c of subspace s) against the codebook; a code's approximate
+    dot product is then Σ_s lut[s][codes[s]] — m array lookups per corpus
+    row, never a dot product against raw vectors.
+
+    Accepts the codebook as a DataFrame (broadcast-joined, action-free)
+    or as a collected value (collect_pq_codebook) — the latter inlines
+    the centroids as literals so the LUT build needs no join and the
+    codebook job is not re-executed inside this plan.
 
     Returns (query_id, rank, vec_id, approx_score[round 4]); rank by
     (approx score desc, vec_id). Candidates from PQ scores are normally
@@ -812,48 +1000,44 @@ def pq_topk(
     """
     sub = dim // m
     qvec = F.col(vec_col).cast("array<double>")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), (_unit(qvec) if normalize else qvec).alias("qv")
+    q = (
+        _unit_select(queries, id_col, vec_col, dim, out_id="query_id")
+        .withColumnRenamed("v", "qv")
+        if normalize
+        else queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
     )
-    luts = (
-        q.crossJoin(F.broadcast(codebook))
-        .select(
-            "query_id",
-            F.transform(
-                F.col("__pq"),
-                lambda s_entry: F.transform(
-                    s_entry["cents"],
-                    lambda ct: F.aggregate(
-                        F.zip_with(
-                            F.slice(F.col("qv"), s_entry["sub"] * sub + 1, sub),
-                            ct["cv"],
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                ),
-            ).alias("lut"),
+    if isinstance(codebook, DataFrame):
+        luts = (
+            q.crossJoin(F.broadcast(codebook))
+            .select("query_id", _pq_lut_expr("qv", m, sub).alias("lut"))
         )
-    )
+    else:
+        # inline-literal LUT: dot(query subvector, centroid) per (s, c)
+        # column, Generate barrier against CollapseProject, then gather
+        # into the array-of-arrays lut — same fold order as the HOF form
+        qcols = []
+        for s_entry in codebook:
+            s = int(s_entry["sub"])
+            for ci, ct in enumerate(s_entry["cents"]):
+                dot = " + ".join(
+                    f"qv[{s * sub + j}] * CAST('{ct['cv'][j]!r}' AS DOUBLE)"
+                    for j in range(sub)
+                )
+                qcols.append(f"{dot} AS __l_{s}_{ci}")
+        lrow = q.selectExpr("query_id", *qcols).withColumn(
+            "__g", F.explode(F.array(F.lit(1)))
+        )
+        gather = ", ".join(
+            "array("
+            + ", ".join(f"__l_{int(se['sub'])}_{ci}" for ci in range(len(se["cents"])))
+            + ")"
+            for se in codebook
+        )
+        luts = lrow.selectExpr("query_id", f"array({gather}) AS lut")
     scored = (
         codes.crossJoin(F.broadcast(luts))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "approx_score",
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + F.element_at(
-                        F.element_at(F.col("lut"), s.cast("int") + 1),
-                        F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
-                    ),
-                ),
-                4,
-            ),
-        )
+        .withColumn("approx_score", F.round(_pq_adc_expr(m), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_score").desc(), F.col("vec_id"))
     return (
@@ -890,8 +1074,10 @@ def pq_codebook_trained(
         raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     sub = dim // m
     vec = F.col(vec_col).cast("array<double>")
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), (_unit(vec) if normalize else vec).alias("v")
+    c = (
+        _unit_select(corpus, id_col, vec_col, dim)
+        if normalize
+        else corpus.select(F.col(id_col).alias("vec_id"), vec.alias("v"))
     )
     if sample_fraction is not None:
         c = c.sample(fraction=sample_fraction, seed=7)
@@ -904,20 +1090,15 @@ def pq_codebook_trained(
     cb = pq_codebook(c.select("vec_id", F.col("v").alias(vec_col)), m, ks, dim,
                      vec_col=vec_col, normalize=False)
     for _ in range(n_iter):
-        cents_here = F.element_at(F.col("__pq"), F.col("sub") + 1)["cents"]
-        code = F.array_sort(
-            F.transform(
-                cents_here,
-                lambda ct, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(F.col("sv"), ct["cv"], lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    i.alias("pos"),
-                ),
-            )
-        )[0]["pos"]
+        # subspace id is a row value here (column `sub`), so only the inner
+        # squared-L2 fold unrolls; same IEEE order as the zip_with fold
+        dist = " + ".join(
+            f"(sv[{j}] - ct.cv[{j}]) * (sv[{j}] - ct.cv[{j}])" for j in range(sub)
+        )
+        code = F.expr(
+            f"array_sort(transform(__pq[sub].cents, (ct, i) -> "
+            f"struct(({dist}) AS d, i AS pos)))[0].pos"
+        )
         assigned = rows.crossJoin(F.broadcast(cb)).select("sub", "sv", code.alias("code"))
         dims = assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
         means = dims.groupBy("sub", "code", "pos").agg(F.avg("x").alias("mu"))
@@ -1036,7 +1217,7 @@ def ivf_pq_topk(
         .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
         .drop("__cents")
     )
-    codes = pq_encode(corpus, pq_cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, pq_cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col, ks=ks)
     index = assigned.select("vec_id", "list_id").join(codes, "vec_id")
 
     probes = (
@@ -1045,42 +1226,16 @@ def ivf_pq_topk(
         .select("query_id", F.col("probe")["cid"].alias("list_id"))
     )
     sub = dim // m
-    qn = q.select("query_id", _unit(F.col("qv")).alias("nqv"))
+    qn = _unit_select(q, "query_id", "qv", dim, out_id="query_id").withColumnRenamed("v", "nqv")
     luts = (
         qn.crossJoin(F.broadcast(pq_cb))
-        .select(
-            "query_id",
-            F.transform(
-                F.col("__pq"),
-                lambda s_entry: F.transform(
-                    s_entry["cents"],
-                    lambda ct: F.aggregate(
-                        F.zip_with(
-                            F.slice(F.col("nqv"), s_entry["sub"] * sub + 1, sub),
-                            ct["cv"],
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                ),
-            ).alias("lut"),
-        )
+        .select("query_id", _pq_lut_expr("nqv", m, sub).alias("lut"))
     )
     cand = index.join(F.broadcast(probes), "list_id").where(
         F.col("vec_id") != F.col("query_id")
     )
     adc = cand.join(F.broadcast(luts), "query_id").withColumn(
-        "approx",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.element_at(
-                F.element_at(F.col("lut"), s.cast("int") + 1),
-                F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
-            ),
-        ),
+        "approx", _pq_adc_expr(m)
     )
     ws = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("vec_id"))
     short = (

@@ -2482,9 +2482,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving scans touch 4-byte codes, never raw vectors."""
     (e,) = _t(spark, sf_dir, "embeddings")
     q5 = e.where(F.col("vec_id") < 5)
-    cb = sim.pq_codebook(e, m=4, ks=8)
-    codes = sim.pq_encode(e, cb, m=4)
-    return sim.pq_topk(codes, cb, q5, k=10, m=4)
+    # collect the tiny codebook ONCE; encode and LUT then inline its
+    # centroids as literals — one codebook job, fully codegen scans
+    pq = sim.collect_pq_codebook(sim.pq_codebook(e, m=4, ks=8))
+    codes = sim.pq_encode(e, pq, m=4)
+    return sim.pq_topk(codes, pq, q5, k=10, m=4)
 
 
 _Q_ANN_PQ_SQL = """
@@ -2499,21 +2501,34 @@ cents AS (
   SELECT ss.s, seeds.pos, list_slice(seeds.v, ss.s * 16 + 1, ss.s * 16 + 16) AS cv
   FROM seeds CROSS JOIN ss
 ),
-subv AS (
-  SELECT n.vec_id, ss.s, list_slice(n.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
-  FROM n CROSS JOIN ss
+-- encode scores use the EXPANDED squared-L2 form on the RAW vectors,
+-- sum(cv^2) - 2*(dot(raw_s, cv)/norm) -- identical ops, same order, as the
+-- engine's compiled encode (similarity._pq_encode_inlined), so codes match
+-- bit-for-bit; the sum(v^2) term is constant per (vec, s) and drops out of
+-- the argmin
+rsub AS (
+  SELECT e.vec_id, ss.s, list_slice(e.raw, ss.s * 16 + 1, ss.s * 16 + 16) AS rv,
+         CASE WHEN sqrt(list_dot_product(e.raw, e.raw)) = 0 THEN 1
+              ELSE sqrt(list_dot_product(e.raw, e.raw)) END AS nz
+  FROM e CROSS JOIN ss
 ),
 codes AS (
   SELECT vec_id, s, pos AS code FROM (
-    SELECT subv.vec_id, subv.s, cents.pos,
+    SELECT rsub.vec_id, rsub.s, cents.pos,
            row_number() OVER (
-             PARTITION BY subv.vec_id, subv.s
+             PARTITION BY rsub.vec_id, rsub.s
              ORDER BY list_aggregate(list_transform(generate_series(1, 16),
-                        i -> (subv.sv[i] - cents.cv[i]) * (subv.sv[i] - cents.cv[i])), 'sum'),
+                        i -> cents.cv[i] * cents.cv[i]), 'sum')
+                      - 2 * (list_aggregate(list_transform(generate_series(1, 16),
+                               i -> rsub.rv[i] * cents.cv[i]), 'sum') / rsub.nz),
                       cents.pos
            ) AS rn
-    FROM subv JOIN cents ON subv.s = cents.s
+    FROM rsub JOIN cents ON rsub.s = cents.s
   ) WHERE rn = 1
+),
+subv AS (
+  SELECT n.vec_id, ss.s, list_slice(n.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
+  FROM n CROSS JOIN ss
 ),
 qsub AS (
   SELECT vec_id AS query_id, s, sv AS qsv FROM subv WHERE vec_id < 5
