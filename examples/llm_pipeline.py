@@ -88,7 +88,7 @@ def run(
     # persist the survivor set: everything downstream (quality, decontam,
     # mixture, chunking, the write) reuses it, and the per-stage count()
     # reports below would otherwise replay the dedup stages once per stage
-    docs = docs.join(losers, "doc_id", "left_anti").persist()
+    persisted = docs = docs.join(losers, "doc_id", "left_anti").persist()
     counts["after_near_dedup"] = docs.count()
 
     # 4. quality: rule gate, then model score ------------------------------
@@ -138,7 +138,10 @@ def run(
     counts["shards"] = spark.read.parquet(out_dir).select("shard_id").distinct().count()
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["out_dir"] = out_dir
-    docs.unpersist()
+    # `docs` was rebound after the persist — unpersist the handle that was
+    # actually cached, or repeated run() calls pin survivor sets for the
+    # SparkContext's lifetime
+    persisted.unpersist()
     return counts
 
 

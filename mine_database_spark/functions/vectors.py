@@ -58,5 +58,14 @@ def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
 def cosine_maybe_unrolled(a: Column, b: Column, dim: int | None) -> Column:
     """cosine() when `dim` is unknown (None), the codegen-friendly unrolled
     twin when the caller knows the embedding width. Both produce the same
-    IEEE result for arrays of exactly `dim` elements."""
-    return cosine_unrolled(a, b, dim) if dim else cosine(a, b)
+    IEEE result for arrays of exactly `dim` elements.
+
+    A wrong `dim` is guarded rather than silently mis-scored: if either
+    array's true length differs from `dim`, the row falls back to the fold
+    form (which scores the actual arrays) instead of yielding NULL (dim
+    too big — F.get past the end) or ranking a prefix (dim too small)."""
+    if not dim:
+        return cosine(a, b)
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), cosine_unrolled(a, b, dim)
+    ).otherwise(cosine(a, b))

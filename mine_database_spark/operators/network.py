@@ -79,19 +79,27 @@ def assign_ids(compounds: DataFrame, reactions: DataFrame):
     (generation, _id)-sorted compounds and _id-sorted reactions, plus the
     rendered reaction equation string.
 
-    Note: a global row_number needs a single-partition sort of the id
-    projection only (two narrow columns) — the full rows are joined back by
-    hash, so the wide data never funnels through one task.
+    The sequential numbering runs as distributed_rank (a two-level
+    distributed prefix sum, packing.py) over the narrow id projection —
+    one RANGE shuffle whose partitions number rows in parallel, with only
+    the O(#partitions) offset rows ever passing through a single task.
+    The earlier global `row_number() OVER (ORDER BY ...)` compiled to a
+    single-partition sort of the projection: tolerable at the reference's
+    571k-compound scale, a straggler at 100 TB. Values are identical
+    (same total order, same 1-based numbering); the full rows join back
+    by hash either way.
     """
-    wc = Window.orderBy("generation", "_id")
-    cids = compounds.select("_id", "generation").withColumn(
-        "new_id", F.format_string("pkc%07d", F.row_number().over(wc))
-    ).select("_id", "new_id")
+    from mine_database_spark.operators.packing import distributed_rank
+
+    cids = distributed_rank(
+        compounds.select("_id", "generation"), ["generation", "_id"], rank_col="__rk"
+    ).select("_id", F.format_string("pkc%07d", F.col("__rk")).alias("new_id"))
     compounds_out = compounds.join(cids, "_id").withColumn("id", F.coalesce("new_id", "id")).drop("new_id")
 
-    wr = Window.orderBy("_id")
-    rids = reactions.select("_id").withColumn("rid", F.format_string("pkr%07d", F.row_number().over(wr)))
-    reactions_out = reactions.join(rids, "_id").withColumnRenamed("rid", "id")
+    rids = distributed_rank(reactions.select("_id"), ["_id"], rank_col="__rk").select(
+        "_id", F.format_string("pkr%07d", F.col("__rk")).alias("id")
+    )
+    reactions_out = reactions.join(rids, "_id")
 
     # equation rendering: join stoich entries to compound display ids (J8)
     name_map = compounds_out.select(F.col("_id").alias("c_id"), F.col("id").alias("c_name"))

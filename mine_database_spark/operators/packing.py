@@ -204,48 +204,85 @@ def distributed_prefix_sum(
          broadcast back; global cum = local cum + partition offset.
 
     The range exchange is built twice in the plan (once under the window,
-    once under the offsets aggregate) but Spark's ReuseExchange collapses
-    them into one physical shuffle. `order_cols` must be a TOTAL order
-    (include a unique tiebreak column) — with ties across a range boundary
-    the local/global split would be ambiguous.
+    once under the offsets aggregate); correctness requires both branches
+    to see the SAME physical shuffle (RangePartitioner samples boundaries
+    nondeterministically, so two independent executions could split the
+    order differently and mix partitions in the __pid join). That is
+    guaranteed structurally: the kernel runs over a projection holding
+    ONLY value_col + order_cols, so column pruning cannot narrow one
+    branch's exchange below the other's (the partitioning expressions
+    themselves are unprunable) — the two exchange subtrees canonicalize
+    identically and ReuseExchange always collapses them into one shuffle.
+    When the caller's frame carries payload columns, the cum is computed
+    on the narrow kernel and hash-joined back on order_cols — which must
+    be a TOTAL order anyway (include a unique tiebreak column): with ties
+    across a range boundary the local/global split would be ambiguous.
 
-    Scale: one range shuffle of the fact table + one broadcast of
-    #partitions offset rows. The only single-partition step touches
-    O(#partitions) rows, never the data. This is the building block for
-    global-order assignments (shard ids, curriculum positions, global
-    ranks) that naive global windows make un-runnable at 100 TB.
+    `value_col` sums in its own type family: integral columns accumulate
+    as bigint, fractional ones as their native type (no silent truncation
+    of weights).
+
+    Scale: one range shuffle of the kernel projection + one broadcast of
+    #partitions offset rows (+ one hash join back when payload columns
+    exist). The only single-partition step touches O(#partitions) rows,
+    never the data. This is the building block for global-order
+    assignments (shard ids, curriculum positions, global ranks) that
+    naive global windows make un-runnable at 100 TB.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    str_order = [c for c in order_cols if isinstance(c, str)]
+    all_str = len(str_order) == len(list(order_cols))
+    integral = isinstance(
+        df.schema[value_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+    val = F.col(value_col).cast("bigint") if integral else F.col(value_col)
+
+    # narrow kernel: only the columns the prefix sum itself needs. With
+    # expression order cols (e.g. col("v").desc()) the referenced source
+    # columns can't be identified generically, so those calls keep the
+    # legacy inline shape — fine for the narrow frames they're used with,
+    # and the exchange-reuse guarantee below still holds when nothing
+    # beyond value+order exists to prune.
+    payload = [] if not all_str else [
+        c for c in df.columns if c != value_col and c not in str_order
+    ]
+    can_inline = not payload
+    kernel_in = df if can_inline else df.select(value_col, *str_order)
+
     part = (
-        df.repartitionByRange(num_partitions, *cols)
+        kernel_in.repartitionByRange(num_partitions, *cols)
         if num_partitions is not None
-        else df.repartitionByRange(*cols)
+        else kernel_in.repartitionByRange(*cols)
     ).withColumn("__pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn(
-        "__local", F.sum(F.col(value_col).cast("bigint")).over(w_local)
-    )
+    local = part.withColumn("__local", F.sum(val).over(w_local))
     # exclusive prefix of per-partition totals: O(#partitions) rows only
     w_off = (
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
         part.groupBy("__pid")
-        .agg(F.sum(F.col(value_col).cast("bigint")).alias("__tot"))
+        .agg(F.sum(val).alias("__tot"))
         .select(
             "__pid",
-            F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).cast("bigint").alias("__off"),
+            F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
         )
     )
-    return (
+    out_cum = F.col("__local") + F.col("__off")
+    kernel = (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(cum_col, (F.col("__local") + F.col("__off")).cast("bigint"))
+        .withColumn(cum_col, out_cum.cast("bigint") if integral else out_cum)
         .drop("__pid", "__local", "__off")
     )
+    if can_inline:
+        return kernel
+    return df.join(kernel.select(*str_order, cum_col), str_order)
 
 
 def token_budget_shards(

@@ -231,7 +231,13 @@ def q_collect_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l,) = _t(spark, sf_dir, "lineitem")
     # size(collect_set) instead of countDistinct: a distinct aggregate next
     # to collect_set plans a second partial-distinct shuffle round; the set
-    # is already being built, so its size is free (measured 2.5x at sf0.1)
+    # is already being built, so its size is free (measured 2.5x at sf0.1).
+    # Scale caveat: the orderkey set's aggregation-buffer state grows with
+    # the distinct orderkeys per supplier (linear in SF), unlike the tiny
+    # flag_set domain. At 100 TB swap this column for approx_count_distinct
+    # or a two-stage (suppkey, orderkey) pre-distinct, both of which keep
+    # per-group state bounded; the exact set stays here because the oracle
+    # hash-compares exact counts at bench SFs.
     return l.groupBy("l_suppkey").agg(
         F.concat_ws(",", F.array_sort(F.collect_set(F.concat(F.col("l_returnflag"), F.col("l_linestatus"))))).alias(
             "flag_set"

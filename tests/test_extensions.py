@@ -1371,3 +1371,30 @@ def test_ivf_pq_recall_gate(spark):
     want = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q5, k=10).collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, recall
+
+
+def test_cosine_maybe_unrolled_dim_mismatch_guard(spark):
+    """A wrong `dim` must not silently mis-rank: rows whose arrays differ
+    from the declared width fall back to the fold-form cosine (scoring the
+    true arrays) instead of NULL (dim too large) or a prefix (too small)."""
+    from mine_database_spark.functions.vectors import cosine, cosine_maybe_unrolled
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),      # true dim 3
+         (2, [1.0, 2.0], [2.0, 1.0])],               # shorter row
+        "id long, a array<double>, b array<double>",
+    )
+    for wrong_dim in (2, 3, 5):
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", cosine_maybe_unrolled(F.col("a"), F.col("b"), wrong_dim).alias("s")
+            ).collect()
+        }
+        want = {
+            r["id"]: r["s"]
+            for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("s")).collect()
+        }
+        for rid, s in want.items():
+            assert got[rid] is not None
+            assert abs(got[rid] - s) < 1e-12, (wrong_dim, rid)

@@ -193,8 +193,12 @@ def test_mass_sorted_layout_prunes_files(spark, tmp_path):
 def test_registry_builds_are_action_free(spark, sf_smoke):
     """Building a registry DataFrame must trigger ZERO Spark jobs — driver
     actions at plan-build time (eager pivot-distinct, count(), first()) are
-    hidden full passes at 100 TB. Exception: dup_clusters, whose iterative
-    label propagation must converge to define its result."""
+    hidden full passes at 100 TB. Exceptions: dup_clusters, whose iterative
+    label propagation must converge to define its result, and ann_pq_topk,
+    whose PQ codebook (m*ks tiny centroids) is deliberately collected once
+    at build so encode + LUT compile to literal-inlined codegen scans —
+    index CONSTRUCTION, the step a production deployment runs offline and
+    materializes (similarity.collect_pq_codebook)."""
     from mine_database_spark.session import load_tables
     from mine_database_spark.queries.registry import QUERIES
 
@@ -202,7 +206,7 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     st = spark.sparkContext.statusTracker()
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
-        if name == "dup_clusters":
+        if name in ("dup_clusters", "ann_pq_topk"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
@@ -245,6 +249,43 @@ def test_incremental_dedup_prefilter_broadcasts(spark, sf_smoke):
     plan = plan_str(QUERIES["incremental_dedup"](spark, sf_smoke), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_assign_ids_no_single_partition_data_sort(spark, sf_smoke):
+    """assign_ids numbers compounds/reactions via distributed_rank: the
+    plan must contain the range-partitioned exchange and the __pid-keyed
+    window, and the only SinglePartition exchange may sit above an
+    aggregate (the O(#partitions) offsets), never under a Sort consuming
+    data-proportional rows — the pattern the old global row_number
+    compiled to."""
+    from mine_database_spark.operators.network import assign_ids
+    from mine_database_spark.session import load_tables
+
+    t = load_tables(spark, sf_smoke)
+    # stand-in network tables with the assign_ids input shape
+    compounds = t["customer"].selectExpr(
+        "CAST(c_custkey AS STRING) AS _id",
+        "c_custkey % 3 AS generation",
+        "CAST(NULL AS STRING) AS id",
+    )
+    reactions = t["orders"].selectExpr(
+        "CAST(o_orderkey AS STRING) AS _id",
+        "array(named_struct('stoich', 1, 'c_id', CAST(o_custkey AS STRING))) AS reactants",
+        "array(named_struct('stoich', 1, 'c_id', CAST(o_custkey AS STRING))) AS products",
+        "array('op') AS operators",
+        "'t' AS text",
+    )
+    cpds, rxns = assign_ids(compounds, reactions)
+    for df in (cpds, rxns):
+        plan = plan_str(df)
+        assert "rangepartitioning" in plan
+        assert "windowspecdefinition(__pid" in plan, "rank window must be __pid-keyed"
+        # every SinglePartition exchange must feed from an aggregate
+        # (offsets), not from a data-proportional sort
+        segs = plan.split("Exchange SinglePartition")
+        for seg in segs[1:]:
+            head = seg[:400]
+            assert "HashAggregate" in head or "SortAggregate" in head, head
 
 
 def test_token_shards_distributed_prefix_sum_plan(spark, sf_smoke):
