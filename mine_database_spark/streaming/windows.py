@@ -147,6 +147,15 @@ def stream_incremental_dedup(
     stream-static left-anti twin of operators/dedup.py:incremental_dedup
     (each doc's verdict is final on arrival: no state, no watermark).
 
+    No TTL knob, deliberately: unlike exact_dedup_stream (whose
+    per-digest state store grows with the stream and is bounded by
+    `state_ttl_minutes`), a stream-static anti-join holds NO state store
+    at all — the static side re-resolves per micro-batch and each batch
+    plans an ordinary join. The memory to bound lives on the STATIC side
+    (the digest projection / persisted bucket-digest artifact), which is
+    the caller's storage, not stream state. Statelessness is pinned by
+    test_stream_incremental_dedup (zero stateOperators in progress).
+
     Within-stream duplicates are a separate concern — chain
     streaming/stateful.py:exact_dedup_stream after this for both.
 

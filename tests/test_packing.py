@@ -193,6 +193,13 @@ def test_stream_incremental_dedup(spark, tmp_path):
     assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
     got = sorted(r.doc_id for r in spark.sql("select * from incr_dedup_stream_test").collect())
     assert got == [2, 4]
+    # stream-static anti-joins hold NO state store (that's why the operator
+    # has no TTL knob, unlike exact_dedup_stream): pin statelessness so a
+    # refactor to a stateful join can't silently start accumulating
+    progresses = [p for p in q.recentProgress if p is not None]
+    assert progresses, "no progress recorded"
+    for p in progresses:
+        assert not p["stateOperators"], p["stateOperators"]
 
 
 # ---------------------------------------------------------------------------
