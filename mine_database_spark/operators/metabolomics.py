@@ -145,63 +145,74 @@ def spectral_scores(
         qmz = np.array([m for m, _ in q], dtype=np.float64)
         qi = np.array([i for _, i in q], dtype=np.float64)
         na = float(np.dot(qi, qi))
+        nq = len(qmz)
 
-        def greedy(smz, si):
-            # exact twin of the reference's generator walk
-            # (metabolomics.py:463-514): match on |Δ| < ε (STRICT, the
-            # reference's `difference < epsilon`), both pointers advance on
-            # match, the smaller side advances alone otherwise
-            ai = bi = 0
-            dot = 0.0
-            n_match = 0
-            while ai < len(qmz) and bi < len(smz):
-                d = qmz[ai] - smz[bi]
-                if abs(d) < tolerance:
-                    dot += qi[ai] * si[bi]
-                    # jaccard counts a matched PAIR only when both
-                    # intensities are truthy (reference `if val1 and val2`,
-                    # metabolomics.py:455-457)
-                    if qi[ai] and si[bi]:
-                        n_match += 1
-                    ai += 1
-                    bi += 1
-                elif d < 0:
-                    ai += 1
-                else:
-                    bi += 1
-            return dot, n_match
-
-        def one(spec):
-            if spec is None or len(spec) == 0:
-                return 0.0
-            smz = np.array([p["mz"] for p in spec], dtype=np.float64)
-            si = np.array([p["intensity"] for p in spec], dtype=np.float64)
-            order = np.lexsort((si, smz))  # reference sorts (mz, intensity) tuples
-            smz, si = smz[order], si[order]
-            nb = float(np.dot(si, si))
-            # Vectorized fast path: when every query peak has at most one
-            # candidate within ±ε and no two query peaks share a candidate,
-            # the greedy walk matches exactly those (q, s) pairs — one
-            # searchsorted pass instead of a Python loop. Ambiguous rows
-            # (peak clusters tighter than 2ε) fall back to the exact twin.
-            lo = np.searchsorted(smz, qmz - tolerance, side="right")  # s > q-ε
-            hi = np.searchsorted(smz, qmz + tolerance, side="left")  # s < q+ε
-            if (hi - lo <= 1).all() and (lo[1:] >= hi[:-1]).all():
-                m = hi > lo
-                sidx = lo[m]
-                dot = float(np.dot(qi[m], si[sidx]))
-                n_match = int(np.count_nonzero((qi[m] != 0.0) & (si[sidx] != 0.0)))
-            else:
-                dot, n_match = greedy(smz, si)
+        # Batch-vectorized exact twin of the reference's generator walk
+        # (metabolomics.py:463-514): match on |Δ| < ε (STRICT, the
+        # reference's `difference < epsilon`), both pointers advance on a
+        # match, the smaller side advances alone otherwise. The walk is
+        # sequential per spectrum but independent ACROSS spectra, so all
+        # rows advance their pointers together — each while-iteration is a
+        # handful of numpy gathers over the still-active rows instead of a
+        # per-row Python loop (the earlier searchsorted fast path only
+        # covered unambiguous spectra and sent any row with a sub-2ε peak
+        # cluster back to the scalar walk; this form is one exact path).
+        # Per-row accumulation order is the walk's own match order, so
+        # scores are bit-identical to the scalar twin.
+        specs = [
+            None
+            if s is None or len(s) == 0
+            else (
+                np.array([p["mz"] for p in s], dtype=np.float64),
+                np.array([p["intensity"] for p in s], dtype=np.float64),
+            )
+            for s in spectra
+        ]
+        n = len(specs)
+        out = np.zeros(n, dtype=np.float64)
+        live = [i for i, s in enumerate(specs) if s is not None]
+        if live:
+            slen = np.array([len(specs[i][0]) for i in live], dtype=np.int64)
+            L = int(slen.max())
+            S = np.full((len(live), L), np.inf, dtype=np.float64)
+            SI = np.zeros((len(live), L), dtype=np.float64)
+            for r, i in enumerate(live):
+                smz, si = specs[i]
+                order = np.lexsort((si, smz))  # reference sorts (mz, intensity) tuples
+                S[r, : slen[r]] = smz[order]
+                SI[r, : slen[r]] = si[order]
+            nb = np.einsum("ij,ij->i", SI, SI)
+            qmz_pad = np.append(qmz, np.inf)
+            qi_pad = np.append(qi, 0.0)
+            a = np.zeros(len(live), dtype=np.int64)
+            b = np.zeros(len(live), dtype=np.int64)
+            dot = np.zeros(len(live), dtype=np.float64)
+            nm = np.zeros(len(live), dtype=np.int64)
+            active = (a < nq) & (b < slen)
+            while active.any():
+                rows = np.nonzero(active)[0]
+                d = qmz_pad[a[rows]] - S[rows, b[rows]]
+                m = np.abs(d) < tolerance
+                mr = rows[m]
+                dot[mr] += qi_pad[a[mr]] * SI[mr, b[mr]]
+                # jaccard counts a matched PAIR only when both intensities
+                # are truthy (reference `if val1 and val2`, :455-457)
+                nm[mr] += (qi_pad[a[mr]] != 0.0) & (SI[mr, b[mr]] != 0.0)
+                a[mr] += 1
+                b[mr] += 1
+                a[rows[~m & (d < 0)]] += 1
+                b[rows[~m & (d >= 0)]] += 1
+                active = (a < nq) & (b < slen)
             if metric == "jaccard":
                 # reference metabolomics.py:435-460: |matched m/z pairs| /
                 # |union| — a COUNT, not the intensity product sum
-                denom = len(qmz) + len(smz) - n_match
-                return n_match / denom if denom else 0.0
-            denom = (na * nb) ** 0.5
-            return dot / denom if denom else 0.0
-
-        return spectra.map(one)
+                denom = nq + slen - nm
+                vals = np.where(denom != 0, nm / np.where(denom == 0, 1, denom), 0.0)
+            else:
+                denom = np.sqrt(na * nb)
+                vals = np.where(denom != 0, dot / np.where(denom == 0, 1.0, denom), 0.0)
+            out[live] = vals
+        return pd.Series(out)
 
     scored = hits_with_spectra.withColumn("score", F.round(score(F.col(spectra_col)), 6))
     w = Window.partitionBy("peak_id").orderBy(F.col("score").desc(), F.col("_id"))
