@@ -680,6 +680,65 @@ def score_pairs_blocked(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.7,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): cluster the corpus embeddings with
+    the IVF coarse quantizer, score pairs ONLY within a cluster, and keep
+    one representative per near-duplicate set. Returns the SURVIVORS as
+    (vec_id, list_id).
+
+    Dedup policy, chosen to be deterministic and SQL-oracle-checkable: a
+    vector drops iff some LOWER-id vector in its cluster scores
+    round(cos, 4) >= threshold against it — the keep-lowest-id greedy
+    (the first-wins convention the text dedup family uses). Clustering is
+    the same deterministic machinery as ivf_topk: seeded centroids (the
+    n_clusters lowest-id vectors; pass a kmeans_codebook for trained
+    cells), max-dot assignment with the highest-cid tiebreak.
+
+    Scale: assignment is a broadcast scan projection (no shuffle);
+    within-cluster pairs come from a self-equi-join keyed by list_id —
+    O(Σ cluster²) candidate pairs, governed by n_clusters (pick
+    ~sqrt(corpus) cells so cluster sizes stay bounded), NEVER the global
+    all-pairs; scoring is the blocked cogrouped kernel
+    (score_pairs_blocked), O(pairs·dim) with exact quantized components.
+    """
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent_row = codebook if codebook is not None else (
+        c.orderBy("vec_id")
+        .limit(n_clusters)
+        .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent_row))
+        .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
+        .select("vec_id", "list_id")
+    )
+    slim = assigned.select("vec_id", "list_id")
+    pairs = (
+        slim.join(
+            slim.select(F.col("vec_id").alias("b_id"), "list_id"), "list_id"
+        )
+        .where(F.col("vec_id") < F.col("b_id"))
+        .select(F.col("vec_id").alias("a_id"), "b_id")
+    )
+    dup_pairs = score_pairs_blocked(
+        pairs, embeddings, threshold=threshold, n_blocks=n_blocks,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dups = dup_pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return assigned.join(dups, "vec_id", "left_anti")
+
+
 def _unit(v):
     """L2-normalized copy of array column `v`; all-zero vectors pass
     through unchanged (the when() also keeps ANSI mode from throwing on

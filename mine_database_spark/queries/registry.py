@@ -1589,6 +1589,45 @@ WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqr
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.py:semantic_dedup):
+    IVF-cluster the embeddings, score pairs only within a cluster with the
+    exact quantized kernel, drop every vector that matches a lower id at
+    round(cos,4) >= 0.35, return the survivors (vec_id, list_id). The
+    oracle rebuilds the identical centroids, assignment (max-dot,
+    highest-cid tiebreak), quantized pair scores, and keep-lowest-id
+    policy in SQL — full value check of clustering + scoring + policy."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(e, threshold=0.35, n_clusters=16)
+
+
+_Q_SEMANTIC_DEDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+cscore AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+  FROM e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, cid AS list_id FROM cscore WHERE rn = 1),
+q AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id
+  WHERE round(list_dot_product(qa.v, qb.v) /
+              (sqrt(list_dot_product(qa.v, qa.v)) * sqrt(list_dot_product(qb.v, qb.v))), 4) >= 0.35
+    AND NOT isnan(list_dot_product(qa.v, qb.v) /
+              (sqrt(list_dot_product(qa.v, qa.v)) * sqrt(list_dot_product(qb.v, qb.v))))
+)
+SELECT vec_id, list_id FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed (the 100TB path): candidates
     from a band-signature self-equi-join, exact cosine rescore. Oracle
@@ -2639,6 +2678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
+    "semantic_dedup": q_semantic_dedup,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
     # --- rotated out of the 50-row gate this round (15, all green in r6) ---
@@ -2706,6 +2746,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": _Q_ANN_SQL,
     "embed_neardup": _Q_EMBED_NEARDUP_SQL,
     "embed_neardup_lsh": _Q_EMBED_NEARDUP_LSH_SQL,
+    "semantic_dedup": _Q_SEMANTIC_DEDUP_SQL,
     "ann_lsh_topk": _Q_ANN_LSH_SQL,
     "ann_ivf_topk": _Q_ANN_IVF_SQL,
     "multimodal_features": _Q_MULTIMODAL_SQL,

@@ -1398,3 +1398,34 @@ def test_cosine_maybe_unrolled_dim_mismatch_guard(spark):
         for rid, s in want.items():
             assert got[rid] is not None
             assert abs(got[rid] - s) < 1e-12, (wrong_dim, rid)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup policy: identical vectors land in one cluster and all but
+    the lowest id drop; distinct directions survive. Survivor list carries
+    the cluster assignment."""
+    from mine_database_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+    def vec(*hot):
+        v = [0.0] * dim
+        for h in hot:
+            v[h] = 1.0
+        return v
+    rows = [
+        (0, vec(0)), (1, vec(1)), (2, vec(2)), (3, vec(3)),   # 4 seeds/centroids
+        (10, vec(0)), (11, vec(0)),   # exact dupes of id 0's direction
+        (12, vec(1)),                 # dupe of id 1's direction
+        (13, vec(2, 3)),              # distinct direction, survives
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["list_id"] for r in
+           semantic_dedup(e, threshold=0.95, n_clusters=4).collect()}
+    # dupes 10/11 (of 0) and 12 (of 1) drop; the lowest id of each
+    # duplicate set survives
+    assert set(out) == {0, 1, 2, 3, 13}, out
+    # survivors carry their cluster: 0 lives in its own centroid's list
+    assert out[0] == 0 and out[1] == 1
+    # growth safety: survivors never exceed input count and every survivor
+    # id existed in the input
+    assert set(out) <= {r[0] for r in rows}
