@@ -79,3 +79,121 @@ def exact_dedup_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+def minhash_neardup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate candidates — the unbounded-input twin of
+    operators.dedup.minhash_lsh_dedup.
+
+    Per-doc minhash band signatures are computed ROW-LOCALLY (one md5 per
+    distinct shingle, the same universal-hash family MH_AB and band digest
+    as the batch path, so batch and stream bucket IDENTICALLY); each
+    (band, band_sig) bucket's GroupState remembers the FIRST doc that hit
+    it, and every later doc in the bucket emits a candidate pair
+    (doc_id, band, first_id). This is lsh_candidate_pairs restricted to
+    pairs with the bucket's first arrival — the streaming tradeoff that
+    keeps state at ONE small tuple per bucket instead of the bucket's doc
+    list. Chain ngram_jaccard_pairs(candidates=...) over the emitted
+    pairs for the exact-verify pass, as examples/llm_pipeline.py does in
+    batch.
+
+    Docs too short to produce a k-shingle emit nothing (the batch shingle
+    table has no rows for them either). `state_ttl_minutes` bounds bucket
+    state exactly like exact_dedup_stream: an unrefreshed bucket evicts
+    after the TTL and its next hit is treated as first-seen. Note that a
+    ProcessingTimeTimeout query idles waiting for its TTLs rather than
+    self-terminating — drive it with a processingTime trigger and stop it
+    explicitly (Trigger.AvailableNow will hang at shutdown).
+
+    Scale: signatures/bands are scan-side expressions (zero shuffle before
+    the state exchange); the state store is hash-partitioned by bucket and
+    scales with executors (RocksDB backend at 100 TB of stream history).
+    """
+    from mine_database_spark.operators.dedup import MH_AB, MH_P
+
+    if num_hashes > len(MH_AB):
+        raise ValueError(f"num_hashes must be <= {len(MH_AB)}")
+    n_bands = num_hashes // rows_per_band
+    from mine_database_spark.functions.text import word_shingle_strings
+
+    xs = F.transform(
+        F.array_distinct(word_shingle_strings(F.col(text_col), k)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % MH_P,
+    )
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), xs.alias("__xs")
+    ).where(F.size("__xs") > 0)
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MH_P
+
+    mh = [
+        F.array_min(F.transform(F.col("__xs"), _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MH_AB[:num_hashes])
+    ]
+    sigs = base.select("doc_id", *mh)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+    )
+    ttl_ms = None if state_ttl_minutes is None else int(state_ttl_minutes) * 60_000
+
+    def bucket_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (first,) = state.get
+            later = ids
+        else:
+            first, later = ids[0], ids[1:]
+            state.update((first,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if later:
+            yield pd.DataFrame(
+                {
+                    "doc_id": later,
+                    "band": [key[0]] * len(later),
+                    "matched_id": [first] * len(later),
+                }
+            )
+
+    return keyed.groupBy("band", "band_sig").applyInPandasWithState(
+        bucket_fn,
+        outputStructType="doc_id bigint, band int, matched_id bigint",
+        stateStructType="first_id bigint",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -1429,3 +1429,61 @@ def test_semantic_dedup_planted_duplicates(spark):
     # growth safety: survivors never exceed input count and every survivor
     # id existed in the input
     assert set(out) <= {r[0] for r in rows}
+
+
+def test_streaming_minhash_neardup(spark, tmp_path):
+    """Streaming LSH near-dup candidates: a later doc whose text near-
+    duplicates an earlier one (same shingles -> same buckets) emits a
+    candidate pair with the bucket's first doc, across micro-batches; a
+    distinct doc emits nothing. Buckets must equal the batch path's."""
+    from mine_database_spark.operators.dedup import lsh_band_keys, minhash_signatures, shingle_table
+    from mine_database_spark.streaming.stateful import minhash_neardup_stream
+
+    t_dup = "the quick brown fox jumps over the lazy dog again and again"
+    t_new = "completely different content with no overlapping shingles at all here"
+    src = tmp_path / "neardup_src"
+    src.mkdir()
+    (src / "a.csv").write_text(f'1,"{t_dup}"\n2,"{t_new}"\n')
+    (src / "b.csv").write_text(f'3,"{t_dup}"\n')
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    # ProcessingTimeTimeout queries never self-terminate (they idle
+    # waiting for the TTL) — poll the sink, then stop, as the
+    # exact_dedup_stream TTL test does
+    q = (
+        minhash_neardup_stream(stream, state_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("mh_neardup_stream_test")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time as _time
+
+    rows = []
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            rows = spark.sql("select * from mh_neardup_stream_test").collect()
+            if rows:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    pairs = {(r["doc_id"], r["matched_id"]) for r in rows}
+    # doc 3 duplicates doc 1 (every band matches); doc 2 pairs with nobody
+    assert pairs == {(3, 1)}, pairs
+    assert all(r["doc_id"] == 3 for r in rows)
+    # stream bands == batch bands for the same docs (shared hash family)
+    docs = spark.createDataFrame([(1, t_dup), (3, t_dup), (2, t_new)], "doc_id long, text string")
+    batch_keys = {
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in lsh_band_keys(minhash_signatures(shingle_table(docs, "doc_id", "text", 5, distinct=False))).collect()
+    }
+    by_doc = {}
+    for d, b, s in batch_keys:
+        by_doc.setdefault(d, set()).add((b, s))
+    assert by_doc[1] == by_doc[3] and by_doc[1] != by_doc[2]
