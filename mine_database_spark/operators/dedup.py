@@ -328,6 +328,71 @@ def first_wins_dedup(df: DataFrame, key_col: str, order_cols: list[str]) -> Data
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level exact dedup across the corpus (the C4/RefinedWeb-style
+    boilerplate scrub, public recipes): split every document into
+    fixed-size word windows, keep each distinct segment's FIRST occurrence
+    (global (doc_id, seg_idx) order), and rebuild documents from their
+    surviving segments. A repeated header/footer/license block survives
+    once, in the earliest document that carries it.
+
+    Returns (doc_id, clean_text, n_segments, n_dropped); documents whose
+    every segment was seen earlier come back with an empty clean_text and
+    n_dropped == n_segments (callers usually drop those rows entirely).
+
+    Scale: segments are one split + slice projection (no Python); dedup is
+    one shuffle keyed by the segment digest (row_number window, same shape
+    as first_wins_dedup); the rebuild is one groupBy(doc_id) whose
+    concat_ws state is bounded by the document length. Two shuffles total,
+    each over segment rows, never pairs.
+    """
+    if seg_words < 1:
+        raise ValueError(f"seg_words must be >= 1, got {seg_words}")
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(words, i * seg_words + 1, seg_words)
+                    ),
+                )
+            ).alias("seg_idx", "seg_text"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("seg_text"))).orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn("__rn", F.row_number().over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("seg_idx", "seg_text"),
+                            )
+                        )
+                    ),
+                    lambda t: t["seg_text"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum((F.col("__rn") > 1).cast("bigint")).alias("n_dropped"),
+        )
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -1589,6 +1589,35 @@ WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqr
 """
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate scrub (dedup.py:segment_dedup): 32-word
+    windows, global first-occurrence-wins on the segment digest, documents
+    rebuilt from surviving segments. Oracle mirrors the split/windowing,
+    the md5-keyed first-wins, and the ordered re-assembly."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.segment_dedup(d, seg_words=32)
+
+
+_Q_SEGMENT_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, i - 1 AS seg_idx,
+         array_to_string(list_slice(ws, (i-1)*32 + 1, (i-1)*32 + 32), ' ') AS seg_text
+  FROM w, UNNEST(generate_series(1, CAST(ceil(len(ws) / 32.0) AS INT))) AS t(i)
+),
+marked AS (
+  SELECT doc_id, seg_idx, seg_text,
+         row_number() OVER (PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       array_to_string(list(seg_text ORDER BY seg_idx) FILTER (rn = 1), ' ') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.py:semantic_dedup):
     IVF-cluster the embeddings, score pairs only within a cluster with the
@@ -2679,6 +2708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "semantic_dedup": q_semantic_dedup,
+    "segment_dedup": q_segment_dedup,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
     # --- rotated out of the 50-row gate this round (15, all green in r6) ---
@@ -2747,6 +2777,7 @@ ORACLES: dict[str, str] = {
     "embed_neardup": _Q_EMBED_NEARDUP_SQL,
     "embed_neardup_lsh": _Q_EMBED_NEARDUP_LSH_SQL,
     "semantic_dedup": _Q_SEMANTIC_DEDUP_SQL,
+    "segment_dedup": _Q_SEGMENT_DEDUP_SQL,
     "ann_lsh_topk": _Q_ANN_LSH_SQL,
     "ann_ivf_topk": _Q_ANN_IVF_SQL,
     "multimodal_features": _Q_MULTIMODAL_SQL,

@@ -1487,3 +1487,23 @@ def test_streaming_minhash_neardup(spark, tmp_path):
     for d, b, s in batch_keys:
         by_doc.setdefault(d, set()).add((b, s))
     assert by_doc[1] == by_doc[3] and by_doc[1] != by_doc[2]
+
+
+def test_segment_dedup_boilerplate_scrub(spark):
+    """Repeated 4-word blocks survive only in the earliest document; later
+    carriers lose exactly those segments and keep their unique content."""
+    from mine_database_spark.operators.dedup import segment_dedup
+
+    boiler = "standard license header text"
+    rows = [
+        (1, boiler + " " + "alpha beta gamma delta"),
+        (2, boiler + " " + "epsilon zeta eta theta"),   # same header, later doc
+        (3, "totally unique words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_words=4).collect()}
+    assert out[1]["clean_text"] == rows[0][1] and out[1]["n_dropped"] == 0
+    # doc 2 loses the header segment, keeps its own tail
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[2]["n_dropped"] == 1 and out[2]["n_segments"] == 2
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_dropped"] == 0
