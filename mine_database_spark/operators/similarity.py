@@ -1178,7 +1178,7 @@ def pq_codebook_trained(
 def pq_topk_rescored(
     corpus: DataFrame,
     codes: DataFrame,
-    codebook: DataFrame,
+    codebook: DataFrame | list,
     queries: DataFrame,
     k: int = 10,
     shortlist: int | None = None,

@@ -2581,7 +2581,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(codes, pq, q5, k=10, m=4)
 
 
-_Q_ANN_PQ_SQL = """
+# shared CTE prefix: codebook, codes, LUTs, ADC approx scores — the raw-ADC
+# ranking query and the shortlist+rescore serving query differ only in tail
+_Q_ANN_PQ_PREFIX = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
 n AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
 seeds AS (
@@ -2637,7 +2639,9 @@ approx AS (
   FROM codes c JOIN lut l ON l.s = c.s AND l.pos = c.code
   WHERE c.vec_id <> l.query_id
   GROUP BY l.query_id, c.vec_id
-),
+)"""
+
+_Q_ANN_PQ_SQL = _Q_ANN_PQ_PREFIX + """,
 ranked AS (
   SELECT query_id, vec_id, approx_score,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -2645,6 +2649,43 @@ ranked AS (
   FROM approx
 )
 SELECT query_id, rank, vec_id, approx_score FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SERVING shape under a full value oracle: the ADC shortlist
+    (top-50 by approximate score) fetches raw vectors and exact-cosine
+    re-ranks to the final top-10 (similarity.py:pq_topk_rescored). The
+    oracle shares the codebook/codes/LUT/ADC rebuild with ann_pq_topk and
+    adds the shortlist + exact re-rank tail."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    q5 = e.where(F.col("vec_id") < 5)
+    pq = sim.collect_pq_codebook(sim.pq_codebook(e, m=4, ks=8))
+    codes = sim.pq_encode(e, pq, m=4)
+    return sim.pq_topk_rescored(e, codes, pq, q5, k=10, shortlist=50, m=4)
+
+
+_Q_ANN_PQ_RESCORED_SQL = _Q_ANN_PQ_PREFIX + """,
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_score DESC, vec_id) AS srank
+    FROM approx
+  ) WHERE srank <= 50
+),
+resc AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_dot_product(ec.raw, eq.raw) /
+               (sqrt(list_dot_product(ec.raw, ec.raw)) * sqrt(list_dot_product(eq.raw, eq.raw))), 4) AS score
+  FROM short s JOIN e ec ON ec.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.query_id
+),
+rr AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM resc
+)
+SELECT query_id, rank, vec_id, score FROM rr WHERE rank <= 10
 """
 
 
@@ -2673,6 +2714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "packed_texts": q_packed_texts,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_rescored": q_ann_pq_rescored,
     # --- retained from the historical gate set (35) ---
     "mass_range_join_bucketed": q_mass_range_join_bucketed,
     "copurchase_reach": q_copurchase_reach,
@@ -2685,7 +2727,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bit_prevalence": q_bit_prevalence,
     "sessionize": q_sessionize,
     "asof_enrich": q_asof_enrich,
-    "tumbling_window": q_tumbling_window,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
@@ -2711,7 +2752,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
-    # --- rotated out of the 50-row gate this round (15, all green in r6) ---
+    # --- rotated out of the 50-row gate this round (all green in r6) ---
+    "tumbling_window": q_tumbling_window,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
@@ -2797,5 +2839,6 @@ ORACLES: dict[str, str] = {
     "dataset_split": _Q_DATASET_SPLIT_SQL,
     "packed_texts": _Q_PACK_CONCAT_SQL,
     "ann_pq_topk": _Q_ANN_PQ_SQL,
+    "ann_pq_rescored": _Q_ANN_PQ_RESCORED_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }
