@@ -2635,6 +2635,7 @@ lut AS (
 ),
 approx AS (
   SELECT l.query_id, c.vec_id,
+         list_aggregate(list(l.val ORDER BY l.s), 'sum') AS approx_raw,
          round(list_aggregate(list(l.val ORDER BY l.s), 'sum'), 4) AS approx_score
   FROM codes c JOIN lut l ON l.s = c.s AND l.pos = c.code
   WHERE c.vec_id <> l.query_id
@@ -2689,6 +2690,58 @@ SELECT query_id, rank, vec_id, score FROM rr WHERE rank <= 10
 """
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF+PQ index under a full value oracle
+    (similarity.py:ivf_pq_topk): the coarse quantizer prunes candidates to
+    4 of 16 inverted lists per query, the pruned candidates rank by raw
+    (unrounded) ADC sums over their codes, the top-50 shortlist fetches
+    raw vectors and exact-cosine re-ranks to the top-10. The oracle shares
+    the PQ codebook/codes/LUT/ADC prefix and adds the IVF assignment,
+    probe restriction, and rescore tail."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    q5 = e.where(F.col("vec_id") < 5)
+    return sim.ivf_pq_topk(
+        e, q5, k=10, n_centroids=16, n_probe=4, m=4, ks=8, shortlist=50
+    )
+
+
+_Q_ANN_IVF_PQ_SQL = _Q_ANN_PQ_PREFIX + """,
+icents AS (SELECT vec_id AS cid, raw AS cv FROM e ORDER BY vec_id LIMIT 16),
+iscore AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.raw, c.cv) DESC, c.cid DESC) AS rn
+  FROM e CROSS JOIN icents c
+),
+iassigned AS (SELECT vec_id, cid AS list_id FROM iscore WHERE rn = 1),
+iprobes AS (SELECT vec_id AS query_id, cid AS list_id FROM iscore WHERE vec_id < 5 AND rn <= 4),
+icand AS (
+  SELECT p.query_id, a.vec_id FROM iassigned a JOIN iprobes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+ishort AS (
+  SELECT query_id, vec_id FROM (
+    SELECT x.query_id, x.vec_id,
+           row_number() OVER (PARTITION BY x.query_id
+                              ORDER BY x.approx_raw DESC, x.vec_id) AS srank
+    FROM approx x JOIN icand ic ON ic.query_id = x.query_id AND ic.vec_id = x.vec_id
+  ) WHERE srank <= 50
+),
+iresc AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_dot_product(ec.raw, eq.raw) /
+               (sqrt(list_dot_product(ec.raw, ec.raw)) * sqrt(list_dot_product(eq.raw, eq.raw))), 4) AS score
+  FROM ishort s JOIN e ec ON ec.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.query_id
+),
+irr AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM iresc
+)
+SELECT query_id, rank, vec_id, score FROM irr WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2715,6 +2768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_texts": q_packed_texts,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rescored": q_ann_pq_rescored,
+    "ann_ivf_pq": q_ann_ivf_pq,
     # --- retained from the historical gate set (35) ---
     "mass_range_join_bucketed": q_mass_range_join_bucketed,
     "copurchase_reach": q_copurchase_reach,
@@ -2726,7 +2780,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
     "sessionize": q_sessionize,
-    "asof_enrich": q_asof_enrich,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
@@ -2753,6 +2806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
     # --- rotated out of the 50-row gate this round (all green in r6) ---
+    "asof_enrich": q_asof_enrich,
     "tumbling_window": q_tumbling_window,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2840,5 +2894,6 @@ ORACLES: dict[str, str] = {
     "packed_texts": _Q_PACK_CONCAT_SQL,
     "ann_pq_topk": _Q_ANN_PQ_SQL,
     "ann_pq_rescored": _Q_ANN_PQ_RESCORED_SQL,
+    "ann_ivf_pq": _Q_ANN_IVF_PQ_SQL,
     # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

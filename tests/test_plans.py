@@ -194,10 +194,11 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     """Building a registry DataFrame must trigger ZERO Spark jobs — driver
     actions at plan-build time (eager pivot-distinct, count(), first()) are
     hidden full passes at 100 TB. Exceptions: dup_clusters, whose iterative
-    label propagation must converge to define its result, and ann_pq_topk,
-    whose PQ codebook (m*ks tiny centroids) is deliberately collected once
-    at build so encode + LUT compile to literal-inlined codegen scans —
-    index CONSTRUCTION, the step a production deployment runs offline and
+    label propagation must converge to define its result, and the PQ
+    family (ann_pq_topk / ann_pq_rescored / ann_ivf_pq), whose PQ codebook
+    (m*ks tiny centroids) is deliberately collected once at build so
+    encode + LUT compile to literal-inlined codegen scans — index
+    CONSTRUCTION, the step a production deployment runs offline and
     materializes (similarity.collect_pq_codebook)."""
     from mine_database_spark.session import load_tables
     from mine_database_spark.queries.registry import QUERIES
@@ -206,7 +207,7 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     st = spark.sparkContext.statusTracker()
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
-        if name in ("dup_clusters", "ann_pq_topk"):
+        if name in ("dup_clusters", "ann_pq_topk", "ann_pq_rescored", "ann_ivf_pq"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
