@@ -201,7 +201,10 @@ def spectral_scores(
                 a[mr] += 1
                 b[mr] += 1
                 a[rows[~m & (d < 0)]] += 1
-                b[rows[~m & (d >= 0)]] += 1
+                # catch-all ~(d < 0), not (d >= 0): a NaN delta (malformed
+                # peak mz) must advance a pointer like the scalar walk's
+                # else-branch did, or this loop never terminates
+                b[rows[~m & ~(d < 0)]] += 1
                 active = (a < nq) & (b < slen)
             if metric == "jaccard":
                 # reference metabolomics.py:435-460: |matched m/z pairs| /

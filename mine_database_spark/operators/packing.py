@@ -282,7 +282,17 @@ def distributed_prefix_sum(
     )
     if can_inline:
         return kernel
-    return df.join(kernel.select(*str_order, cum_col), str_order)
+    # null-safe equality: a plain equi-join would silently DROP rows whose
+    # order columns hold NULL (the kernel still ranks them — range
+    # partitioning orders NULLs first)
+    k = kernel.select(
+        *[F.col(c).alias(f"__k_{c}") for c in str_order], cum_col
+    )
+    cond = None
+    for c in str_order:
+        piece = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = piece if cond is None else cond & piece
+    return df.join(k, cond).drop(*[f"__k_{c}" for c in str_order])
 
 
 def token_budget_shards(

@@ -718,15 +718,20 @@ def semantic_dedup(
         .limit(n_clusters)
         .agg(F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))).alias("__cents"))
     )
+    # NOTE: this (vec_id, list_id) projection appears three times in the
+    # final plan (both sides of the pair self-join + the anti-join's left
+    # side), so the broadcast-assignment scan re-runs 3x per execution —
+    # cheap relative to pair scoring, but callers running semantic_dedup
+    # repeatedly at scale should persist the assignment (or pass a stored
+    # kmeans_codebook and materialized assignment) themselves.
     assigned = (
         c.crossJoin(F.broadcast(cent_row))
         .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
         .select("vec_id", "list_id")
     )
-    slim = assigned.select("vec_id", "list_id")
     pairs = (
-        slim.join(
-            slim.select(F.col("vec_id").alias("b_id"), "list_id"), "list_id"
+        assigned.join(
+            assigned.select(F.col("vec_id").alias("b_id"), "list_id"), "list_id"
         )
         .where(F.col("vec_id") < F.col("b_id"))
         .select(F.col("vec_id").alias("a_id"), "b_id")
@@ -770,14 +775,22 @@ def _unit_select(
     vectors pass through unchanged."""
     vec = F.col(vec_col).cast("array<double>")
     raw = df.select(F.col(id_col).alias(out_id), vec.alias("__r"))
-    nsum = " + ".join(f"__r[{i}] * __r[{i}]" for i in range(dim))
+    # get() (NULL past the end) instead of [i] (ANSI error): a vector
+    # shorter than dim yields a NULL norm, routed below to the fold-form
+    # _unit, which normalizes the ACTUAL array length — same guard shape
+    # as cosine_maybe_unrolled, instead of erroring or (worse) passing the
+    # raw vector through un-normalized
+    nsum = " + ".join(f"get(__r, {i}) * get(__r, {i})" for i in range(dim))
     withn = raw.select(out_id, "__r", F.expr(f"SQRT({nsum})").alias("__n"))
-    divs = ", ".join(f"__r[{i}] / __n" for i in range(dim))
-    # one selectExpr call: per-element F.expr()s would each pay a py4j
-    # round trip (dim of them) during plan construction
-    return withn.selectExpr(
+    divs = ", ".join(f"get(__r, {i}) / __n" for i in range(dim))
+    # one selectExpr-style parsed expression per branch: per-element
+    # F.expr()s would each pay a py4j round trip during plan construction
+    return withn.select(
         out_id,
-        f"CASE WHEN __n != 0.0D THEN array({divs}) ELSE __r END AS v",
+        F.when(F.col("__n").isNull() | (F.size("__r") != dim), _unit(F.col("__r")))
+        .when(F.col("__n") != 0, F.expr(f"array({divs})"))
+        .otherwise(F.col("__r"))
+        .alias("v"),
     )
 
 
@@ -979,6 +992,39 @@ def _pq_encode_inlined(
     )
 
 
+def _pq_luts(q: DataFrame, codebook: "DataFrame | list", m: int, sub: int) -> DataFrame:
+    """(query_id, lut) per query — lut[s][c] = dot(query subvector s,
+    centroid c). A DataFrame codebook broadcast-joins (action-free, HOF
+    evaluation — fine for query-sized row counts); a collected codebook
+    value inlines centroids as literals: dot per (s, c) column, Generate
+    barrier against CollapseProject, then gathered into the
+    array-of-arrays lut — same fold order either way."""
+    if isinstance(codebook, DataFrame):
+        return (
+            q.crossJoin(F.broadcast(codebook))
+            .select("query_id", _pq_lut_expr("qv", m, sub).alias("lut"))
+        )
+    qcols = []
+    for s_entry in codebook:
+        s = int(s_entry["sub"])
+        for ci, ct in enumerate(s_entry["cents"]):
+            dot = " + ".join(
+                f"qv[{s * sub + j}] * CAST('{ct['cv'][j]!r}' AS DOUBLE)"
+                for j in range(sub)
+            )
+            qcols.append(f"{dot} AS __l_{s}_{ci}")
+    lrow = q.selectExpr("query_id", *qcols).withColumn(
+        "__g", F.explode(F.array(F.lit(1)))
+    )
+    gather = ", ".join(
+        "array("
+        + ", ".join(f"__l_{int(se['sub'])}_{ci}" for ci in range(len(se["cents"])))
+        + ")"
+        for se in codebook
+    )
+    return lrow.selectExpr("query_id", f"array({gather}) AS lut")
+
+
 def collect_pq_codebook(codebook: DataFrame) -> list:
     """Materialize a one-row `__pq` codebook DataFrame into its plain
     value (list of Rows) — the m·ks·(dim/m) doubles of a PQ codebook are
@@ -1015,6 +1061,15 @@ def pq_encode(
     sub = dim // m
     if ks is not None or not isinstance(codebook, DataFrame):
         pq = codebook if not isinstance(codebook, DataFrame) else collect_pq_codebook(codebook)
+        if ks is not None:
+            # ks keeps its meaning as the codebook's centroid-count bound
+            # (not just an opt-in flag): a codebook wider than the caller
+            # believes is a config mismatch, not something to quietly encode
+            widest = max((len(se["cents"]) for se in pq), default=0)
+            if widest > ks:
+                raise ValueError(
+                    f"codebook holds up to {widest} centroids per subspace, more than ks={ks}"
+                )
         return _pq_encode_inlined(corpus, pq, m, sub, dim, id_col, vec_col, normalize)
     vec = F.col(vec_col).cast("array<double>")
     # HOF path: keep the fold-style _unit — inside an interpreted
@@ -1065,34 +1120,7 @@ def pq_topk(
         if normalize
         else queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
     )
-    if isinstance(codebook, DataFrame):
-        luts = (
-            q.crossJoin(F.broadcast(codebook))
-            .select("query_id", _pq_lut_expr("qv", m, sub).alias("lut"))
-        )
-    else:
-        # inline-literal LUT: dot(query subvector, centroid) per (s, c)
-        # column, Generate barrier against CollapseProject, then gather
-        # into the array-of-arrays lut — same fold order as the HOF form
-        qcols = []
-        for s_entry in codebook:
-            s = int(s_entry["sub"])
-            for ci, ct in enumerate(s_entry["cents"]):
-                dot = " + ".join(
-                    f"qv[{s * sub + j}] * CAST('{ct['cv'][j]!r}' AS DOUBLE)"
-                    for j in range(sub)
-                )
-                qcols.append(f"{dot} AS __l_{s}_{ci}")
-        lrow = q.selectExpr("query_id", *qcols).withColumn(
-            "__g", F.explode(F.array(F.lit(1)))
-        )
-        gather = ", ".join(
-            "array("
-            + ", ".join(f"__l_{int(se['sub'])}_{ci}" for ci in range(len(se["cents"])))
-            + ")"
-            for se in codebook
-        )
-        luts = lrow.selectExpr("query_id", f"array({gather}) AS lut")
+    luts = _pq_luts(q, codebook, m, sub)
     scored = (
         codes.crossJoin(F.broadcast(luts))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1235,7 +1263,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
-    pq_codebook_df: DataFrame | None = None,
+    pq_codebook_df: DataFrame | list | None = None,
 ) -> DataFrame:
     """IVF+PQ — the canonical billion-scale ANN index, composed from the
     engine's own pieces: an IVF coarse quantizer prunes the corpus to
@@ -1268,6 +1296,12 @@ def ivf_pq_topk(
     pq_cb = pq_codebook_df if pq_codebook_df is not None else pq_codebook(
         corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
     )
+    # collect the tiny PQ codebook ONCE and hand the VALUE to both the
+    # encode and the LUT build — a DataFrame codebook here would run the
+    # codebook job twice (collect inside pq_encode + the broadcast lineage
+    # under luts) and put the LUT behind the BroadcastNestedLoop shape the
+    # compiled encode exists to avoid
+    pqv = pq_cb if not isinstance(pq_cb, DataFrame) else collect_pq_codebook(pq_cb)
 
     # the stored index: coarse list id + PQ codes per vector — two
     # broadcast projections over one corpus scan, no shuffle
@@ -1276,7 +1310,7 @@ def ivf_pq_topk(
         .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
         .drop("__cents")
     )
-    codes = pq_encode(corpus, pq_cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col, ks=ks)
+    codes = pq_encode(corpus, pqv, m=m, dim=dim, id_col=id_col, vec_col=vec_col, ks=ks)
     index = assigned.select("vec_id", "list_id").join(codes, "vec_id")
 
     probes = (
@@ -1285,11 +1319,8 @@ def ivf_pq_topk(
         .select("query_id", F.col("probe")["cid"].alias("list_id"))
     )
     sub = dim // m
-    qn = _unit_select(q, "query_id", "qv", dim, out_id="query_id").withColumnRenamed("v", "nqv")
-    luts = (
-        qn.crossJoin(F.broadcast(pq_cb))
-        .select("query_id", _pq_lut_expr("nqv", m, sub).alias("lut"))
-    )
+    qn = _unit_select(q, "query_id", "qv", dim, out_id="query_id").withColumnRenamed("v", "qv")
+    luts = _pq_luts(qn, pqv, m, sub)
     cand = index.join(F.broadcast(probes), "list_id").where(
         F.col("vec_id") != F.col("query_id")
     )

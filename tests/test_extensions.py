@@ -1499,6 +1499,7 @@ def test_segment_dedup_boilerplate_scrub(spark):
         (1, boiler + " " + "alpha beta gamma delta"),
         (2, boiler + " " + "epsilon zeta eta theta"),   # same header, later doc
         (3, "totally unique words here"),
+        (4, boiler + " " + "alpha beta gamma delta"),  # FULL dupe of doc 1
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in segment_dedup(docs, seg_words=4).collect()}
@@ -1507,3 +1508,25 @@ def test_segment_dedup_boilerplate_scrub(spark):
     assert out[2]["clean_text"] == "epsilon zeta eta theta"
     assert out[2]["n_dropped"] == 1 and out[2]["n_segments"] == 2
     assert out[3]["clean_text"] == rows[2][1] and out[3]["n_dropped"] == 0
+    # a fully-duplicated document comes back EMPTY, not NULL
+    assert out[4]["clean_text"] == "" and out[4]["n_dropped"] == out[4]["n_segments"] == 2
+    # cross-engine: the registered oracle agrees, including the ''-not-NULL
+    # contract for the fully-deduped doc (DuckDB list FILTER aggregates
+    # zero rows to NULL without the oracle's coalesce)
+    import tempfile
+
+    import duckdb
+
+    from mine_database_spark.queries.registry import ORACLES
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{d}/documents.parquet/*.parquet')"
+        )
+        osql = ORACLES["segment_dedup"].replace("32", "4")  # seg_words=4 twin
+        orc = {r[0]: r for r in con.execute(osql).fetchall()}
+        for did, r in out.items():
+            assert orc[did][1] == r["clean_text"], did
+            assert orc[did][2] == r["n_segments"] and orc[did][3] == r["n_dropped"]

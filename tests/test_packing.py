@@ -421,3 +421,18 @@ def test_pack_greedy_nonstring_shard_and_string_ids(spark):
         assert [r.bin_id for r in sorted(out, key=lambda r: r.doc_id) if r.source == shard] == pk.pack_walk(
             [n for _, n in docs], 3
         )
+
+
+def test_prefix_sum_payload_join_back(spark):
+    """The payload path (frame wider than value+order): cum values must
+    equal the naive global window, payload columns survive, and rows with
+    NULL order keys are kept (null-safe join-back), not dropped."""
+    rows = [(1, 10, "a"), (2, 20, "b"), (None, 5, "c"), (3, 1, "d")]
+    df = spark.createDataFrame(rows, "k int, v int, payload string")
+    out = {r["payload"]: r for r in
+           pk.distributed_prefix_sum(df, "v", ["k"], cum_col="cum").collect()}
+    assert len(out) == 4, sorted(out)
+    # NULLS FIRST in ascending range order: c(5), a(15), b(35), d(36)
+    assert out["c"]["cum"] == 5
+    assert out["a"]["cum"] == 15 and out["b"]["cum"] == 35 and out["d"]["cum"] == 36
+    assert out["a"]["k"] == 1 and out["c"]["k"] is None
