@@ -91,6 +91,21 @@ def run(
     persisted = docs = docs.join(losers, "doc_id", "left_anti").persist()
     counts["after_near_dedup"] = docs.count()
 
+    # 3b. segment-level boilerplate scrub: repeated word-window blocks
+    #     (headers/footers/licenses) survive once, in the earliest carrier;
+    #     fully-boilerplate documents drop
+    scrubbed = dd.segment_dedup(docs, seg_words=32)
+    docs = (
+        docs.drop("text")
+        .join(
+            scrubbed.where(F.col("clean_text") != "").select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+    )
+    counts["after_segment_scrub"] = docs.count()
+
     # 4. quality: rule gate, then model score ------------------------------
     clf = LogisticQualityClassifier()
     scored = clf.transform(docs, threshold=quality_threshold)

@@ -19,6 +19,7 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
         "ingested",
         "after_exact_dedup",
         "after_near_dedup",
+        "after_segment_scrub",
         "after_quality",
         "after_decontamination",
         "after_mixture",
