@@ -345,11 +345,17 @@ def segment_dedup(
     every segment was seen earlier come back with an empty clean_text and
     n_dropped == n_segments (callers usually drop those rows entirely).
 
-    Scale: segments are one split + slice projection (no Python); dedup is
-    one shuffle keyed by the segment digest (row_number window, same shape
-    as first_wins_dedup); the rebuild is one groupBy(doc_id) whose
-    concat_ws state is bounded by the document length. Two shuffles total,
-    each over segment rows, never pairs.
+    Scale: segments are one split + slice projection (no Python). First-wins
+    is NOT a digest-keyed row_number window: a boilerplate segment — the very
+    thing this operator scrubs — appears in a huge share of documents, and a
+    window would sort every copy of that hot digest in ONE task (AQE cannot
+    split window partitions). Instead the winner per digest is
+    min(struct(doc_id, seg_idx)) — a map-side-combinable aggregate whose
+    shuffle carries ~one row per DISTINCT digest — and survivors are marked
+    by an equi-join back on the digest, which AQE's skew-join CAN split when
+    a digest is hot. The rebuild is one groupBy(doc_id) whose concat_ws
+    state is bounded by the document length. Shuffles are over segment rows
+    and distinct digests, never pairs.
     """
     if seg_words < 1:
         raise ValueError(f"seg_words must be >= 1, got {seg_words}")
@@ -368,8 +374,15 @@ def segment_dedup(
             ).alias("seg_idx", "seg_text"),
         )
     )
-    w = Window.partitionBy(F.md5(F.col("seg_text"))).orderBy("doc_id", "seg_idx")
-    marked = segs.withColumn("__rn", F.row_number().over(w))
+    segs = segs.withColumn("__digest", F.md5(F.col("seg_text")))
+    first = segs.groupBy("__digest").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("__first")
+    )
+    marked = segs.join(first, "__digest").withColumn(
+        "__keep",
+        (F.col("doc_id") == F.col("__first.doc_id"))
+        & (F.col("seg_idx") == F.col("__first.seg_idx")),
+    )
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -379,7 +392,7 @@ def segment_dedup(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__rn") == 1,
+                                F.col("__keep"),
                                 F.struct("seg_idx", "seg_text"),
                             )
                         )
@@ -388,7 +401,7 @@ def segment_dedup(
                 ),
             ).alias("clean_text"),
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
-            F.sum((F.col("__rn") > 1).cast("bigint")).alias("n_dropped"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_dropped"),
         )
     )
 

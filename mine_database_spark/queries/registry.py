@@ -525,7 +525,7 @@ SELECT c_custkey,
             JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey
             WHERE p_size >= 48) THEN 1 ELSE 0 END) * 0.75
          + (CASE WHEN c_custkey IN (
-            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0) THEN 1 ELSE 0 END) * 0.25, 2) AS score
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0) THEN 1 ELSE 0 END) * 0.25, 2)::DOUBLE AS score
 FROM customer
 """
 
@@ -1974,7 +1974,7 @@ hits AS (
   FROM part p JOIN windows w ON p.p_retailprice >= w.lo AND p.p_retailprice <= w.hi
   WHERE NOT regexp_matches(p.p_name, 'red')
 )
-SELECT peak_id, rank, adduct_name, p_partkey, round(score, 2) AS score,
+SELECT peak_id, rank, adduct_name, p_partkey, round(score, 2)::DOUBLE AS score,
        round(p_retailprice, 2) AS mass
 FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY peak_id ORDER BY score DESC, p_partkey) AS INT) AS rank
@@ -2417,8 +2417,9 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, n_toks,
-         SUM(n_toks) OVER (ORDER BY n_toks DESC, doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+         CAST(SUM(n_toks) OVER (ORDER BY n_toks DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_toks
   FROM t
 )
 SELECT doc_id, n_toks, cum_toks,

@@ -43,6 +43,56 @@ def _rows_to_set(cols, rows):
     )
 
 
+# The driver's value hash is TYPE-sensitive: round 7's token_shards row went
+# red solely because DuckDB typed an uncast SUM(...) OVER as HUGEINT (int128)
+# while Spark returned BIGINT — values were identical.  Python-int
+# normalization in _norm() is blind to that class, so we compare type KINDS
+# explicitly and ban the DuckDB-only widths (HUGEINT/DECIMAL) outright: no
+# Spark query ever produces them, so any oracle emitting one is a latent
+# driver-hash mismatch even when the local value compare passes.
+_FORBIDDEN_DUCK = ("HUGEINT", "DECIMAL")
+
+_SPARK_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+
+_DUCK_KIND = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "TIMESTAMP_NS": "ts", "BLOB": "bin",
+}
+
+
+def _spark_kind(dt: str) -> str:
+    if dt.startswith("array<") and dt.endswith(">"):
+        return "list<" + _spark_kind(dt[6:-1]) + ">"
+    return _SPARK_KIND.get(dt, dt)
+
+
+def _duck_kind(dt: str) -> str:
+    if dt.endswith("[]"):
+        return "list<" + _duck_kind(dt[:-2]) + ">"
+    return _DUCK_KIND.get(dt, dt)
+
+
+def _assert_type_parity(name, scols, sdtypes, dcols, dtypes):
+    for c, t in zip(dcols, dtypes):
+        assert not any(f in t for f in _FORBIDDEN_DUCK), (
+            f"{name}: oracle column {c!r} is {t} — cast it (Spark never emits "
+            "HUGEINT/DECIMAL, and the driver's value hash is type-sensitive)"
+        )
+    skinds = {c: _spark_kind(t) for c, t in zip(scols, sdtypes)}
+    dkinds = {c: _duck_kind(t) for c, t in zip(dcols, dtypes)}
+    diffs = {c: (skinds[c], dkinds[c]) for c in skinds if skinds[c] != dkinds.get(c)}
+    assert not diffs, f"{name}: spark/duck type-kind mismatch {diffs}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_smoke, name):
     sdf = QUERIES[name](spark, sf_smoke)
@@ -50,11 +100,13 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_smoke)
-    res = con.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    rel = con.sql(ORACLES[name])
+    dcols = list(rel.columns)
+    dtypes = [str(t) for t in rel.types]
+    drows = rel.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    _assert_type_parity(name, scols, [t for _, t in sdf.dtypes], dcols, dtypes)
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
 
     sset = _rows_to_set(scols, srows)
