@@ -203,16 +203,21 @@ def distributed_prefix_sum(
          into exclusive offsets with a tiny single-partition window and
          broadcast back; global cum = local cum + partition offset.
 
-    The range exchange is built twice in the plan (once under the window,
-    once under the offsets aggregate); correctness requires both branches
-    to see the SAME physical shuffle (RangePartitioner samples boundaries
-    nondeterministically, so two independent executions could split the
-    order differently and mix partitions in the __pid join). That is
-    guaranteed structurally: the kernel runs over a projection holding
-    ONLY value_col + order_cols, so column pruning cannot narrow one
-    branch's exchange below the other's (the partitioning expressions
-    themselves are unprunable) — the two exchange subtrees canonicalize
-    identically and ReuseExchange always collapses them into one shuffle.
+    Both branches of the __pid join (the running-total rows and the
+    per-partition offsets) consume WINDOW OUTPUTS of the same ordered
+    window: the offsets aggregate folds `max_by(__local, __rn)` — the
+    running total at the last row of each partition, i.e. the exact
+    partition total for any value sign — so the ordered Window (and
+    therefore its exchange children, order columns included) can never
+    be pruned out of the offsets subtree. The two exchange subtrees are
+    identical by construction under any column-pruning outcome, so
+    ReuseExchange collapses them into ONE physical shuffle — required
+    because
+    RangePartitioner samples boundaries nondeterministically and two
+    independent executions could split the order differently, mixing
+    partitions in the __pid join. tests/test_plans.py pins exactly one
+    range exchange in the executed plan, so any engine change that
+    stopped reusing it fails loudly rather than corrupting sums.
     When the caller's frame carries payload columns, the cum is computed
     on the narrow kernel and hash-joined back on order_cols — which must
     be a TOTAL order anyway (include a unique tiebreak column): with ties
@@ -261,24 +266,36 @@ def distributed_prefix_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("__local", F.sum(val).over(w_local))
+    # __rn: row position within the same ordered window. The offsets
+    # aggregate below folds max_by(__local, __rn) — the running total at
+    # the LAST row of each partition, i.e. the exact partition total for
+    # ANY value sign. Deriving the total from the ordered-window outputs
+    # (rather than re-aggregating the pre-window frame) keeps the offsets
+    # subtree's exchange children column-identical to the rows branch —
+    # the window spec pins every order column — so pruning can never
+    # de-symmetrize the two subtrees and ReuseExchange shares both the
+    # range and the __pid shuffles (only O(#partitions) aggregated rows
+    # move after them).
+    local = part.withColumn("__local", F.sum(val).over(w_local)).withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    )
     # exclusive prefix of per-partition totals: O(#partitions) rows only
     w_off = (
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        part.groupBy("__pid")
-        .agg(F.sum(val).alias("__tot"))
+        local.groupBy("__pid")
+        .agg(F.max_by("__local", "__rn").alias("__ptot"))
         .select(
             "__pid",
-            F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+            F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
         )
     )
     out_cum = F.col("__local") + F.col("__off")
     kernel = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(cum_col, out_cum.cast("bigint") if integral else out_cum)
-        .drop("__pid", "__local", "__off")
+        .drop("__pid", "__local", "__rn", "__off")
     )
     if can_inline:
         return kernel

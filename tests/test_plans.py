@@ -304,6 +304,19 @@ def test_token_shards_distributed_prefix_sum_plan(spark, sf_smoke):
     plan = plan_str(df)
     assert "rangepartitioning" in plan
     assert "ReusedExchange" in plan, "range exchange must be shared, not recomputed"
+    # exactly ONE physical range shuffle: the offsets branch is derived from
+    # the window outputs themselves (packing.py distributed_prefix_sum), so a
+    # second materialized range exchange means the boundary-sampling
+    # nondeterminism hazard is back — fail loudly. Count in the FINAL
+    # adaptive plan only (simple mode appends the pre-AQE "Initial Plan",
+    # which legitimately shows both branches un-deduplicated).
+    final = plan_str(df, mode="simple").split("Initial Plan")[0]
+    n_range = final.count("Exchange rangepartitioning")
+    assert n_range == 1, f"expected exactly 1 range exchange, found {n_range}\n{final}"
+    # ... and the __pid hash shuffle is shared too: the only materialized one
+    # plus the ReusedExchange reference that names its target
+    n_pid = final.count("Exchange hashpartitioning(__pid")
+    assert n_pid <= 2, f"offsets branch re-shuffled the kernel by __pid\n{final}"
     assert "windowspecdefinition(__pid" in plan, "corpus window must be keyed by __pid"
     # the corpus-side window is the one with a partition spec; the global
     # (unpartitioned) window may only appear above the offsets HashAggregate
