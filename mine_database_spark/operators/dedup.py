@@ -378,10 +378,15 @@ def segment_dedup(
     first = segs.groupBy("__digest").agg(
         F.min(F.struct("doc_id", "seg_idx")).alias("__first")
     )
+    # null-safe winner comparison: with a NULL doc_id a plain == yields NULL,
+    # which when() would treat as "drop" while sum(~__keep) skipped it —
+    # silently excluding the segment AND undercounting n_dropped. eqNullSafe
+    # keeps the first-occurrence semantics total (min(struct) orders NULLs
+    # first, so a null-id doc can legitimately win).
     marked = segs.join(first, "__digest").withColumn(
         "__keep",
-        (F.col("doc_id") == F.col("__first.doc_id"))
-        & (F.col("seg_idx") == F.col("__first.seg_idx")),
+        F.col("doc_id").eqNullSafe(F.col("__first.doc_id"))
+        & F.col("seg_idx").eqNullSafe(F.col("__first.seg_idx")),
     )
     return (
         marked.groupBy("doc_id")

@@ -2750,70 +2750,19 @@ SELECT query_id, rank, vec_id, score FROM irr WHERE rank <= 10
 # registry
 
 # Dict ORDER matters: the driver's correctness gate hashes only the first 50
-# entries. Round 7 front-loads everything the gate has never checked or that
-# this round rewrote: the 15 round-6 additions (previously positions 51-65),
-# the new PQ-serving/IVF+PQ/semantic/segment queries, and the rewritten
-# operator_census. Long-stable UNTOUCHED basics rotate to the tail — those
-# keep local DuckDB parity (tests/test_oracle_parity.py) and bench coverage,
-# and rotate back through the gate in later rounds.
+# entries. Round 9 rotation rule (standing): anything never driver-checked,
+# stale since r6, or REWRITTEN this round sits in positions 0-49; long-stable
+# untouched rows (driver-green two or three consecutive rounds) rotate to the
+# tail — those keep local DuckDB parity (tests/test_oracle_parity.py) and
+# bench coverage, and rotate back through the gate in later rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-6 additions, first time under the driver gate (15) ---
-    "spectral_cosine": q_spectral_cosine,
-    "model_jaccard": q_model_jaccard,
-    "orphan_gc": q_orphan_gc,
-    "regex_filter": q_regex_filter,
-    "doc_chunks": q_doc_chunks,
-    "pack_sequences": q_pack_sequences,
-    "domain_mixture_sample": q_domain_mixture_sample,
-    "unigram_logprob": q_unigram_logprob,
-    "incremental_dedup": q_incremental_dedup,
-    "token_shards": q_token_shards,
-    "quality_classifier": q_quality_classifier,
-    "corpus_stats": q_corpus_stats,
-    "dataset_split": q_dataset_split,
-    "packed_texts": q_packed_texts,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_pq_rescored": q_ann_pq_rescored,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    # --- retained from the historical gate set (35) ---
-    "mass_range_join_bucketed": q_mass_range_join_bucketed,
-    "copurchase_reach": q_copurchase_reach,
-    "order_chain_paths": q_order_chain_paths,
-    "tfidf_topk": q_tfidf_topk,
-    "adduct_search": q_adduct_search,
-    "ms2_search": q_ms2_search,
-    "product_of_native": q_product_of_native,
-    "quiet_customers": q_quiet_customers,
-    "bit_prevalence": q_bit_prevalence,
-    "operator_census": q_operator_census,
-    "dedup_exact": q_dedup_exact,
-    "minhash_lsh": q_minhash_lsh,
-    "dup_clusters": q_dup_clusters,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_capped": q_ngram_jaccard_capped,
-    "simhash": q_simhash,
-    "text_quality": q_text_quality,
-    "repetition_stats": q_repetition_stats,
-    "quality_rules": q_quality_rules,
-    "pii_scan": q_pii_scan,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "lang_id": q_lang_id,
-    "token_stats": q_token_stats,
-    "contamination_check": q_contamination_check,
-    "vocab_oov": q_vocab_oov,
-    "url_stats": q_url_stats,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_neardup": q_embed_neardup,
-    "embed_neardup_lsh": q_embed_neardup_lsh,
-    "semantic_dedup": q_semantic_dedup,
-    "segment_dedup": q_segment_dedup,
+    # --- last driver-checked in r6 (19) — incl. assign_ids, rewritten r7 ---
+    "assign_ids": q_assign_ids,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
-    # --- rotated out of the 50-row gate this round (all green in r6) ---
     "asof_enrich": q_asof_enrich,
     "tumbling_window": q_tumbling_window,
+    "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
@@ -2821,14 +2770,69 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_wins_dedup": q_first_wins_dedup,
     "content_hash_ids": q_content_hash_ids,
     "collect_set_union": q_collect_set_union,
-    "assign_ids": q_assign_ids,
     "rule_coverage_cdf": q_rule_coverage_cdf,
     "intermediate_rules": q_intermediate_rules,
-    "sessionize": q_sessionize,
     "mass_range_join": q_mass_range_join,
     "provenance_score": q_provenance_score,
     "weighted_sample": q_weighted_sample,
     "topk_per_group": q_topk_per_group,
+    # --- code paths touched in round 9 (8): prefix-sum offsets rewrite
+    # (token_shards/unigram_logprob, and assign_ids above), segment_dedup
+    # null-safe winner equality, ms2/spectral aligner fast path, PQ encode
+    # ANSI guard ---
+    "token_shards": q_token_shards,
+    "unigram_logprob": q_unigram_logprob,
+    "segment_dedup": q_segment_dedup,
+    "ms2_search": q_ms2_search,
+    "spectral_cosine": q_spectral_cosine,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_rescored": q_ann_pq_rescored,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    # --- retained fillers (23) ---
+    "mass_range_join_bucketed": q_mass_range_join_bucketed,
+    "copurchase_reach": q_copurchase_reach,
+    "order_chain_paths": q_order_chain_paths,
+    "tfidf_topk": q_tfidf_topk,
+    "adduct_search": q_adduct_search,
+    "product_of_native": q_product_of_native,
+    "quiet_customers": q_quiet_customers,
+    "bit_prevalence": q_bit_prevalence,
+    "operator_census": q_operator_census,
+    "minhash_lsh": q_minhash_lsh,
+    "dup_clusters": q_dup_clusters,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
+    "repetition_stats": q_repetition_stats,
+    "quality_rules": q_quality_rules,
+    "pii_scan": q_pii_scan,
+    "contamination_check": q_contamination_check,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
+    "semantic_dedup": q_semantic_dedup,
+    # --- rotated out of the 50-row gate this round (driver-green r7+r8,
+    # untouched in r9) ---
+    "model_jaccard": q_model_jaccard,
+    "orphan_gc": q_orphan_gc,
+    "regex_filter": q_regex_filter,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "domain_mixture_sample": q_domain_mixture_sample,
+    "incremental_dedup": q_incremental_dedup,
+    "quality_classifier": q_quality_classifier,
+    "corpus_stats": q_corpus_stats,
+    "dataset_split": q_dataset_split,
+    "packed_texts": q_packed_texts,
+    "dedup_exact": q_dedup_exact,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "vocab_oov": q_vocab_oov,
+    "url_stats": q_url_stats,
+    "winnow_fingerprints": q_winnow_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
@@ -2901,5 +2905,4 @@ ORACLES: dict[str, str] = {
     "ann_pq_topk": _Q_ANN_PQ_SQL,
     "ann_pq_rescored": _Q_ANN_PQ_RESCORED_SQL,
     "ann_ivf_pq": _Q_ANN_IVF_PQ_SQL,
-    # ann_lsh_topk: intentionally no oracle (driver-side hyperplanes) → rows-only check
 }

@@ -168,10 +168,13 @@ def minhash_neardup_stream(
             ids.extend(int(x) for x in pdf["doc_id"])
         if not ids:
             return
-        ids.sort()
+        # dedupe within the batch AND against the stored first: a source
+        # re-delivering the bucket's first doc must not emit a
+        # (doc_id == matched_id) self-pair
+        ids = sorted(set(ids))
         if state.exists:
             (first,) = state.get
-            later = ids
+            later = [i for i in ids if i != first]
         else:
             first, later = ids[0], ids[1:]
             state.update((first,))

@@ -1435,7 +1435,10 @@ def test_streaming_minhash_neardup(spark, tmp_path):
     """Streaming LSH near-dup candidates: a later doc whose text near-
     duplicates an earlier one (same shingles -> same buckets) emits a
     candidate pair with the bucket's first doc, across micro-batches; a
-    distinct doc emits nothing. Buckets must equal the batch path's."""
+    distinct doc emits nothing. Buckets must equal the batch path's.
+    Re-delivery case: batch b re-delivers doc 1 (the bucket's stored
+    first) alongside doc 3 — the stream must NOT emit a (1, 1) self-pair
+    for it (at-least-once sources re-deliver routinely)."""
     from mine_database_spark.operators.dedup import lsh_band_keys, minhash_signatures, shingle_table
     from mine_database_spark.streaming.stateful import minhash_neardup_stream
 
@@ -1444,7 +1447,7 @@ def test_streaming_minhash_neardup(spark, tmp_path):
     src = tmp_path / "neardup_src"
     src.mkdir()
     (src / "a.csv").write_text(f'1,"{t_dup}"\n2,"{t_new}"\n')
-    (src / "b.csv").write_text(f'3,"{t_dup}"\n')
+    (src / "b.csv").write_text(f'3,"{t_dup}"\n1,"{t_dup}"\n')
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -1477,6 +1480,8 @@ def test_streaming_minhash_neardup(spark, tmp_path):
     # doc 3 duplicates doc 1 (every band matches); doc 2 pairs with nobody
     assert pairs == {(3, 1)}, pairs
     assert all(r["doc_id"] == 3 for r in rows)
+    # the re-delivered first doc must never pair with itself
+    assert not any(r["doc_id"] == r["matched_id"] for r in rows), rows
     # stream bands == batch bands for the same docs (shared hash family)
     docs = spark.createDataFrame([(1, t_dup), (3, t_dup), (2, t_new)], "doc_id long, text string")
     batch_keys = {
@@ -1530,3 +1535,26 @@ def test_segment_dedup_boilerplate_scrub(spark):
         for did, r in out.items():
             assert orc[did][1] == r["clean_text"], did
             assert orc[did][2] == r["n_segments"] and orc[did][3] == r["n_dropped"]
+
+
+def test_segment_dedup_null_doc_id_total(spark):
+    """A NULL doc_id must not poison the winner comparison: every segment is
+    either kept or counted dropped (n_segments == kept + n_dropped for every
+    row — a plain == produced NULL __keep rows that were silently excluded
+    from clean_text but skipped by the drop counter)."""
+    from mine_database_spark.operators.dedup import segment_dedup
+
+    rows = [
+        (None, "aaa bbb ccc ddd"),
+        (5, "aaa bbb ccc ddd"),  # dupe of the null-id doc's only segment
+        (6, "unique tail words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_words=4).collect()}
+    assert len(out) == 3
+    for did, r in out.items():
+        assert r["n_dropped"] is not None, did
+    # NULLS FIRST in the min(struct) order: the null-id doc wins the digest
+    assert out[None]["clean_text"] == "aaa bbb ccc ddd" and out[None]["n_dropped"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_dropped"] == 1
+    assert out[6]["clean_text"] == rows[2][1] and out[6]["n_dropped"] == 0

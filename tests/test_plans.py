@@ -289,6 +289,33 @@ def test_assign_ids_no_single_partition_data_sort(spark, sf_smoke):
             assert "HashAggregate" in head or "SortAggregate" in head, head
 
 
+def test_segment_dedup_no_hot_digest_window(spark, sf_smoke):
+    """segment_dedup's first-wins must stay the de-skewed shape (round 8):
+    winner per digest = min(struct(doc_id, seg_idx)) — a map-side-combinable
+    HashAggregate keyed by the digest — joined back on the digest (AQE can
+    skew-split a join, never a window partition). A digest-keyed Window
+    would sort EVERY copy of a hot boilerplate segment in one task: assert
+    no Window partitioned by the segment digest ever reappears."""
+    df = QUERIES["segment_dedup"](spark, sf_smoke)
+    plan = plan_str(df, mode="simple")
+    # no window whose partition key is the digest column
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert not frag.lstrip().startswith("__digest"), (
+            "hot-digest window reintroduced:\n" + plan
+        )
+    # the de-skewed shape: digest-keyed aggregate (min(struct) winner,
+    # partial map-side) + an equi-join back on the digest
+    assert "partial_min" in plan
+    assert (
+        "HashAggregate(keys=[__digest" in plan
+        or "SortAggregate(key=[__digest" in plan
+        or "ObjectHashAggregate(keys=[__digest" in plan
+    ), plan
+    assert "SortMergeJoin [__digest" in plan or "BroadcastHashJoin [__digest" in plan or (
+        "ShuffledHashJoin [__digest" in plan
+    ), plan
+
+
 def test_token_shards_distributed_prefix_sum_plan(spark, sf_smoke):
     """token_shards must compute its global running total as the two-level
     distributed prefix sum: a range exchange (reused across both branches),
