@@ -477,7 +477,16 @@ class MetabolomicsFilter(BaseFilter):
         # the reference grafts Matched_Peak_IDs / Matched_Adducts onto the
         # compound dict and persists them (filters/metabolomics.py:198-259,
         # databases.py:344-358); carry both via the __ann_ upsert so
-        # BaseFilter.apply lands them on kept compounds, like predicted_rt
+        # BaseFilter.apply lands them on kept compounds, like predicted_rt.
+        # CONTRACT DIVERGENCE (deliberate): the reference appends one entry
+        # per (peak, adduct) hit, so a compound matching a peak under two
+        # adducts stores the peak id TWICE, in nondeterministic worker-pool
+        # order (filters/metabolomics.py:253-257). We store the SORTED
+        # DISTINCT sets (array_sort ∘ collect_set): multiplicity is
+        # recoverable by re-running the range join, and a set in canonical
+        # order is what makes the column comparable across runs/engines —
+        # duplicate entries in arbitrary order would break every equality
+        # the oracle gate and downstream exact dedup rely on.
         ann = [
             F.col("matched_peak_ids").alias("__ann_matched_peak_ids"),
             F.col("matched_adducts").alias("__ann_matched_adducts"),

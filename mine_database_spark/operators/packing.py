@@ -220,8 +220,14 @@ def distributed_prefix_sum(
     stopped reusing it fails loudly rather than corrupting sums.
     When the caller's frame carries payload columns, the cum is computed
     on the narrow kernel and hash-joined back on order_cols — which must
-    be a TOTAL order anyway (include a unique tiebreak column): with ties
-    across a range boundary the local/global split would be ambiguous.
+    be a TOTAL order (include a unique tiebreak column). This is not just
+    the usual ambiguous-split caveat: on a violation the join-back
+    MULTIPLIES rows — every payload row carrying a duplicated key matches
+    every kernel row with that key, so the output has MORE rows than the
+    input (n² per duplicated key), corrupting downstream counts, not
+    merely the cum values. All registry callers order by a unique id; a
+    new caller that cannot guarantee uniqueness must append a tiebreak
+    column (e.g. a content hash) to order_cols first.
 
     `value_col` sums in its own type family: integral columns accumulate
     as bigint, fractional ones as their native type (no silent truncation

@@ -872,10 +872,17 @@ def _pq_sub_codes(v_col: str, m: int, sub: int):
     interpreted aggregate/zip_with lambdas and their per-element array
     allocations on the corpus scan. Accumulation order matches the old
     fold exactly (left-to-right from the first term; IEEE 0.0+x == x), so
-    codes are bit-identical."""
+    codes are bit-identical.
+
+    Vector accesses go through get() (NULL past the end) rather than [i]
+    (ANSI error) so a too-short vector yields NULL distances that resolve
+    to the lowest-position tiebreak code under BOTH ANSI settings — the
+    same guard as the compiled literal-inlined encode. ct.cv[j] keeps
+    plain indexing: centroids are length-`sub` by construction
+    (pq_codebook builds them), never short."""
     def code_for(s: int) -> str:
         dist = " + ".join(
-            f"({v_col}[{s * sub + j}] - ct.cv[{j}]) * ({v_col}[{s * sub + j}] - ct.cv[{j}])"
+            f"(get({v_col}, {s * sub + j}) - ct.cv[{j}]) * (get({v_col}, {s * sub + j}) - ct.cv[{j}])"
             for j in range(sub)
         )
         return (
@@ -948,7 +955,12 @@ def _pq_encode_inlined(
     vec = F.col(vec_col).cast("array<double>")
     raw = corpus.select(F.col(id_col).alias("vec_id"), vec.alias("__r"))
     if normalize:
-        nsum = " + ".join(f"__r[{i}] * __r[{i}]" for i in range(dim))
+        # get() (NULL past the end) instead of [i] (ANSI error): a vector
+        # shorter than dim yields NULL distances, which both argmin forms
+        # resolve to the deterministic lowest-position tiebreak — the SAME
+        # outcome under both ANSI settings and in both encode paths,
+        # instead of diverging into a runtime error when ANSI is on
+        nsum = " + ".join(f"get(__r, {i}) * get(__r, {i})" for i in range(dim))
         # all-zero vectors: _unit passes them through unchanged, which is
         # exactly a divide-by-1
         c = raw.selectExpr(
@@ -972,7 +984,7 @@ def _pq_encode_inlined(
             for j in range(sub):
                 csq = csq + ct["cv"][j] * ct["cv"][j]
             dot = " + ".join(
-                f"__r[{s * sub + j}] * CAST('{ct['cv'][j]!r}' AS DOUBLE)"
+                f"get(__r, {s * sub + j}) * CAST('{ct['cv'][j]!r}' AS DOUBLE)"
                 for j in range(sub)
             )
             dcols.append(

@@ -1558,3 +1558,30 @@ def test_segment_dedup_null_doc_id_total(spark):
     assert out[None]["clean_text"] == "aaa bbb ccc ddd" and out[None]["n_dropped"] == 0
     assert out[5]["clean_text"] == "" and out[5]["n_dropped"] == 1
     assert out[6]["clean_text"] == rows[2][1] and out[6]["n_dropped"] == 0
+
+
+def test_pq_encode_ansi_short_vector_parity(spark):
+    """A vector shorter than dim must not ANSI-error in EITHER encode path
+    (get() guards every vector access): both the compiled literal-inlined
+    form and the interpreted DataFrame-codebook form resolve the NULL
+    distances to the same deterministic lowest-position tiebreak code,
+    under ANSI on and off alike."""
+    from mine_database_spark.operators.similarity import pq_codebook, pq_encode
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(20)]
+    rows.append((99, [1.0, 2.0]))  # too short for dim=8
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebook(df.where("vec_id < 99"), m=2, ks=4, dim=8)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    results = {}
+    try:
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            compiled = {r.vec_id: r.codes for r in pq_encode(df, cb, m=2, dim=8, ks=4).collect()}
+            interp = {r.vec_id: r.codes for r in pq_encode(df, cb, m=2, dim=8).collect()}
+            assert compiled == interp, (ansi, compiled, interp)
+            results[ansi] = compiled
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert results["false"] == results["true"]
+    assert 99 in results["true"] and len(results["true"][99]) == 2
