@@ -154,11 +154,10 @@ def spectral_scores(
         # sequential per spectrum but independent ACROSS spectra, so all
         # rows advance their pointers together — each while-iteration is a
         # handful of numpy gathers over the still-active rows instead of a
-        # per-row Python loop (the earlier searchsorted fast path only
-        # covered unambiguous spectra and sent any row with a sub-2ε peak
-        # cluster back to the scalar walk; this form is one exact path).
-        # Per-row accumulation order is the walk's own match order, so
-        # scores are bit-identical to the scalar twin.
+        # per-row Python loop. Rows proven unambiguous (all gaps >= 2ε in
+        # both sequences) short-circuit to a single batched searchsorted
+        # whose pair set is identical to the walk's (proof inline below);
+        # only the ambiguous residue takes the iterative walk.
         specs = [
             None
             if s is None or len(s) == 0
@@ -182,12 +181,77 @@ def spectral_scores(
                 S[r, : slen[r]] = smz[order]
                 SI[r, : slen[r]] = si[order]
             nb = np.einsum("ij,ij->i", SI, SI)
+            dot = np.zeros(len(live), dtype=np.float64)
+            nm = np.zeros(len(live), dtype=np.int64)
+
+            # Unambiguous-row short-circuit: when every consecutive gap in
+            # BOTH sequences is >= 2ε, each peak has at most one partner
+            # within ε, pairings cannot cross, and the greedy walk provably
+            # yields exactly the set of |Δ| < ε pairs — so those rows are
+            # scored with one batched searchsorted instead of the walk.
+            # (Proof: two peaks within ε of the same partner would be < 2ε
+            # apart; the walk only skips s_j past q_a when s_j <= q_a - ε,
+            # so no qualifying pair is ever passed over.) Rows with a sub-2ε
+            # cluster, NaN m/z, or a sub-2ε query gap take the exact walk.
+            q_ok = nq > 0 and not np.isnan(qmz).any() and (
+                nq == 1 or float(np.min(np.diff(qmz))) >= 2.0 * tolerance
+            )
+            fast = np.zeros(len(live), dtype=bool)
+            if q_ok:
+                gaps = S[:, 1:] - S[:, :-1]  # pads are +inf -> trailing
+                # gaps are inf (valid) or nan (inf-inf); nan-safe via >= test
+                with np.errstate(invalid="ignore"):
+                    fast = ~(gaps < 2.0 * tolerance).any(axis=1) & ~np.isnan(
+                        S
+                    ).any(axis=1) & (slen > 0)
+            fr = np.nonzero(fast)[0]
+            if fr.size:
+                Sf = S[fr]
+                fin = np.where(np.isinf(Sf), np.nan, Sf)
+                vmax = np.nanmax(fin) if np.isfinite(fin).any() else 0.0
+                vmin = min(float(np.nanmin(fin)), float(np.min(qmz)))
+                vmax = max(float(vmax), float(np.max(qmz)))
+                pad = max(1.0, 4.0 * tolerance)
+                sent = vmax + pad
+                span = sent - vmin + pad
+                off = np.arange(fr.size, dtype=np.float64) * span
+                Sfs = np.where(np.isinf(Sf), sent, Sf)
+                flat_key = ((Sfs - vmin) + off[:, None]).ravel()
+                flat_val = Sfs.ravel()
+                qkey = ((qmz[None, :] - vmin) + off[:, None]).ravel()
+                pos = np.searchsorted(flat_key, qkey)
+                # offset-addition rounding can shift pos by one only when a
+                # spectrum peak is within ~ulp(off) of the query value — in
+                # which case that near-equal peak still sits inside the
+                # {pos-1, pos} window; deltas use ORIGINAL values so the
+                # ε test itself is bit-exact vs the walk
+                blk = np.repeat(np.arange(fr.size, dtype=np.int64) * L, nq)
+                p1 = np.minimum(pos, blk + L - 1)
+                p0 = np.maximum(pos - 1, blk)
+                qrep = np.tile(qmz, fr.size)
+                d0 = np.abs(flat_val[p0] - qrep)
+                d1 = np.abs(flat_val[p1] - qrep)
+                use0 = d0 <= d1
+                pj = np.where(use0, p0, p1)
+                dd = np.where(use0, d0, d1)
+                hit = dd < tolerance
+                jloc = pj - blk
+                SIv = SI[fr[np.repeat(np.arange(fr.size), nq)], jloc]
+                qirep = np.tile(qi, fr.size)
+                dot[fr] = (
+                    np.where(hit, qirep * SIv, 0.0).reshape(fr.size, nq).sum(axis=1)
+                )
+                nm[fr] = (
+                    (hit & (qirep != 0.0) & (SIv != 0.0))
+                    .reshape(fr.size, nq)
+                    .sum(axis=1)
+                )
+
             qmz_pad = np.append(qmz, np.inf)
             qi_pad = np.append(qi, 0.0)
             a = np.zeros(len(live), dtype=np.int64)
             b = np.zeros(len(live), dtype=np.int64)
-            dot = np.zeros(len(live), dtype=np.float64)
-            nm = np.zeros(len(live), dtype=np.int64)
+            a[fr] = nq  # fast-path rows are already scored: never walk them
             active = (a < nq) & (b < slen)
             while active.any():
                 rows = np.nonzero(active)[0]

@@ -23,7 +23,7 @@ def exact_dedup_stream(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    state_ttl_minutes: int | None = None,
+    state_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming form of operators.dedup.exact_dedup: emit each md5(text)
     digest the first time it appears across the whole stream; later
@@ -43,7 +43,8 @@ def exact_dedup_stream(
         F.md5(F.col(text_col)).alias("digest"),
         F.col(id_col).cast("bigint").alias("survivor_id"),
     )
-    ttl_ms = None if state_ttl_minutes is None else int(state_ttl_minutes) * 60_000
+    # fractional minutes supported (eviction tests drive seconds-scale TTLs)
+    ttl_ms = None if state_ttl_minutes is None else int(round(state_ttl_minutes * 60_000))
 
     def dedup_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -88,7 +89,7 @@ def minhash_neardup_stream(
     k: int = 5,
     num_hashes: int = 16,
     rows_per_band: int = 4,
-    state_ttl_minutes: int | None = None,
+    state_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate candidates — the unbounded-input twin of
     operators.dedup.minhash_lsh_dedup.
@@ -155,7 +156,7 @@ def minhash_neardup_stream(
     keyed = sigs.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
-    ttl_ms = None if state_ttl_minutes is None else int(state_ttl_minutes) * 60_000
+    ttl_ms = None if state_ttl_minutes is None else int(round(state_ttl_minutes * 60_000))
 
     def bucket_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

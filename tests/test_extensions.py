@@ -1494,6 +1494,74 @@ def test_streaming_minhash_neardup(spark, tmp_path):
     assert by_doc[1] == by_doc[3] and by_doc[1] != by_doc[2]
 
 
+def test_streaming_minhash_ttl_eviction(spark, tmp_path):
+    """End-to-end TTL eviction for minhash_neardup_stream: after a quiet
+    period longer than the TTL, a bucket is forgotten and its next hit is
+    first-seen again. Timed-out groups are only invoked by a batch in which
+    they have NO new data, so an unrelated doc drives the eviction batch.
+    Sequence: doc 1 seeds the bucket -> TTL expires -> doc 99 (disjoint
+    shingles) triggers the eviction -> doc 3 (same text as 1) re-seeds,
+    emitting nothing -> doc 4 (same text) pairs with 3, NOT the evicted 1."""
+    import time as _time
+
+    from mine_database_spark.streaming.stateful import minhash_neardup_stream
+
+    t_dup = "the quick brown fox jumps over the lazy dog again and again"
+    t_other = "completely different content with no overlapping shingles at all here"
+    src = tmp_path / "neardup_ttl_src"
+    src.mkdir()
+    (src / "a.csv").write_text(f'1,"{t_dup}"\n')
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    ttl_sec = 3.0
+    q = (
+        minhash_neardup_stream(stream, state_ttl_minutes=ttl_sec / 60.0)
+        .writeStream.format("memory")
+        .queryName("mh_ttl_evict_test")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def _wait_rows_in(n: int, deadline_sec: float = 90) -> None:
+        # file-source rows actually pulled through the query (not sink rows:
+        # most batches here emit nothing)
+        deadline = _time.time() + deadline_sec
+        while _time.time() < deadline:
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            if seen >= n:
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"stream never consumed {n} input rows")
+
+    try:
+        _wait_rows_in(1)  # doc 1 processed; its TTL clock is now running
+        _time.sleep(ttl_sec + 3.0)  # quiet period: let every bucket expire
+        (src / "b.csv").write_text(f'99,"{t_other}"\n')
+        _wait_rows_in(2)  # eviction batch ran (doc 1's buckets had no data)
+        (src / "c.csv").write_text(f'3,"{t_dup}"\n')
+        _wait_rows_in(3)  # doc 3 re-seeds the (now-empty) buckets
+        (src / "d.csv").write_text(f'4,"{t_dup}"\n')
+        rows = []
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            rows = spark.sql("select * from mh_ttl_evict_test").collect()
+            if any(r["doc_id"] == 4 for r in rows):
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    pairs = {(r["doc_id"], r["matched_id"]) for r in rows}
+    # doc 3 arrived after eviction: first-seen, no pair with the forgotten 1
+    assert (3, 1) not in pairs, pairs
+    assert all(r["doc_id"] == 4 for r in rows), pairs
+    # doc 4 pairs with the re-seeded first (3) on every emitted band
+    assert pairs == {(4, 3)}, pairs
+
+
 def test_segment_dedup_boilerplate_scrub(spark):
     """Repeated 4-word blocks survive only in the earliest document; later
     carriers lose exactly those segments and keep their unique content."""

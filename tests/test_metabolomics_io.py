@@ -212,6 +212,41 @@ def test_spectral_fast_path_matches_greedy_walk(spark):
         assert got_dot[cid] == exp_dot, (cid, got_dot[cid], exp_dot)
         assert got_jac[cid] == exp_jac, (cid, got_jac[cid], exp_jac)
 
+    # Second scenario: a WIDE-gap query (all gaps >= 2ε) so the batched
+    # unambiguous short-circuit actually fires, mixed in one batch with
+    # clustered rows that must still take the walk. Covers: exact matches,
+    # near-misses at ±ε boundaries, query peaks beyond both spectrum ends,
+    # zero intensities on either side, and single-peak/empty spectra.
+    wide_query = [(10.0 + 0.2 * k, float(k % 3)) for k in range(12)]
+    rows2 = []
+    for j in range(60):
+        n = int(rng.integers(0, 15))
+        if j % 2 == 0:  # unambiguous: gaps ~0.1 >> 2ε
+            mzs = sorted(10.05 + 0.1 * k + float(rng.uniform(-0.004, 0.004)) for k in range(n))
+        else:  # ambiguous: tight cluster forces the walk for this row
+            mzs = sorted(rng.uniform(10.0, 10.3, n))
+        spec = [
+            {"mz": float(m), "intensity": float(i)}
+            for m, i in zip(mzs, rng.choice([0.0, 1.0, 3.0], n))
+        ]
+        rows2.append((f"w{j}", f"W{j}", spec))
+    df2 = spark.createDataFrame(
+        rows2, "peak_id string, _id string, spectra array<struct<mz:double,intensity:double>>"
+    )
+    got_dot2 = {
+        r["_id"]: r["score"]
+        for r in spectral_scores(df2, wide_query, metric="dot", tolerance=eps).collect()
+    }
+    got_jac2 = {
+        r["_id"]: r["score"]
+        for r in spectral_scores(df2, wide_query, metric="jaccard", tolerance=eps).collect()
+    }
+    for pid, cid, spec in rows2:
+        s = [(p["mz"], p["intensity"]) for p in spec]
+        exp_dot, exp_jac = ref_scores(list(wide_query), s)
+        assert got_dot2[cid] == exp_dot, (cid, got_dot2[cid], exp_dot)
+        assert got_jac2[cid] == exp_jac, (cid, got_jac2[cid], exp_jac)
+
 
 def test_score_compounds(spark, peaks, adducts, core):
     from mine_database_spark.operators.metabolomics import find_db_hits, score_compounds
