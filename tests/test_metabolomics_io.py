@@ -247,6 +247,39 @@ def test_spectral_fast_path_matches_greedy_walk(spark):
         assert got_dot2[cid] == exp_dot, (cid, got_dot2[cid], exp_dot)
         assert got_jac2[cid] == exp_jac, (cid, got_jac2[cid], exp_jac)
 
+    # Third scenario: every m/z on an ε/2 lattice, so |Δ| lands EXACTLY on
+    # the strict-< boundaries (0, ε/2, ε, 3ε/2) and consecutive gaps land
+    # exactly on the 2ε fast-path eligibility boundary. Mixed unambiguous
+    # and ambiguous rows; path choice may differ row to row but scores must
+    # be bit-identical to the walk either way.
+    # query gaps are 5 lattice steps (0.025 > 2ε robustly): 4-step gaps
+    # round a hair BELOW 2ε in doubles and would demote the whole batch to
+    # the walk (conservative, still exact — subtraction of nearby doubles
+    # is exact by Sterbenz, so eligibility never overclaims); spectra keep
+    # arbitrary lattice gaps so per-row eligibility straddles the boundary
+    grid_query = [(10.0 + 0.005 * k, 1.0) for k in (0, 5, 10, 15, 25, 35)]
+    rows3 = []
+    for j in range(80):
+        n = int(rng.integers(1, 10))
+        ks = sorted(rng.choice(40, size=n, replace=False))
+        spec = [
+            {"mz": 10.0 + 0.005 * int(k), "intensity": float(i)}
+            for k, i in zip(ks, rng.choice([0.0, 1.0, 2.0], n))
+        ]
+        rows3.append((f"g{j}", f"G{j}", spec))
+    df3 = spark.createDataFrame(
+        rows3, "peak_id string, _id string, spectra array<struct<mz:double,intensity:double>>"
+    )
+    for metric in ("dot", "jaccard"):
+        got3 = {
+            r["_id"]: r["score"]
+            for r in spectral_scores(df3, grid_query, metric=metric, tolerance=eps).collect()
+        }
+        for pid, cid, spec in rows3:
+            s = [(p["mz"], p["intensity"]) for p in spec]
+            exp = ref_scores(list(grid_query), s)[0 if metric == "dot" else 1]
+            assert got3[cid] == exp, (metric, cid, got3[cid], exp)
+
 
 def test_score_compounds(spark, peaks, adducts, core):
     from mine_database_spark.operators.metabolomics import find_db_hits, score_compounds
