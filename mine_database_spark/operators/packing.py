@@ -203,21 +203,37 @@ def distributed_prefix_sum(
          into exclusive offsets with a tiny single-partition window and
          broadcast back; global cum = local cum + partition offset.
 
-    Both branches of the __pid join (the running-total rows and the
-    per-partition offsets) consume WINDOW OUTPUTS of the same ordered
-    window: the offsets aggregate folds `max_by(__local, __rn)` — the
-    running total at the last row of each partition, i.e. the exact
-    partition total for any value sign — so the ordered Window (and
-    therefore its exchange children, order columns included) can never
-    be pruned out of the offsets subtree. The two exchange subtrees are
-    identical by construction under any column-pruning outcome, so
-    ReuseExchange collapses them into ONE physical shuffle — required
-    because
-    RangePartitioner samples boundaries nondeterministically and two
-    independent executions could split the order differently, mixing
-    partitions in the __pid join. tests/test_plans.py pins exactly one
-    range exchange in the executed plan, so any engine change that
-    stopped reusing it fails loudly rather than corrupting sums.
+    Correctness requires both branches of the __pid join (the
+    running-total rows and the per-partition offsets) to read the SAME
+    physical shuffle: RangePartitioner samples boundaries
+    nondeterministically, so two independently-materialized range
+    exchanges could split the order differently and mix partitions in
+    the __pid join. ReuseExchange collapses the branches into one
+    shuffle whenever their exchange subtrees canonicalize identically.
+    The offsets aggregate folds `max_by(__local, __rn)` — the running
+    total at the last row of each partition, i.e. the exact partition
+    total for any value sign — consuming WINDOW OUTPUTS of the same
+    ordered window. The offsets subtree therefore contains the rows
+    branch's whole window: the exchange children (order columns
+    included) are identical by construction under any column-pruning
+    outcome, AND the shared subtree extends through the __pid hash
+    exchange, so `spark_partition_id()` is physically evaluated ONCE —
+    both branches read one set of partition ids from one shuffle.
+
+    Deliberate cost, measured and accepted: the offsets branch
+    re-evaluates the partition-local sort+window above the reused
+    exchanges (+35% on token_shards at sf0.1, where the kernel is a
+    large fraction; at scale the corpus scan dominates and the kernel
+    projection is tens of bytes/row). The tempting alternative —
+    aggregating `sum(val)` over the PRE-window exchange output — was
+    built, measured (-35%), and REJECTED: its offsets branch takes its
+    own AQEShuffleRead of the range stage and evaluates
+    spark_partition_id() a second time, so correctness would rest on
+    AQE always coalescing two sibling reads of one exchange to
+    identical specs — a strictly subtler invariant than the exchange
+    reuse itself. tests/test_plans.py pins exactly one materialized
+    range exchange in the executed adaptive plan, so any engine change
+    that stopped reusing it fails loudly rather than corrupting sums.
     When the caller's frame carries payload columns, the cum is computed
     on the narrow kernel and hash-joined back on order_cols — which must
     be a TOTAL order (include a unique tiebreak column). This is not just
@@ -272,16 +288,13 @@ def distributed_prefix_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # __rn: row position within the same ordered window. The offsets
-    # aggregate below folds max_by(__local, __rn) — the running total at
-    # the LAST row of each partition, i.e. the exact partition total for
-    # ANY value sign. Deriving the total from the ordered-window outputs
-    # (rather than re-aggregating the pre-window frame) keeps the offsets
-    # subtree's exchange children column-identical to the rows branch —
-    # the window spec pins every order column — so pruning can never
-    # de-symmetrize the two subtrees and ReuseExchange shares both the
-    # range and the __pid shuffles (only O(#partitions) aggregated rows
-    # move after them).
+    # __rn: row position within the same ordered window. max_by(__local,
+    # __rn) below is the running total at the partition's LAST row — the
+    # exact partition total for ANY value sign — and deriving it from the
+    # window's own outputs (not a pre-window re-aggregate) is what buys
+    # the two structural guarantees in the docstring: exchange-children
+    # identity under any pruning, and a single physical evaluation of
+    # spark_partition_id().
     local = part.withColumn("__local", F.sum(val).over(w_local)).withColumn(
         "__rn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
     )
