@@ -106,6 +106,18 @@ def run(
     )
     counts["after_segment_scrub"] = docs.count()
 
+    # 3c. sliding-window exact-substring scrub (Lee et al. ExactSubstr):
+    #     a passage repeated at ANY offset survives once, in its earliest
+    #     carrier; documents scrubbed to empty drop
+    despanned = dd.repeated_span_scrub(docs, span_words=8)
+    docs = docs.drop("text").join(
+        despanned.where(F.col("clean_text") != "").select(
+            "doc_id", F.col("clean_text").alias("text")
+        ),
+        "doc_id",
+    )
+    counts["after_span_scrub"] = docs.count()
+
     # 4. quality: rule gate, then model score ------------------------------
     clf = LogisticQualityClassifier()
     scored = clf.transform(docs, threshold=quality_threshold)

@@ -411,6 +411,115 @@ def segment_dedup(
     )
 
 
+def repeated_span_scrub(
+    docs: DataFrame,
+    span_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact repeated-substring scrub — the suffix-array
+    ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") re-expressed for Spark: index every
+    SLIDING `span_words`-token window, keep each distinct span's FIRST
+    occurrence (global (doc_id, start) order), cut the token range of
+    every later occurrence, and rebuild documents from the surviving
+    tokens. Unlike segment_dedup's fixed, aligned segments, the window
+    slides — a duplicated passage is caught at ANY offset, including
+    self-repeats within one document.
+
+    Returns (doc_id, clean_text, n_toks, n_dropped).
+
+    Semantics: the removal set is the UNION of all loser-span token
+    ranges; a winner span does not shield its tokens from an overlapping
+    loser span (matches the reference policy of deleting later duplicate
+    bytes outright). Documents shorter than span_words pass through
+    unchanged (modulo the split/rejoin whitespace normalization shared
+    with segment_dedup).
+
+    Scale: the positional span index is O(corpus tokens) rows — the same
+    order as the published suffix array. The winner per span is a
+    map-side-combinable min(struct) aggregate (~one shuffled row per
+    DISTINCT span digest), and later occurrences are marked by an
+    equi-join back on the digest that AQE's skew join can split on a hot
+    boilerplate span — the de-skewed segment_dedup shape, never a
+    digest-keyed window. Loser ranges merge into disjoint cut intervals
+    with a window PARTITIONED BY doc_id (state bounded by document
+    length) BEFORE any per-token work, so heavily-duplicated regions
+    never explode span_words-fold; the rebuild filters each document's
+    token array against its O(#intervals) cut list in one scan-local
+    pass.
+    """
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    w = span_words
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    spans = base.where(n >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), p + 1, w))),
+            )
+        ).alias("start", "__digest"),
+    )
+    first = spans.groupBy("__digest").agg(
+        F.min(F.struct("doc_id", "start")).alias("__first"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    # only duplicated digests can produce losers; null-safe winner
+    # comparison for the same reason as segment_dedup (min(struct) orders
+    # NULL ids first, so a null-id doc can legitimately win)
+    losers = (
+        spans.join(first.where(F.col("__cnt") > 1).drop("__cnt"), "__digest")
+        .where(
+            ~(
+                F.col("doc_id").eqNullSafe(F.col("__first.doc_id"))
+                & F.col("start").eqNullSafe(F.col("__first.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+    # gaps-and-islands interval merge per document: the union of
+    # [start, start+w) ranges as disjoint (s, e) cut intervals
+    w_doc = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + w).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cuts = (
+        losers.withColumn(
+            "__new", (prev_end.isNull() | (F.col("start") >= prev_end)).cast("int")
+        )
+        .withColumn(
+            "__isl", F.sum("__new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "__isl")
+        .agg(F.min("start").alias("s"), (F.max("start") + w).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__cuts"))
+    )
+    kept = F.when(F.col("__cuts").isNull(), F.col("__toks")).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.col("__toks"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+                ),
+                lambda s: ~F.exists(
+                    F.col("__cuts"), lambda c: (s["i"] >= c["s"]) & (s["i"] < c["e"])
+                ),
+            ),
+            lambda s: s["t"],
+        )
+    )
+    return base.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(F.col("__toks")).cast("bigint").alias("n_toks"),
+        (F.size(F.col("__toks")) - F.size(kept)).cast("bigint").alias("n_dropped"),
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,

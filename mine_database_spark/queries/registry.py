@@ -1621,6 +1621,63 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring scrub (dedup.py:repeated_span_scrub —
+    Lee et al. 2022 ExactSubstr, Spark-shaped): SLIDING 8-token windows,
+    global first-occurrence-wins per distinct span, later occurrences'
+    token ranges cut (union of loser spans), documents rebuilt from the
+    surviving tokens. The oracle groups windows by their raw text (the
+    engine's md5 digest is only a shuffle-width device — identical
+    equivalence classes) and rebuilds via a position-coverage anti-join,
+    which equals the engine's merged-interval cuts because both realize
+    the same coverage union."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.repeated_span_scrub(d, span_words=8)
+
+
+_Q_SPAN_SCRUB_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, i - 1 AS start,
+         array_to_string(list_slice(ws, i, i + 7), ' ') AS win
+  FROM t, UNNEST(generate_series(1, len(ws) - 7)) AS g(i)
+  WHERE len(ws) >= 8
+),
+f AS (
+  SELECT win, count(*) AS cnt,
+         min(struct_pack(d := doc_id, p := start)) AS first
+  FROM s GROUP BY win
+),
+l AS (
+  SELECT s.doc_id, s.start
+  FROM s JOIN f USING (win)
+  WHERE f.cnt > 1 AND NOT (s.doc_id = f.first.d AND s.start = f.first.p)
+),
+cover AS (
+  SELECT DISTINCT l.doc_id, u.pos
+  FROM l, UNNEST(generate_series(l.start, l.start + 7)) AS u(pos)
+),
+toks AS (
+  SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS pos FROM t
+),
+k AS (
+  SELECT toks.doc_id, toks.tok, toks.pos
+  FROM toks LEFT JOIN cover
+    ON toks.doc_id = cover.doc_id AND toks.pos = cover.pos
+  WHERE cover.doc_id IS NULL
+),
+a AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, count(*) AS kept
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean, '') AS clean_text,
+       CAST(len(t.ws) AS BIGINT) AS n_toks,
+       CAST(len(t.ws) - coalesce(a.kept, 0) AS BIGINT) AS n_dropped
+FROM t LEFT JOIN a USING (doc_id)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.py:semantic_dedup):
     IVF-cluster the embeddings, score pairs only within a cluster with the
@@ -2783,6 +2840,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_shards": q_token_shards,
     "unigram_logprob": q_unigram_logprob,
     "segment_dedup": q_segment_dedup,
+    # --- NEW in round 9 (must sit inside the 50-row gate) ---
+    "span_scrub": q_span_scrub,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -2811,9 +2870,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
-    "semantic_dedup": q_semantic_dedup,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
-    # untouched in r9) ---
+    # untouched in r9; semantic_dedup displaced by the new span_scrub) ---
+    "semantic_dedup": q_semantic_dedup,
     "model_jaccard": q_model_jaccard,
     "orphan_gc": q_orphan_gc,
     "regex_filter": q_regex_filter,
@@ -2836,6 +2895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "span_scrub": _Q_SPAN_SCRUB_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

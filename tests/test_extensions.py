@@ -1605,6 +1605,46 @@ def test_segment_dedup_boilerplate_scrub(spark):
             assert orc[did][2] == r["n_segments"] and orc[did][3] == r["n_dropped"]
 
 
+def test_repeated_span_scrub_planted(spark):
+    """Sliding-window exact-substring scrub (Lee et al. style): the first
+    occurrence of a repeated span survives, later occurrences are cut at
+    ANY offset, overlapping cut ranges merge (union — a winner span does
+    not shield tokens from an overlapping loser span), self-repeats within
+    one doc are cut, short docs pass through."""
+    from mine_database_spark.operators.dedup import repeated_span_scrub
+
+    boiler = "one two three four"  # 4-token span, scrubbed at w=4
+    rows = [
+        (1, f"{boiler} alpha beta"),  # first occurrence: untouched
+        (2, f"gamma {boiler} delta"),  # dup at offset 1: loses those 4 tokens
+        (3, f"{boiler} {boiler}"),  # self-repeat + dup of doc 1: fully cut
+        (4, "tiny doc"),  # shorter than the window: unchanged
+        (5, f"x {boiler} y {boiler} z"),  # two disjoint cuts in one doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repeated_span_scrub(docs, span_words=4).collect()}
+    assert out[1]["clean_text"] == rows[0][1] and out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "gamma delta" and out[2]["n_dropped"] == 4
+    # doc 3: spans at start 0 and 4 both duplicate doc 1's winner; the
+    # union [0,4)+[4,8) covers everything (its unique interior windows
+    # appear once and protect nothing)
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == out[3]["n_toks"] == 8
+    assert out[4]["clean_text"] == "tiny doc" and out[4]["n_dropped"] == 0
+    assert out[5]["clean_text"] == "x y z" and out[5]["n_dropped"] == 8
+    # overlap merge: a doc whose dup spans overlap mid-span cuts the union,
+    # not twice the width
+    docs2 = spark.createDataFrame(
+        [
+            (10, "p q r s t u"),  # wins spans (p q r s), (q r s t), ...
+            (11, "a p q r s t b"),  # spans at 1 and 2 dup -> cut [1,6) merged
+        ],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in repeated_span_scrub(docs2, span_words=4).collect()}
+    assert out2[11]["clean_text"] == "a b" and out2[11]["n_dropped"] == 5
+    assert out2[10]["n_dropped"] == 0
+
+
 def test_segment_dedup_null_doc_id_total(spark):
     """A NULL doc_id must not poison the winner comparison: every segment is
     either kept or counted dropped (n_segments == kept + n_dropped for every

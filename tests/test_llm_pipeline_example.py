@@ -20,6 +20,7 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
         "after_exact_dedup",
         "after_near_dedup",
         "after_segment_scrub",
+        "after_span_scrub",
         "after_quality",
         "after_decontamination",
         "after_mixture",

@@ -316,6 +316,31 @@ def test_segment_dedup_no_hot_digest_window(spark, sf_smoke):
     ), plan
 
 
+def test_span_scrub_no_hot_digest_window(spark, sf_smoke):
+    """repeated_span_scrub must keep the same de-skewed first-wins shape as
+    segment_dedup: winner per span digest = min(struct) HashAggregate +
+    equi-join back (AQE can skew-split a join on a hot boilerplate span,
+    never a window partition). The only Windows allowed are the per-DOC
+    interval-merge windows (bounded by document length)."""
+    df = QUERIES["span_scrub"](spark, sf_smoke)
+    plan = plan_str(df, mode="simple")
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.lstrip().startswith("doc_id"), (
+            "non-doc-keyed window in span_scrub (hot-digest hazard):\n" + plan
+        )
+    assert "partial_min" in plan
+    assert (
+        "HashAggregate(keys=[__digest" in plan
+        or "SortAggregate(key=[__digest" in plan
+        or "ObjectHashAggregate(keys=[__digest" in plan
+    ), plan
+    assert "SortMergeJoin [__digest" in plan or "BroadcastHashJoin [__digest" in plan or (
+        "ShuffledHashJoin [__digest" in plan
+    ), plan
+    # rebuild stays JVM-side: no Python in the plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_token_shards_distributed_prefix_sum_plan(spark, sf_smoke):
     """token_shards must compute its global running total as the two-level
     distributed prefix sum: a range exchange (reused across both branches),
