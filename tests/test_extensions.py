@@ -1645,6 +1645,50 @@ def test_repeated_span_scrub_planted(spark):
     assert out2[10]["n_dropped"] == 0
 
 
+def test_repeated_span_scrub_matches_python_twin(spark):
+    """Randomized equivalence against a straight-line reference twin: tiny
+    vocabulary (forces dense cross-doc and within-doc span collisions),
+    doc lengths straddling the window size, several window sizes. Pins
+    winner ordering, union-of-losers coverage, interval merging, and the
+    short-doc pass-through in one sweep."""
+    import numpy as np
+
+    from mine_database_spark.operators.dedup import repeated_span_scrub
+
+    def twin(rows, w):
+        spans = {}
+        for d, toks in rows:
+            for i in range(len(toks) - w + 1):
+                spans.setdefault(" ".join(toks[i : i + w]), []).append((d, i))
+        out = {}
+        cover = {d: set() for d, _ in rows}
+        for occ in spans.values():
+            win = min(occ)
+            for d, i in occ:
+                if (d, i) != win:
+                    cover[d].update(range(i, i + w))
+        for d, toks in rows:
+            kept = [t for j, t in enumerate(toks) if j not in cover[d]]
+            out[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+        return out
+
+    rng = np.random.default_rng(11)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    for w in (2, 3, 5):
+        rows = []
+        for d in range(40):
+            n = int(rng.integers(1, 16))
+            rows.append((d, [vocab[int(k)] for k in rng.integers(0, len(vocab), n)]))
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in rows], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_toks"], r["n_dropped"])
+            for r in repeated_span_scrub(docs, span_words=w).collect()
+        }
+        assert got == twin(rows, w), f"w={w}"
+
+
 def test_segment_dedup_null_doc_id_total(spark):
     """A NULL doc_id must not poison the winner comparison: every segment is
     either kept or counted dropped (n_segments == kept + n_dropped for every
