@@ -167,3 +167,75 @@ class LogisticQualityClassifier:
             prob.alias("quality_prob"),
             (prob >= F.lit(threshold)).alias("keep"),
         )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    add_k: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram-LM quality score per document — the CCNet-style
+    perplexity signal one step up from the registry's unigram LM: mean
+    ln P(b | a) over the document's word bigrams under add-k (Laplace)
+    smoothing, P(b|a) = (c(a,b) + k) / (c(a·) + k·V) with c(a·) the count
+    of `a` as a bigram head and V the corpus vocabulary size.
+
+    Returns (id_col, avg_logprob) for every document with >= 2 tokens
+    (shorter documents have no bigram to score — same contract both
+    engine- and oracle-side).
+
+    Engine-exact determinism: every count is an integer, so each P(b|a)
+    is the same rational number in any engine, and each ln term is
+    quantized to an exact integer (x 1e6) BEFORE summing — float
+    accumulation order can never flip a value (the unigram_logprob
+    pattern, registry q_unigram_logprob).
+
+    Scale: bigrams are an arrays_zip of two array slices — scan-side, no
+    Python, no token shuffle. The LM is two map-side-combinable aggregates
+    (distinct-bigram counts; head counts fold from them) plus a 1-row
+    vocabulary count that joins in as a broadcast. Scoring is one shuffle
+    join of the gram stream on (a, b) and the head counts ride along
+    (c1 attaches to c2 rows keyed by the SAME (a,b) join — no second
+    corpus-stream join on the skew-prone head word), then one per-doc
+    aggregate.
+    """
+    from mine_database_spark.functions.text import tokens
+
+    if add_k < 1:
+        raise ValueError(f"add_k must be >= 1, got {add_k}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = docs.where(n >= 2).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("a"), F.slice(toks, 2, n - 1).alias("b")
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    c2 = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    # head counts fold from the (tiny-by-comparison) distinct-bigram table,
+    # then attach to it — the corpus gram stream never joins on the bare
+    # skew-prone head word
+    c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
+    lm = c2.join(c1, "a")
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    term = (
+        grams.join(lm, ["a", "b"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))) * 1e6
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.round(F.sum("q") / F.count(F.lit(1)) / 1e6, 6).alias("avg_logprob")
+    )

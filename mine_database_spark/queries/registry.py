@@ -2428,6 +2428,48 @@ FROM per
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM score per document
+    (quality.bigram_logprob): mean quantized ln P(b|a) under add-1
+    smoothing, bucketed into deciles with distributed_ntile (never a
+    global unpartitioned window). One LM step up from unigram_logprob —
+    the CCNet-style perplexity quality signal."""
+    from mine_database_spark.operators.quality import bigram_logprob
+
+    (d,) = _t(spark, sf_dir, "documents")
+    per = bigram_logprob(d)
+    return pk.distributed_ntile(per, 10, ["avg_logprob", "doc_id"], out_col="bucket").select(
+        "doc_id", "avg_logprob", "bucket"
+    )
+
+
+_Q_BIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2
+),
+c2 AS (SELECT a, b, COUNT(*) AS c2 FROM g GROUP BY a, b),
+c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY a),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(ws) AS tok FROM t)),
+term AS (
+  SELECT g.doc_id, CAST(round(ln((c2.c2 + 1) / (c1.c1 + v.v)) * 1e6) AS BIGINT) AS q
+  FROM g JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, round(SUM(q) / COUNT(*) / 1e6, 6) AS avg_logprob
+  FROM term GROUP BY doc_id
+)
+SELECT doc_id, avg_logprob,
+       CAST(ntile(10) OVER (ORDER BY avg_logprob, doc_id) AS INT) AS bucket
+FROM per
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch dedup: docs in the 'new batch' (doc_id % 3 = 0) whose
     canonical head (first 4 tokens) does not already appear in the corpus
@@ -2842,6 +2884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     # --- NEW in round 9 (must sit inside the 50-row gate) ---
     "span_scrub": q_span_scrub,
+    "bigram_logprob": q_bigram_logprob,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -2869,9 +2912,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
-    "embed_neardup_lsh": q_embed_neardup_lsh,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
-    # untouched in r9; semantic_dedup displaced by the new span_scrub) ---
+    # untouched in r9; displaced by the new span_scrub/bigram_logprob) ---
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "semantic_dedup": q_semantic_dedup,
     "model_jaccard": q_model_jaccard,
     "orphan_gc": q_orphan_gc,
@@ -2896,6 +2939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "span_scrub": _Q_SPAN_SCRUB_SQL,
+    "bigram_logprob": _Q_BIGRAM_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

@@ -84,3 +84,17 @@ def test_transform_plan_is_pure_scan(spark):
     plan = plan_str(LogisticQualityClassifier().transform(d))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus with a hand-derived add-1 bigram LM: c(a,b)=3, c(b,a)=1,
+    heads c(a.)=3, c(b.)=1, V={a,b,x}=3. P(b|a)=4/6, P(a|b)=2/4; quantized
+    ln terms -405465 and -693147. Docs with <2 tokens emit no row."""
+    from mine_database_spark.operators.quality import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
+    # doc1: mean(-405465, -693147, -405465) = -501359 (exact integer mean)
+    assert got == {1: -0.501359, 2: -0.405465}, got
