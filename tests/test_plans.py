@@ -316,6 +316,46 @@ def test_segment_dedup_no_hot_digest_window(spark, sf_smoke):
     ), plan
 
 
+def test_plan_shape_queries_invariant_under_aqe_stress(spark, sf_smoke):
+    """The queries whose correctness rides on plan-shape invariants
+    (prefix-sum exchange reuse, de-skewed first-wins join-backs, bucketed
+    range join) must return IDENTICAL rows when AQE is pushed to its
+    extremes: 1KB advisory/min partition sizes (maximal coalescing
+    divergence), forced skew-join splitting, and broadcast joins disabled
+    (everything becomes a shuffle join). All of these are runtime-settable
+    SQL confs, so the sweep runs in the shared session and restores state."""
+    names = [
+        "token_shards",
+        "unigram_logprob",
+        "bigram_logprob",
+        "assign_ids",
+        "span_scrub",
+        "segment_dedup",
+        "mass_range_join_bucketed",
+    ]
+    stress = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    base = {n: sorted(tuple(r) for r in QUERIES[n](spark, sf_smoke).collect()) for n in names}
+    saved = {k: spark.conf.get(k, None) for k in stress}
+    try:
+        for k, v in stress.items():
+            spark.conf.set(k, v)
+        for n in names:
+            got = sorted(tuple(r) for r in QUERIES[n](spark, sf_smoke).collect())
+            assert got == base[n], f"{n} diverged under AQE stress"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_span_scrub_no_hot_digest_window(spark, sf_smoke):
     """repeated_span_scrub must keep the same de-skewed first-wins shape as
     segment_dedup: winner per span digest = min(struct) HashAggregate +
