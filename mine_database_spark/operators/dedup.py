@@ -434,7 +434,13 @@ def repeated_span_scrub(
     loser span (matches the reference policy of deleting later duplicate
     bytes outright). Documents shorter than span_words pass through
     unchanged (modulo the split/rejoin whitespace normalization shared
-    with segment_dedup).
+    with segment_dedup). NULL-id documents also pass through unchanged
+    (n_dropped 0): their spans can still WIN a digest — min(struct)
+    orders NULLs first — but their cut list cannot re-attach through the
+    doc_id equi-join, and silently merging every null-id doc into one cut
+    group would be worse; note a SQL replica that GROUPs the coverage by
+    doc_id instead scrubs such rows to empty, so null-id behavior is an
+    engine contract, not an oracle-checked one.
 
     Scale: the positional span index is O(corpus tokens) rows — the same
     order as the published suffix array. The winner per span is a

@@ -1689,6 +1689,27 @@ def test_repeated_span_scrub_matches_python_twin(spark):
         assert got == twin(rows, w), f"w={w}"
 
 
+def test_repeated_span_scrub_null_doc_id_passthrough(spark):
+    """A NULL-id document passes through unchanged (cuts cannot re-attach
+    through the doc_id equi-join), while its spans still WIN digests —
+    min(struct) orders NULLs first — so a later non-null carrier of the
+    same span is the one that loses tokens. n_toks == kept + n_dropped
+    stays total for every row."""
+    from mine_database_spark.operators.dedup import repeated_span_scrub
+
+    docs = spark.createDataFrame(
+        [(None, "p q r s"), (7, "p q r s tail here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_span_scrub(docs, span_words=4).collect()}
+    assert out[None]["clean_text"] == "p q r s" and out[None]["n_dropped"] == 0
+    # the null-id doc won (NULL orders first), so doc 7 loses the span
+    assert out[7]["clean_text"] == "tail here" and out[7]["n_dropped"] == 4
+    for r in out.values():
+        kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+        assert r["n_toks"] == kept + r["n_dropped"], r
+
+
 def test_segment_dedup_null_doc_id_total(spark):
     """A NULL doc_id must not poison the winner comparison: every segment is
     either kept or counted dropped (n_segments == kept + n_dropped for every
