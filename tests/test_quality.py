@@ -98,3 +98,53 @@ def test_bigram_logprob_hand_computed(spark):
     got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
     # doc1: mean(-405465, -693147, -405465) = -501359 (exact integer mean)
     assert got == {1: -0.501359, 2: -0.405465}, got
+
+
+def test_bigram_logprob_matches_python_twin(spark):
+    """Randomized equivalence against a straight-line python LM twin: tiny
+    vocabulary (dense bigram collisions), seeded docs, identical add-1
+    smoothing and x1e6 ln quantization. Pins counting, head folding,
+    vocabulary size, and the per-doc integer mean in one sweep."""
+    import math
+
+    import numpy as np
+
+    from mine_database_spark.operators.quality import bigram_logprob
+
+    rng = np.random.default_rng(23)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = []
+    for d in range(50):
+        n = int(rng.integers(1, 12))
+        rows.append((d, [vocab[int(k)] for k in rng.integers(0, len(vocab), n)]))
+
+    c2, c1, toks = {}, {}, set()
+    for _, t in rows:
+        toks.update(t)
+        for x, y in zip(t, t[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+            c1[x] = c1.get(x, 0) + 1
+    V = len(toks)
+
+    def round_half_up6(x: float) -> float:
+        # Spark's round() (and DuckDB's) is half-AWAY-FROM-ZERO on the
+        # decimal value; python's builtin is banker's. sum(q)/count is an
+        # exact rational, so .5 ties at the 6th decimal actually occur
+        # (count=2) and the twin must round the engines' way.
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    want = {}
+    for d, t in rows:
+        qs = [
+            round(math.log((c2[(x, y)] + 1) / (c1[x] + V)) * 1e6)
+            for x, y in zip(t, t[1:])
+        ]
+        if qs:
+            want[d] = round_half_up6(sum(qs) / len(qs) / 1e6)
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
+    assert got == want
