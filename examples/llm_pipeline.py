@@ -85,10 +85,16 @@ def run(
     losers = clusters.where(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    # persist the survivor set: everything downstream (quality, decontam,
-    # mixture, chunking, the write) reuses it, and the per-stage count()
-    # reports below would otherwise replay the dedup stages once per stage
-    persisted = docs = docs.join(losers, "doc_id", "left_anti").persist()
+    # localCheckpoint (NOT persist): each scrub stage below joins the frame
+    # back to itself, multiplying the LOGICAL plan ~3-4x per stage, and the
+    # perplexity stage's prefix-sum machinery doubles it again — persist
+    # caches data but every downstream action still re-ANALYZES the whole
+    # tree (single-threaded driver work that grows exponentially with
+    # pipeline depth; measured: minutes of driver CPU at 500 rows).
+    # localCheckpoint materializes AND truncates the lineage, resetting
+    # analysis cost at each stage boundary — the connected_components
+    # doctrine applied to the pipeline spine.
+    docs = docs.join(losers, "doc_id", "left_anti").localCheckpoint()
     counts["after_near_dedup"] = docs.count()
 
     # 3b. segment-level boilerplate scrub: repeated word-window blocks
@@ -115,7 +121,7 @@ def run(
             "doc_id", F.col("clean_text").alias("text")
         ),
         "doc_id",
-    )
+    ).localCheckpoint()  # truncate the two scrubs' self-join plan growth
     counts["after_span_scrub"] = docs.count()
 
     # 4. quality: rule gate, then model score ------------------------------
@@ -123,6 +129,22 @@ def run(
     scored = clf.transform(docs, threshold=quality_threshold)
     docs = docs.join(scored.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
     counts["after_quality"] = docs.count()
+
+    # 4b. perplexity gate: corpus-trained bigram LM, drop the worst decile
+    #     (CCNet-style; deciles via distributed_ntile, never a global
+    #     unpartitioned window). Docs too short to score (<2 tokens) drop
+    #     with the gated decile.
+    from mine_database_spark.operators.quality import bigram_logprob
+
+    # checkpoint the tiny (doc_id, avg_logprob) frame: distributed_ntile
+    # fans out into rank + total-count branches that would otherwise each
+    # re-analyze (and re-execute) the LM plan
+    per = bigram_logprob(docs).localCheckpoint()
+    ok = pk.distributed_ntile(per, 10, ["avg_logprob", "doc_id"], out_col="decile").where(
+        F.col("decile") > 1
+    )
+    docs = docs.join(ok.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+    counts["after_perplexity"] = docs.count()
 
     # 5. decontamination vs the eval set (any shared 8-gram) ---------------
     eval_docs = (
@@ -165,10 +187,8 @@ def run(
     counts["shards"] = spark.read.parquet(out_dir).select("shard_id").distinct().count()
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["out_dir"] = out_dir
-    # `docs` was rebound after the persist — unpersist the handle that was
-    # actually cached, or repeated run() calls pin survivor sets for the
-    # SparkContext's lifetime
-    persisted.unpersist()
+    # localCheckpoint blocks are dropped when their RDDs are GC'd; no
+    # explicit unpersist bookkeeping needed across repeated run() calls
     return counts
 
 

@@ -22,6 +22,7 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
         "after_segment_scrub",
         "after_span_scrub",
         "after_quality",
+        "after_perplexity",
         "after_decontamination",
         "after_mixture",
     ]
