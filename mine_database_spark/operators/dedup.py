@@ -331,6 +331,7 @@ def first_wins_dedup(df: DataFrame, key_col: str, order_cols: list[str]) -> Data
 def segment_dedup(
     docs: DataFrame,
     seg_words: int = 32,
+    scope_col: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -344,6 +345,10 @@ def segment_dedup(
     Returns (doc_id, clean_text, n_segments, n_dropped); documents whose
     every segment was seen earlier come back with an empty clean_text and
     n_dropped == n_segments (callers usually drop those rows entirely).
+    `scope_col` scopes first-wins per group (per language / per source
+    domain) — segments only dedup within the same scope, the realistic
+    large-corpus configuration; NULL scope values never equi-join, so
+    null-scope documents are never scrubbed in scoped mode.
 
     Scale: segments are one split + slice projection (no Python). First-wins
     is NOT a digest-keyed row_number window: a boilerplate segment — the very
@@ -359,11 +364,14 @@ def segment_dedup(
     """
     if seg_words < 1:
         raise ValueError(f"seg_words must be >= 1, got {seg_words}")
+    scope = ["__scope"] if scope_col is not None else []
+    scope_src = [F.col(scope_col).alias("__scope")] if scope_col is not None else []
     words = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
     segs = (
         docs.select(
             F.col(id_col).alias("doc_id"),
+            *scope_src,
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_segs - 1),
@@ -375,7 +383,7 @@ def segment_dedup(
         )
     )
     segs = segs.withColumn("__digest", F.md5(F.col("seg_text")))
-    first = segs.groupBy("__digest").agg(
+    first = segs.groupBy(*scope, "__digest").agg(
         F.min(F.struct("doc_id", "seg_idx")).alias("__first")
     )
     # null-safe winner comparison: with a NULL doc_id a plain == yields NULL,
@@ -383,7 +391,7 @@ def segment_dedup(
     # silently excluding the segment AND undercounting n_dropped. eqNullSafe
     # keeps the first-occurrence semantics total (min(struct) orders NULLs
     # first, so a null-id doc can legitimately win).
-    marked = segs.join(first, "__digest").withColumn(
+    marked = segs.join(first, [*scope, "__digest"]).withColumn(
         "__keep",
         F.col("doc_id").eqNullSafe(F.col("__first.doc_id"))
         & F.col("seg_idx").eqNullSafe(F.col("__first.seg_idx")),
@@ -414,6 +422,8 @@ def segment_dedup(
 def repeated_span_scrub(
     docs: DataFrame,
     span_words: int = 8,
+    min_dup_count: int = 2,
+    scope_col: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -442,6 +452,16 @@ def repeated_span_scrub(
     doc_id instead scrubs such rows to empty, so null-id behavior is an
     engine contract, not an oracle-checked one.
 
+    `min_dup_count` (default 2 = scrub any duplication) raises the bar:
+    a span must occur at least that many times corpus-wide before its
+    later occurrences are cut — the boilerplate-only mode (Lee et al.
+    use a repetition threshold the same way). `scope_col` scopes the
+    whole operation per group (per language / per source domain): spans
+    only dedup against spans in the SAME scope — the realistic
+    large-corpus configuration, which also shrinks every digest group.
+    A NULL scope value never equi-joins, so null-scope documents are
+    never scrubbed in scoped mode — fill or drop missing scopes upstream.
+
     Scale: the positional span index is O(corpus tokens) rows — the same
     order as the published suffix array. The winner per span is a
     map-side-combinable min(struct) aggregate (~one shuffled row per
@@ -457,12 +477,17 @@ def repeated_span_scrub(
     """
     if span_words < 1:
         raise ValueError(f"span_words must be >= 1, got {span_words}")
+    if min_dup_count < 2:
+        raise ValueError(f"min_dup_count must be >= 2, got {min_dup_count}")
     w = span_words
+    scope = ["__scope"] if scope_col is not None else []
+    scope_src = [F.col(scope_col).alias("__scope")] if scope_col is not None else []
     words = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__toks"))
+    base = docs.select(F.col(id_col).alias("doc_id"), *scope_src, words.alias("__toks"))
     n = F.size(F.col("__toks"))
     spans = base.where(n >= w).select(
         "doc_id",
+        *scope,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n - w),
@@ -470,15 +495,18 @@ def repeated_span_scrub(
             )
         ).alias("start", "__digest"),
     )
-    first = spans.groupBy("__digest").agg(
+    first = spans.groupBy(*scope, "__digest").agg(
         F.min(F.struct("doc_id", "start")).alias("__first"),
         F.count(F.lit(1)).alias("__cnt"),
     )
-    # only duplicated digests can produce losers; null-safe winner
-    # comparison for the same reason as segment_dedup (min(struct) orders
-    # NULL ids first, so a null-id doc can legitimately win)
+    # only sufficiently-duplicated digests can produce losers; null-safe
+    # winner comparison for the same reason as segment_dedup (min(struct)
+    # orders NULL ids first, so a null-id doc can legitimately win)
     losers = (
-        spans.join(first.where(F.col("__cnt") > 1).drop("__cnt"), "__digest")
+        spans.join(
+            first.where(F.col("__cnt") >= min_dup_count).drop("__cnt"),
+            [*scope, "__digest"],
+        )
         .where(
             ~(
                 F.col("doc_id").eqNullSafe(F.col("__first.doc_id"))

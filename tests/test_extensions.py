@@ -1689,6 +1689,59 @@ def test_repeated_span_scrub_matches_python_twin(spark):
         assert got == twin(rows, w), f"w={w}"
 
 
+def test_scrub_scope_and_min_dup_count_knobs(spark):
+    """scope_col confines first-wins to a group: the same boilerplate in
+    two sources survives once PER SOURCE when scoped (vs once globally);
+    min_dup_count raises the scrub bar to boilerplate-only."""
+    import pytest as _pytest
+
+    from mine_database_spark.operators.dedup import repeated_span_scrub, segment_dedup
+
+    boiler = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", f"{boiler} alpha"),
+            (2, "en", f"{boiler} beta"),  # same scope: loses the span
+            (3, "de", f"{boiler} gamma"),  # other scope: first there, keeps it
+        ],
+        "doc_id long, lang string, text string",
+    )
+    unscoped = {r["doc_id"]: r["n_dropped"] for r in repeated_span_scrub(docs, 4).collect()}
+    scoped = {
+        r["doc_id"]: r["n_dropped"]
+        for r in repeated_span_scrub(docs, 4, scope_col="lang").collect()
+    }
+    assert unscoped == {1: 0, 2: 4, 3: 4}
+    assert scoped == {1: 0, 2: 4, 3: 0}
+    # segment_dedup scoping: 4-word segments, same shape
+    seg_scoped = {
+        r["doc_id"]: r["n_dropped"]
+        for r in segment_dedup(docs, seg_words=4, scope_col="lang").collect()
+    }
+    assert seg_scoped[3] == 0 and seg_scoped[2] == 1
+
+    # min_dup_count=3: a span occurring only twice is left alone; at three
+    # occurrences the two later ones are cut
+    twice = spark.createDataFrame(
+        [(1, f"{boiler} a"), (2, f"{boiler} b")], "doc_id long, text string"
+    )
+    thrice = spark.createDataFrame(
+        [(1, f"{boiler} a"), (2, f"{boiler} b"), (3, f"{boiler} c")],
+        "doc_id long, text string",
+    )
+    assert all(
+        r["n_dropped"] == 0
+        for r in repeated_span_scrub(twice, 4, min_dup_count=3).collect()
+    )
+    got3 = {
+        r["doc_id"]: r["n_dropped"]
+        for r in repeated_span_scrub(thrice, 4, min_dup_count=3).collect()
+    }
+    assert got3 == {1: 0, 2: 4, 3: 4}
+    with _pytest.raises(ValueError):
+        repeated_span_scrub(twice, 4, min_dup_count=1)
+
+
 def test_repeated_span_scrub_null_doc_id_passthrough(spark):
     """A NULL-id document passes through unchanged (cuts cannot re-attach
     through the doc_id equi-join), while its spans still WIN digests —
