@@ -554,6 +554,68 @@ def repeated_span_scrub(
     )
 
 
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style local-overlap candidate pairs (Schleimer et al., SIGMOD
+    2003 §4): document pairs sharing at least `min_shared` winnowing
+    fingerprints. Winnowing guarantees any shared substring of length
+    >= w + k - 1 contributes a shared fingerprint, so this catches
+    PARTIAL overlap — a quoted paragraph, a copied function — that
+    global-similarity candidates (MinHash bands, SimHash) miss when the
+    rest of the documents differ. Feed the pairs to
+    ngram_jaccard_pairs(candidates=...) or a span diff for the verify
+    pass, exactly like the MinHash route.
+
+    Returns (a_id, b_id, n_shared) with a_id < b_id.
+
+    `df_cap` drops fingerprints appearing in more than that many
+    documents before pairing — simultaneously the MOSS "ignore
+    boilerplate/legitimately-shared code" move and the skew guard: a
+    fingerprint shared by f documents emits f·(f-1)/2 pairs, so an
+    uncapped ubiquitous fingerprint (a license header) is quadratic.
+    Production at 100 TB should always set it; None (default) keeps the
+    exact semantics for oracle checking.
+
+    Scale: fingerprints are the shuffle-free scan form
+    (winnow_fingerprints); the pair generation is an inverted-index
+    equi-join on the fingerprint value — the ngram_jaccard shape, never
+    an all-pairs cross join — and the pair aggregate is map-side
+    combinable. With df_cap set, the join fan-out per fingerprint is
+    bounded by the cap.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if df_cap is not None and df_cap < 2:
+        raise ValueError(f"df_cap must be >= 2 (or None), got {df_cap}")
+    fp = winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+    if df_cap is not None:
+        keep = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= df_cap)
+            .select("fingerprint")
+        )
+        fp = fp.join(keep, "fingerprint")
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), "fingerprint")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,

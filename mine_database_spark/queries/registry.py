@@ -1224,6 +1224,42 @@ SELECT DISTINCT doc_id, win_min AS fingerprint FROM m WHERE pos <= n - 3
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-overlap candidate pairs
+    (dedup.winnow_candidate_pairs): documents sharing >= 3 winnowing
+    fingerprints after dropping fingerprints in > 20 documents (the
+    boilerplate/skew cap — a fingerprint shared by f docs emits f(f-1)/2
+    pairs). Catches partial overlap (a copied paragraph) that global
+    MinHash/SimHash candidates miss."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.winnow_candidate_pairs(d, k=5, w=4, min_shared=3, df_cap=20)
+
+
+_Q_WINNOW_PAIRS_SQL = """
+WITH g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+    FROM documents WHERE length(text) >= 5
+  )
+),
+m AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         MAX(pos) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+fp AS (SELECT DISTINCT doc_id, win_min AS fingerprint FROM m WHERE pos <= n - 3),
+keep AS (SELECT fingerprint FROM fp GROUP BY fingerprint HAVING COUNT(*) <= 20),
+fpk AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fpk a JOIN fpk b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: stopword-density buckets (deterministic n-gram
     heuristic; a real model slots into the same column contract)."""
@@ -2885,6 +2921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW in round 9 (must sit inside the 50-row gate) ---
     "span_scrub": q_span_scrub,
     "bigram_logprob": q_bigram_logprob,
+    "winnow_pairs": q_winnow_pairs,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -2911,9 +2948,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_neardup": q_embed_neardup,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
-    # untouched in r9; displaced by the new span_scrub/bigram_logprob) ---
+    # untouched in r9; displaced by the new span_scrub / bigram_logprob /
+    # winnow_pairs) ---
+    "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "semantic_dedup": q_semantic_dedup,
     "model_jaccard": q_model_jaccard,
@@ -2940,6 +2978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "span_scrub": _Q_SPAN_SCRUB_SQL,
     "bigram_logprob": _Q_BIGRAM_SQL,
+    "winnow_pairs": _Q_WINNOW_PAIRS_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

@@ -1689,6 +1689,39 @@ def test_repeated_span_scrub_matches_python_twin(spark):
         assert got == twin(rows, w), f"w={w}"
 
 
+def test_winnow_candidate_pairs_partial_overlap(spark):
+    """The MOSS property: two documents sharing ONE paragraph pair up even
+    though the rest of their text is disjoint (global-similarity candidates
+    would miss them); an unrelated doc pairs with nobody; the df_cap drops
+    a paragraph shared by 'everyone' (boilerplate) so it creates no pairs."""
+    from mine_database_spark.operators.dedup import winnow_candidate_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog by the riverbank"
+    docs = spark.createDataFrame(
+        [
+            (1, f"completely unrelated opening words here. {shared}"),
+            (2, f"{shared} and then something else entirely follows after"),
+            (3, "zebras graze quietly under violet skies while trains pass"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["n_shared"]
+        for r in winnow_candidate_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert not any(3 in p for p in pairs)
+
+    # boilerplate cap: the same paragraph in 6 docs exceeds df_cap=5, so
+    # its fingerprints drop and no pairs survive
+    many = spark.createDataFrame(
+        [(i, f"{shared} unique tail {i} {'x' * (i % 3)}") for i in range(10, 16)],
+        "doc_id long, text string",
+    )
+    capped = winnow_candidate_pairs(many, min_shared=3, df_cap=5).collect()
+    assert capped == [], capped
+
+
 def test_scrub_scope_and_min_dup_count_knobs(spark):
     """scope_col confines first-wins to a group: the same boilerplate in
     two sources survives once PER SOURCE when scoped (vs once globally);
