@@ -616,6 +616,185 @@ def winnow_candidate_pairs(
     return pairs
 
 
+def source_overlap(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source k-gram overlap matrix — the corpus-level audit of the
+    document-level ngram_jaccard: for every source pair, the Jaccard of
+    their DISTINCT shingle sets. This is how an intake pipeline discovers
+    that two crawls mirror each other (and one should be dropped or
+    down-weighted) BEFORE paying for document-pair dedup between them.
+
+    Returns (source_a, source_b, n_common, n_a, n_b, jaccard) with
+    source_a < source_b, only for pairs sharing at least one shingle.
+
+    Scale — why this is cheap where document-pair Jaccard is not: the
+    inverted index is distinct (source, shingle), so each shingle's posting
+    list is bounded by the NUMBER OF SOURCES (tens), not the number of
+    documents containing it — the self-join fan-out per shingle is at most
+    #sources², no df_cap needed. One distinct + one shingle-keyed equi-join
+    + two map-side-combinable aggregates over O(#sources²) rows; union
+    sizes come from |A|+|B|−|A∩B|, never a union materialization.
+    """
+    from mine_database_spark.functions.text import word_shingle_strings
+
+    sh = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(word_shingle_strings(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "source_a")), "source_a")
+        .withColumnRenamed("n", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")), "source_b")
+        .withColumnRenamed("n", "n_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: "tuple[str, ...] | list[str]" = ("text",),
+) -> DataFrame:
+    """Corpus-version diff: classify every id across two snapshots as
+    added / removed / changed / unchanged by comparing an md5 digest of the
+    content columns. The dataset-versioning primitive a training-data
+    pipeline needs between crawls: what entered, what left, what was
+    edited — feeding incremental_dedup (process only 'added'/'changed')
+    and audit ledgers.
+
+    Returns (doc_id, status, old_digest, new_digest); digests are NULL on
+    the side where the id is absent. Content columns are null-safe: NULL
+    and '' hash differently (each column is length-prefixed before
+    hashing), and multi-column content cannot collide by boundary shifts.
+
+    Scale: one full-outer hash join keyed on the id — a single shuffle of
+    digest-projected rows (two columns each side), no windows, no
+    collects. Skew-free by construction when ids are unique; AQE handles
+    residual imbalance.
+    """
+    cols = list(content_cols)
+    if not cols:
+        raise ValueError("content_cols must name at least one column")
+
+    def digest(df: DataFrame, alias: str) -> DataFrame:
+        # length-prefix each value so ('ab','c') never collides with
+        # ('a','bc'), and encode NULL distinctly from ''
+        parts = []
+        for c in cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("\x00")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
+        )
+
+    o = digest(old, "old_digest")
+    n = digest(new, "new_digest")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status"), "old_digest", "new_digest"
+    )
+
+
+def priority_dedup(
+    docs: DataFrame,
+    priority: "dict[str, int]",
+    default_priority: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact dedup with a source-priority policy: one survivor
+    per content digest — the copy from the MOST-preferred source (lowest
+    priority number), ties broken by smallest id. The standard curation
+    move when the same document exists in both a curated source and a
+    crawl: keep the curated copy, not whichever id happens to be smallest
+    (exact_dedup's min-id policy).
+
+    `priority` maps source value -> rank (lower wins); unmapped sources get
+    `default_priority`, so the map only needs to name the sources the
+    caller cares about. The map becomes an inline literal MAP expression —
+    JVM-side, no join, no broadcast variable.
+
+    Returns (digest, survivor_id, survivor_source, dup_count).
+
+    Scale: identical shape to exact_dedup — ONE digest-keyed shuffle of a
+    map-side-combinable min(struct(rank, id, source)) aggregate, so a
+    ubiquitous duplicate (a boilerplate page crawled a million times)
+    combines to one row per partition before the shuffle. No windows.
+    """
+    if priority:
+        kv = []
+        for s, r in priority.items():
+            kv.extend([F.lit(s), F.lit(int(r))])
+        # try_element_at: NULL (not an ANSI MAP_KEY_DOES_NOT_EXIST error)
+        # for sources the map doesn't name
+        rank = F.coalesce(
+            F.try_element_at(F.create_map(*kv), F.col(source_col)),
+            F.lit(int(default_priority)),
+        )
+    else:
+        rank = F.lit(int(default_priority))
+    best = F.min(
+        F.struct(
+            rank.alias("r"),
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+        )
+    ).alias("best")
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("digest"),
+            F.col(id_col),
+            F.col(source_col),
+        )
+        .groupBy("digest")
+        .agg(best, F.count(F.lit(1)).alias("dup_count"))
+        .select(
+            "digest",
+            F.col("best.id").alias("survivor_id"),
+            F.col("best.src").alias("survivor_source"),
+            "dup_count",
+        )
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,

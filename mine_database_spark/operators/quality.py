@@ -239,3 +239,50 @@ def bigram_logprob(
     return term.groupBy("doc_id").agg(
         F.round(F.sum("q") / F.count(F.lit(1)) / 1e6, 6).alias("avg_logprob")
     )
+
+
+def percentile_filter(
+    docs: DataFrame,
+    score_col: str,
+    p: float = 0.25,
+    group_col: str = "source",
+    keep: str = "above",
+) -> DataFrame:
+    """Per-group exact-percentile thresholding — the FineWeb-style curation
+    move "drop the worst X% of each source" without a single global
+    constant: each group gets its own cutoff (the p-quantile of score_col
+    within the group), so a uniformly-low-quality source still contributes
+    its best documents instead of being wiped out by a global threshold.
+
+    keep='above' retains rows with score >= the group's p-quantile;
+    keep='below' retains score <= it (e.g. drop the longest tail).
+    Returns the input columns plus `threshold`. Rows with NULL scores are
+    dropped (they have no defined rank).
+
+    Exact `percentile` (not approx_percentile) keeps the value oracle-able
+    — both engines linearly interpolate at rank (n-1)p (the corpus_stats
+    precedent). At 100 TB swap in approx_percentile: the plan shape is
+    unchanged and the audit stays one map-side-combinable aggregate.
+
+    Scale: thresholds are ONE groupBy(group_col) aggregate producing
+    O(#groups) rows, broadcast back onto a stateless comparison scan — the
+    corpus itself never shuffles. The naive alternative (a percent_rank
+    window per group) shuffles the whole corpus on the group key and dies
+    on a dominant source; this never does.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    thresholds = docs.groupBy(group_col).agg(
+        F.percentile(score_col, F.lit(float(p))).alias("threshold")
+    )
+    joined = docs.where(F.col(score_col).isNotNull()).join(
+        F.broadcast(thresholds), group_col
+    )
+    cmp = (
+        F.col(score_col) >= F.col("threshold")
+        if keep == "above"
+        else F.col(score_col) <= F.col("threshold")
+    )
+    return joined.where(cmp)

@@ -560,6 +560,358 @@ def embed_neardup_blocked(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    quant_scale: float = 1.0e6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over an embedding column: for every
+    vector, its top-k cosine neighbors (self excluded), as a distributed
+    blocked GEMM. This is the primitive under graph-based corpus curation —
+    diversity sampling, density estimation, SemDeDup-style cluster audits —
+    where every document needs neighbors, not just a query set
+    (brute_force_topk serves the query-set case; its corpus×queries
+    broadcast shape is wrong when queries == corpus).
+
+    Returns (vec_id, rank, neighbor_id, score) with rank 1..k ordered by
+    (exact raw score desc, neighbor_id asc); `score` is round(raw, 4).
+    Zero/NULL vectors produce NaN cosines and are excluded on both sides,
+    so they emit no rows and appear as nobody's neighbor — matching the
+    SQL oracle's isnan filter.
+
+    Exactness and determinism reuse embed_neardup_blocked's argument
+    verbatim: components quantized JVM-side to round(x·quant_scale) make
+    the float64 matmul exact integer arithmetic (order/BLAS/engine
+    independent), so the raw ORDER itself — not just the rounded display
+    score — is reproducible in DuckDB and the (raw desc, id asc) tile-local
+    top-k composes into the identical global top-k.
+
+    Scale: the block-pair grid is the FULL i×j square (each row needs
+    candidates from every block, unlike the symmetric near-dup case), so
+    shuffle volume is O(n · n_blocks) vector rows per side; each tile emits
+    at most k rows per left-row, so the final per-vector top-k window sees
+    O(n · n_blocks · k) candidate rows — bounded fan-in, never O(n²)
+    materialized. Compute is the exact-baseline O(n²·d) inside numpy tiles;
+    the approximate 100 TB twin is lsh_bucketed_topk(corpus, corpus) (banded
+    hyperplane buckets, no all-pairs scoring), registered as knn_graph_lsh
+    with a recall gate against this exact form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"knn_graph needs an integral {id_col} (got {id_type});"
+            " map ids to integers first or use lsh_bucketed_topk"
+        )
+    spark = embeddings.sparkSession
+
+    # independent projections per cogroup side (fresh expression ids), same
+    # reason as embed_neardup_blocked: a shared parent trips ambiguous-self-join
+    def side(pair_key: str) -> DataFrame:
+        q = embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: F.round(x * quant_scale)
+            ).alias("q"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_blocks)).cast("int").alias("blk"),
+        )
+        rng = spark.range(n_blocks).select(F.col("id").cast("int"))
+        # FULL grid — every left block meets every right block
+        pairs = rng.select(F.col("id").alias("i")).crossJoin(
+            rng.select(F.col("id").alias("j"))
+        )
+        return q.join(F.broadcast(pairs), q.blk == pairs[pair_key]).select(
+            "i", "j", "vec_id", "q"
+        )
+
+    left, right = side("i"), side("j")
+
+    def tile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "raw": pd.Series(dtype="float64")})
+        if l.empty or r.empty:
+            return empty
+        ia = l["vec_id"].to_numpy("int64")
+        ib = r["vec_id"].to_numpy("int64")
+        # sort the right side by id so kind='stable' argsort below breaks
+        # raw-score ties by neighbor id ascending — the global window order
+        order_b = np.argsort(ib)
+        ib = ib[order_b]
+        A = np.stack(l["q"].to_numpy())
+        B = np.stack(r["q"].to_numpy())[order_b]
+        # exact integer math in float64: products <= 2^46, sums < 2^53
+        S = A @ B.T
+        denom = np.sqrt((A * A).sum(axis=1))[:, None] * np.sqrt((B * B).sum(axis=1))[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = S / denom
+        bad = ~np.isfinite(raw) | (ia[:, None] == ib[None, :])
+        raw = np.where(bad, -np.inf, raw)
+        kk = min(k, raw.shape[1])
+        top = np.argsort(-raw, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(raw.shape[0]), kk)
+        cols = top.ravel()
+        sel = raw[rows, cols]
+        keep = np.isfinite(sel)
+        return pd.DataFrame(
+            {"a_id": ia[rows[keep]], "b_id": ib[cols[keep]], "raw": sel[keep]}
+        )
+
+    cand = (
+        left.groupBy("i", "j")
+        .cogroup(right.groupBy("i", "j"))
+        .applyInPandas(tile, schema="a_id bigint, b_id bigint, raw double")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("raw").desc(), F.col("b_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("b_id").alias("neighbor_id"),
+            F.round(F.col("raw"), 4).alias("score"),
+        )
+    )
+
+
+def knn_graph_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 24,
+    rows_per_band: int = 3,
+    dim: int = 64,
+    bucket_cap: int | None = None,
+    n_blocks: int = 8,
+    quant_scale: float = 1.0e6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN graph via banded hyperplane-LSH: band SELF-join for
+    candidates, blocked batch rescore (score_pairs_blocked's cogrouped
+    einsum — never a per-pair interpreted fold), per-vector top-k. Same
+    output schema as knn_graph (vec_id, rank, neighbor_id, score; score is
+    the quantized round-4 cosine); recall against the exact graph is
+    pinned in pytest.
+
+    Unlike lsh_bucketed_topk (whose broadcast-the-queries shape is right
+    for a small query set and wrong when queries == corpus), every join
+    here is a shuffle equi-join: bands self-join on (band, band_sig),
+    vectors fan only to occupied score cells. Nothing corpus-sized is ever
+    broadcast or cross-joined.
+
+    WHEN TO USE WHICH TWIN: sign-LSH candidate volume is governed by the
+    1 − θ/π collision geometry, so it degenerates on weakly-clustered
+    embeddings — on this repo's near-uniform synthetic vectors the default
+    8 bands × 3 bits admits ~65% of all pairs (measured), and tightening
+    the bands collapses recall before it controls volume. For such data
+    knn_graph_ivf (coarse-quantizer lists, volume governed by n_centroids
+    regardless of geometry) is the production path; LSH wins when the
+    corpus has genuine high-cosine neighbor structure.
+
+    `bucket_cap` drops (band, band_sig) buckets holding more than that many
+    vectors before pairing — a bucket of f vectors emits O(f²) candidate
+    pairs, so one degenerate bucket (e.g. the shared signature of a mass
+    of near-identical embeddings) is quadratic. Production at scale
+    should set it; the vectors it affects are exactly the ones with
+    hundreds of near-duplicates, whose top-k is served by any surviving
+    band. None (default) keeps exact LSH semantics for the oracle."""
+    bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    if bucket_cap is not None:
+        if bucket_cap < 2:
+            raise ValueError(f"bucket_cap must be >= 2 (or None), got {bucket_cap}")
+        keep = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__bf"))
+            .where(F.col("__bf") <= bucket_cap)
+            .select("band", "band_sig")
+        )
+        bands = bands.join(keep, ["band", "band_sig"])
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_sig"])
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    # threshold −1.1 < min cosine keeps every scored pair; NaN (zero-norm)
+    # pairs fail the kernel's >= margin test and drop, matching the
+    # oracle's isnan filter
+    scored = score_pairs_blocked(
+        cand,
+        embeddings,
+        threshold=-1.1,
+        n_blocks=n_blocks,
+        quant_scale=quant_scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("b_id").alias("neighbor_id"),
+            "score",
+        )
+    )
+
+
+def knn_graph_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_assign: int = 2,
+    sub_blocks: int = 1,
+    quant_scale: float = 1.0e6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate kNN graph via an IVF coarse quantizer — the production
+    scale twin of knn_graph, and the one to use on weakly-clustered
+    embeddings where sign-LSH banding degenerates (see knn_graph_lsh's
+    geometry note): every vector joins its n_assign nearest coarse lists
+    (multi-assignment covers list-boundary neighbors), candidates are
+    vectors sharing a list, scored inside per-list numpy tiles with the
+    same quantized exact-integer cosine as knn_graph. Same output schema
+    (vec_id, rank, neighbor_id, score); recall vs the exact graph is
+    pinned in pytest.
+
+    Candidate volume is governed by LIST SIZES — O(Σ n_assign²·|list|²)
+    pair scores, all inside tile matmuls — regardless of the similarity
+    geometry, which is exactly what LSH cannot promise. Centroids default
+    to the n_centroids lowest-id vectors (the ivf_topk convention; a
+    kmeans_codebook snapshot slots into `codebook` without changing the
+    plan). Shuffle volume is O(n · n_assign · sub_blocks) vector rows; a
+    per-(a,b) max-dedup collapses pairs sharing several lists before the
+    top-k window, so the window input is bounded by n · n_assign² · k.
+
+    `sub_blocks` splits each list's RIGHT side into hash sub-blocks (the
+    left side fans to all of them): one hot list — the IVF skew case —
+    becomes sub_blocks independent tiles instead of one giant tile, at the
+    price of replicating the left rows sub_blocks×. Leave at 1 until a
+    list outgrows a task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    if sub_blocks < 1:
+        raise ValueError(f"sub_blocks must be >= 1, got {sub_blocks}")
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"knn_graph_ivf needs an integral {id_col} (got {id_type})"
+        )
+    spark = embeddings.sparkSession
+
+    def side(right: bool) -> DataFrame:
+        c = embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        cent = codebook if codebook is not None else (
+            c.orderBy("vec_id")
+            .limit(n_centroids)
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+                ).alias("__cents")
+            )
+        )
+        assigned = (
+            c.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                F.transform(
+                    F.col("v"), lambda x: F.round(x * quant_scale)
+                ).alias("q"),
+                F.explode(
+                    F.transform(
+                        F.slice(_ranked_lists(F.col("v")), 1, n_assign),
+                        lambda s: s["cid"],
+                    )
+                ).alias("list_id"),
+            )
+        )
+        if right:
+            return assigned.withColumn(
+                "sub", F.pmod(F.xxhash64(F.col("vec_id").cast("long")), F.lit(sub_blocks)).cast("int")
+            )
+        rng = spark.range(sub_blocks).select(F.col("id").cast("int").alias("sub"))
+        return assigned.crossJoin(F.broadcast(rng))
+
+    left, right = side(False), side(True)
+
+    def tile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "raw": pd.Series(dtype="float64")})
+        if l.empty or r.empty:
+            return empty
+        ia = l["vec_id"].to_numpy("int64")
+        ib = r["vec_id"].to_numpy("int64")
+        order_b = np.argsort(ib)
+        ib = ib[order_b]
+        A = np.stack(l["q"].to_numpy())
+        B = np.stack(r["q"].to_numpy())[order_b]
+        S = A @ B.T
+        denom = np.sqrt((A * A).sum(axis=1))[:, None] * np.sqrt((B * B).sum(axis=1))[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = S / denom
+        bad = ~np.isfinite(raw) | (ia[:, None] == ib[None, :])
+        raw = np.where(bad, -np.inf, raw)
+        kk = min(k, raw.shape[1])
+        top = np.argsort(-raw, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(raw.shape[0]), kk)
+        cols = top.ravel()
+        sel = raw[rows, cols]
+        keep = np.isfinite(sel)
+        return pd.DataFrame(
+            {"a_id": ia[rows[keep]], "b_id": ib[cols[keep]], "raw": sel[keep]}
+        )
+
+    cand = (
+        left.groupBy("list_id", "sub")
+        .cogroup(right.groupBy("list_id", "sub"))
+        .applyInPandas(tile, schema="a_id bigint, b_id bigint, raw double")
+    )
+    # pairs sharing several lists emit identical (a, b, raw) rows from each
+    # tile — collapse them (max of equal values; map-side combinable)
+    # before ranking or a duplicated neighbor would burn two rank slots
+    ded = cand.groupBy("a_id", "b_id").agg(F.max("raw").alias("raw"))
+    w = Window.partitionBy("a_id").orderBy(F.col("raw").desc(), F.col("b_id"))
+    return (
+        ded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("b_id").alias("neighbor_id"),
+            F.round(F.col("raw"), 4).alias("score"),
+        )
+    )
+
+
 def score_pairs_blocked(
     pairs: DataFrame,
     embeddings: DataFrame,

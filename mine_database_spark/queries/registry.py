@@ -813,6 +813,95 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dedup with a source-priority policy
+    (dedup.priority_dedup): a 'curated' re-publication of every even-id
+    document (new id = doc_id + 1,000,000) is preferred over the original
+    crawl sources, so the survivor is the CURATED (larger-id) copy — the
+    policy demonstrably overrides exact_dedup's min-id rule while staying
+    one map-side-combinable min(struct) aggregate."""
+    (d,) = _t(spark, sf_dir, "documents")
+    curated = d.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text"),
+        F.lit("curated").alias("source"),
+    )
+    corpus = d.select("doc_id", "text", "source").unionByName(curated)
+    return dd.priority_dedup(corpus, {"curated": 0}, default_priority=10)
+
+
+_Q_PRIORITY_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'curated' FROM documents WHERE doc_id % 2 = 0
+),
+k AS (
+  SELECT md5(text) AS digest, doc_id, source,
+         CASE WHEN source = 'curated' THEN 0 ELSE 10 END AS r
+  FROM corpus
+),
+w AS (
+  SELECT digest, doc_id, source,
+         row_number() OVER (PARTITION BY digest ORDER BY r, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY digest) AS dup_count
+  FROM k
+)
+SELECT digest, doc_id AS survivor_id, source AS survivor_source,
+       CAST(dup_count AS BIGINT) AS dup_count
+FROM w WHERE rn = 1
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff (dedup.snapshot_diff): old = documents minus
+    ids ≡ 3 (mod 11); new = documents minus ids ≡ 5 (mod 13) with ids ≡ 0
+    (mod 7) re-edited ('rev2 ' prefix). Content digest spans (text, lang)
+    to exercise the multi-column length-prefixed hashing."""
+    (d,) = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 11 != 3)
+    new = d.where(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("rev2 "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return dd.snapshot_diff(old, new, content_cols=("text", "lang"))
+
+
+# chr(31) = the \x1f column separator, chr(0) = the NULL sentinel —
+# byte-identical to snapshot_diff's length-prefixed digest input
+_Q_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+           CASE WHEN text IS NULL THEN chr(0) ELSE length(text)::VARCHAR || ':' || text END,
+           CASE WHEN lang IS NULL THEN chr(0) ELSE length(lang)::VARCHAR || ':' || lang END)) AS old_digest
+  FROM documents WHERE doc_id % 11 <> 3
+),
+n0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'rev2 ' || text ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 13 <> 5
+),
+n AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+           CASE WHEN text IS NULL THEN chr(0) ELSE length(text)::VARCHAR || ':' || text END,
+           CASE WHEN lang IS NULL THEN chr(0) ELSE length(lang)::VARCHAR || ':' || lang END)) AS new_digest
+  FROM n0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_digest, new_digest
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 _SHINGLE_SQL = """
 tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
 pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {km1})) AS i FROM tok WHERE len(toks) >= {k}),
@@ -1622,6 +1711,122 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
   AND NOT isnan(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+"""
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the embeddings table
+    (similarity.knn_graph): every vector's top-5 cosine neighbors via the
+    blocked-GEMM tile kernel (quantized components -> exact integer
+    float64 matmul, so the raw ORDER is engine-reproducible). The
+    approximate scale twin is knn_graph_lsh."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.knn_graph(e, k=5)
+
+
+_Q_KNN_GRAPH_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+s AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS raw
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, raw,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY raw DESC, neighbor_id) AS INT) AS rank
+  FROM s
+  WHERE raw IS NOT NULL AND NOT isnan(raw) AND NOT isinf(raw)
+)
+SELECT vec_id, rank, neighbor_id, round(raw, 4) AS score
+FROM r WHERE rank <= 5
+"""
+
+
+def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph (similarity.knn_graph_lsh): banded
+    hyperplane-LSH band SELF-join for candidates (nothing corpus-sized is
+    broadcast — the right shape when queries == corpus), exact cosine
+    rescore, per-vector top-5. Hyperplanes are md5-derived constants so
+    the oracle rebuilds identical buckets; recall vs the exact knn_graph
+    is pinned in pytest."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.knn_graph_lsh(e, k=5)
+
+
+# rescore uses score_pairs_blocked's QUANTIZED cosine (round(x·1e6)
+# integer components -> order/engine-exact float64), hence the eq CTE
+_Q_KNN_GRAPH_LSH_SQL = (
+    "WITH " + _LSH_BANDS_SQL + """,
+eq AS (SELECT vec_id, list_transform(v, x -> round(x * 1000000.0)) AS q FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id <> b.vec_id
+),
+s AS (
+  SELECT cand.vec_id, cand.neighbor_id,
+         round(list_dot_product(qa.q, qb.q) / (sqrt(list_dot_product(qa.q, qa.q)) * sqrt(list_dot_product(qb.q, qb.q))), 4) AS score
+  FROM cand
+  JOIN eq qa ON qa.vec_id = cand.vec_id
+  JOIN eq qb ON qb.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM s WHERE score IS NOT NULL AND NOT isnan(score) AND NOT isinf(score)
+)
+SELECT vec_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+"""
+)
+
+
+def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph via IVF multi-assignment
+    (similarity.knn_graph_ivf): every vector joins its 4 nearest coarse
+    lists, candidates share a list, per-list tile matmuls score with the
+    quantized exact-integer cosine. Candidate volume is governed by list
+    sizes — the right twin for weakly-clustered embeddings where sign-LSH
+    banding admits most pairs (measured here: recall@5 ≈ 0.93 at a
+    fraction of the LSH twin's cost)."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.knn_graph_ivf(e, k=5, n_centroids=16, n_assign=4)
+
+
+_Q_KNN_GRAPH_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+eq AS (SELECT vec_id, list_transform(v, x -> round(x * 1000000.0)) AS q FROM e),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+  FROM e CROSS JOIN c
+),
+lists AS (SELECT vec_id, cid AS list_id FROM asg WHERE rn <= 4),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+  FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+),
+s AS (
+  SELECT cand.vec_id, cand.neighbor_id,
+         list_dot_product(qa.q, qb.q) / (sqrt(list_dot_product(qa.q, qa.q)) * sqrt(list_dot_product(qb.q, qb.q))) AS raw
+  FROM cand
+  JOIN eq qa ON qa.vec_id = cand.vec_id
+  JOIN eq qb ON qb.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, raw,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY raw DESC, neighbor_id) AS INT) AS rank
+  FROM s WHERE raw IS NOT NULL AND NOT isnan(raw) AND NOT isinf(raw)
+)
+SELECT vec_id, rank, neighbor_id, round(raw, 4) AS score
+FROM r WHERE rank <= 5
 """
 
 
@@ -2643,6 +2848,69 @@ FROM t GROUP BY source
 """
 
 
+def q_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile curation (quality.percentile_filter): keep
+    documents at/above their OWN source's 25th-percentile token count —
+    'drop the shortest quarter of each source' without a global constant
+    that would wipe out a short-form source. Thresholds are one
+    O(#sources) aggregate broadcast onto a stateless scan; the corpus
+    never shuffles."""
+    from mine_database_spark.functions.text import token_count
+    from mine_database_spark.operators.quality import percentile_filter
+
+    (d,) = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return percentile_filter(scored, "n_tokens", p=0.25, group_col="source")
+
+
+_Q_LENGTH_PCTL_SQL = """
+WITH t AS (
+  SELECT doc_id, source, CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+thr AS (SELECT source, quantile_cont(n_tokens, 0.25) AS threshold FROM t GROUP BY source)
+SELECT t.source, t.doc_id, t.n_tokens, thr.threshold
+FROM t JOIN thr USING (source)
+WHERE n_tokens >= threshold
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 5-gram overlap matrix (dedup.source_overlap): Jaccard
+    of distinct shingle sets per source pair — the corpus-level audit that
+    finds mirrored crawls before paying for document-pair dedup between
+    them. Posting lists are bounded by #sources, so the self-join fan-out
+    is at most #sources² per shingle — no cap needed."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.source_overlap(d, k=5)
+
+
+_Q_SOURCE_OVERLAP_SQL = """
+WITH tok AS (
+  SELECT source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT source, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+  FROM tok WHERE len(toks) >= 5
+),
+sh AS (SELECT DISTINCT source, array_to_string(toks[i:i + 4], ' ') AS shingle FROM pos),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment
     (operators/packing.py:assign_splits): split = the cumulative-weight
@@ -2922,12 +3190,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_scrub": q_span_scrub,
     "bigram_logprob": q_bigram_logprob,
     "winnow_pairs": q_winnow_pairs,
+    "knn_graph": q_knn_graph,
+    "knn_graph_lsh": q_knn_graph_lsh,
+    "knn_graph_ivf": q_knn_graph_ivf,
+    "snapshot_diff": q_snapshot_diff,
+    "priority_dedup": q_priority_dedup,
+    "length_percentile_filter": q_length_percentile_filter,
+    "source_overlap": q_source_overlap,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rescored": q_ann_pq_rescored,
     "ann_ivf_pq": q_ann_ivf_pq,
-    # --- retained fillers (23) ---
+    # --- retained fillers (19) ---
     "mass_range_join_bucketed": q_mass_range_join_bucketed,
     "copurchase_reach": q_copurchase_reach,
     "order_chain_paths": q_order_chain_paths,
@@ -2941,6 +3216,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
+    # --- rotated out of the 50-row gate this round (driver-green r7+r8,
+    # untouched in r9; displaced by the new span_scrub / bigram_logprob /
+    # winnow_pairs / knn_graph(+lsh,+ivf) / snapshot_diff / priority_dedup /
+    # length_percentile_filter / source_overlap) ---
     "repetition_stats": q_repetition_stats,
     "quality_rules": q_quality_rules,
     "pii_scan": q_pii_scan,
@@ -2948,9 +3227,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    # --- rotated out of the 50-row gate this round (driver-green r7+r8,
-    # untouched in r9; displaced by the new span_scrub / bigram_logprob /
-    # winnow_pairs) ---
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "semantic_dedup": q_semantic_dedup,
@@ -2979,6 +3255,13 @@ ORACLES: dict[str, str] = {
     "span_scrub": _Q_SPAN_SCRUB_SQL,
     "bigram_logprob": _Q_BIGRAM_SQL,
     "winnow_pairs": _Q_WINNOW_PAIRS_SQL,
+    "knn_graph": _Q_KNN_GRAPH_SQL,
+    "knn_graph_lsh": _Q_KNN_GRAPH_LSH_SQL,
+    "knn_graph_ivf": _Q_KNN_GRAPH_IVF_SQL,
+    "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
+    "priority_dedup": _Q_PRIORITY_DEDUP_SQL,
+    "length_percentile_filter": _Q_LENGTH_PCTL_SQL,
+    "source_overlap": _Q_SOURCE_OVERLAP_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

@@ -1844,3 +1844,202 @@ def test_pq_encode_ansi_short_vector_parity(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert results["false"] == results["true"]
     assert 99 in results["true"] and len(results["true"][99]) == 2
+
+
+def test_knn_graph_planted_neighbors(spark):
+    """Exact kNN graph: neighbors come from the vector's own tight cluster,
+    self never appears, NULL embeddings and zero vectors emit no rows and
+    appear as nobody's neighbor (NaN-cosine exclusion)."""
+    from mine_database_spark.operators.similarity import knn_graph
+
+    rows = [
+        (1, [10.0, 0.0, 0.0, 0.0]),
+        (2, [9.0, 1.0, 0.0, 0.0]),
+        (3, [9.5, 0.5, 0.0, 0.0]),
+        (4, [0.0, 10.0, 0.0, 0.0]),
+        (5, [1.0, 9.0, 0.0, 0.0]),
+        (6, [0.5, 9.5, 0.0, 0.0]),
+        (7, None),
+        (8, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_graph(df, k=2).collect()
+    by_vec = {}
+    for r in out:
+        assert r["neighbor_id"] != r["vec_id"]
+        by_vec.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"], r["score"]))
+    assert set(by_vec) == {1, 2, 3, 4, 5, 6}  # 7 (null), 8 (zero) emit nothing
+    for vid, nbrs in by_vec.items():
+        cluster = {1, 2, 3} if vid <= 3 else {4, 5, 6}
+        assert {n for _, n, _ in nbrs} == cluster - {vid}, (vid, nbrs)
+        ranks = sorted(r for r, _, _ in nbrs)
+        assert ranks == [1, 2]
+        assert 8 not in {n for _, n, _ in nbrs}
+    # rank 1 is the strictly-closer clustermate where one exists
+    assert sorted(by_vec[2])[0][1] == 3  # cos(2,3) > cos(2,1)
+
+
+def test_knn_graph_lsh_recall_gate(spark):
+    """Approximate kNN graph (band self-join) vs the exact blocked graph:
+    no self-pairs, shared edges score exactly equal (same rounded cosine
+    definition), recall@5 >= 0.8 over the real sf0.001 embeddings."""
+    from mine_database_spark.operators.similarity import knn_graph, knn_graph_lsh
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in knn_graph(e, k=5).collect()}
+    rows = knn_graph_lsh(e, k=5).collect()
+    approx = {(r["vec_id"], r["neighbor_id"]) for r in rows}
+    assert all(a != b for a, b in approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_knn_graph_lsh_bucket_cap(spark):
+    """bucket_cap drops oversized (band, band_sig) buckets: six identical
+    vectors share every band bucket, so cap=5 removes all their buckets and
+    the clones lose each other as candidates — while distinct vectors in
+    small buckets are unaffected."""
+    from mine_database_spark.operators.similarity import knn_graph_lsh
+
+    clones = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)]
+    others = [(10, [-1.0, 5.0, -2.0, 0.5]), (11, [-1.1, 5.2, -2.1, 0.4])]
+    df = spark.createDataFrame(clones + others, "vec_id long, embedding array<float>")
+    full = knn_graph_lsh(df, k=5, dim=4).collect()
+    clone_edges = {(r["vec_id"], r["neighbor_id"]) for r in full if r["vec_id"] < 6}
+    assert clone_edges  # uncapped: clones find each other
+    capped = knn_graph_lsh(df, k=5, dim=4, bucket_cap=5).collect()
+    assert not any(r["vec_id"] < 6 and r["neighbor_id"] < 6 for r in capped), capped
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses; NULL and '' hash differently; multi-column
+    content is length-prefixed so ('ab','c') never collides with
+    ('a','bc') under a boundary shift."""
+    from mine_database_spark.operators.dedup import snapshot_diff
+
+    schema = "doc_id long, t1 string, t2 string"
+    old = spark.createDataFrame(
+        [
+            (1, "same", "same2"),
+            (2, "was", "this"),
+            (3, "gone", "soon"),
+            (5, "ab", "c"),
+            (6, None, "z"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same", "same2"),
+            (2, "now", "that"),
+            (4, "fresh", "row"),
+            (5, "a", "bc"),
+            (6, "", "z"),
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: r for r in snapshot_diff(old, new, content_cols=("t1", "t2")).collect()}
+    assert {k: v["status"] for k, v in out.items()} == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+        5: "changed", 6: "changed",
+    }
+    assert out[3]["new_digest"] is None and out[4]["old_digest"] is None
+    assert out[1]["old_digest"] == out[1]["new_digest"]
+
+
+def test_priority_dedup_policy(spark):
+    """Survivor = lowest priority rank (overriding min-id), unmapped
+    sources take the default rank, rank ties fall back to min id, and
+    dup_count counts every copy."""
+    from mine_database_spark.operators.dedup import priority_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup", "crawl"),
+            (2, "dup", "curated"),
+            (3, "dup", "crawl"),
+            (10, "solo", "never_mapped"),
+            (5, "tie", "crawl"),
+            (6, "tie", "crawl"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["digest"]: r
+        for r in priority_dedup(docs, {"curated": 0}, default_priority=10).collect()
+    }
+    by_text = {}
+    import hashlib
+
+    for t in ("dup", "solo", "tie"):
+        by_text[t] = out[hashlib.md5(t.encode()).hexdigest()]
+    assert by_text["dup"]["survivor_id"] == 2  # curated beats smaller ids
+    assert by_text["dup"]["survivor_source"] == "curated"
+    assert by_text["dup"]["dup_count"] == 3
+    assert by_text["solo"]["survivor_id"] == 10 and by_text["solo"]["dup_count"] == 1
+    assert by_text["tie"]["survivor_id"] == 5  # equal rank -> min id
+
+
+def test_percentile_filter_per_group(spark):
+    """Each group gets its OWN cutoff: A's p25 over 1..8 is 2.75 (keeps
+    3..8), B's uniform scores all survive; keep='below' inverts; NULL
+    scores drop."""
+    from mine_database_spark.operators.quality import percentile_filter
+
+    rows = [(i, "A", float(i)) for i in range(1, 9)]
+    rows += [(100 + i, "B", 7.0) for i in range(4)]
+    rows.append((200, "A", None))
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    kept = {r["doc_id"] for r in percentile_filter(df, "score", p=0.25).collect()}
+    assert kept == {3, 4, 5, 6, 7, 8, 100, 101, 102, 103}
+    low = {r["doc_id"] for r in percentile_filter(df, "score", p=0.25, keep="below").collect()}
+    assert low == {1, 2, 100, 101, 102, 103}
+    thr = {r["doc_id"]: r["threshold"] for r in percentile_filter(df, "score", p=0.25).collect()}
+    assert thr[3] == 2.75 and thr[100] == 7.0
+
+
+def test_source_overlap_planted(spark):
+    """Two sources sharing exactly one 5-gram pair up with the right
+    intersection/union arithmetic; a disjoint source appears in no pair."""
+    from mine_database_spark.operators.dedup import source_overlap
+
+    shared = "alpha bravo charlie delta echo"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} foxtrot golf", "X"),      # shingles: 3 distinct
+            (2, f"{shared} hotel india juliet", "Y"),  # shingles: 4 distinct
+            (3, "kilo lima mike november oscar papa", "Z"),  # 2, disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in source_overlap(docs, k=5).collect()}
+    assert set(out) == {("X", "Y")}
+    r = out[("X", "Y")]
+    assert r["n_common"] == 1 and r["n_a"] == 3 and r["n_b"] == 4
+    assert r["jaccard"] == round(1 / 6, 6)
+
+
+def test_knn_graph_ivf_recall_and_rank_integrity(spark):
+    """IVF graph twin: recall@5 >= 0.8 vs the exact graph at the registry
+    config (first-16 centroids, n_assign=4); multi-assignment must NOT
+    burn rank slots on duplicate neighbors (pairs sharing several lists
+    dedup before ranking); sub_blocks decomposition changes nothing."""
+    from mine_database_spark.operators.similarity import knn_graph, knn_graph_ivf
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in knn_graph(e, k=5).collect()}
+    rows = knn_graph_ivf(e, k=5, n_centroids=16, n_assign=4).collect()
+    seen = set()
+    per_vec = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert (r["vec_id"], r["neighbor_id"]) not in seen  # no duplicate edges
+        seen.add((r["vec_id"], r["neighbor_id"]))
+        per_vec.setdefault(r["vec_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_vec.values())
+    recall = len(exact & seen) / len(exact)
+    assert recall >= 0.8, recall
+    sub = {(r["vec_id"], r["rank"], r["neighbor_id"], r["score"])
+           for r in knn_graph_ivf(e, k=5, n_centroids=16, n_assign=4, sub_blocks=3).collect()}
+    base = {(r["vec_id"], r["rank"], r["neighbor_id"], r["score"]) for r in rows}
+    assert sub == base
