@@ -562,6 +562,7 @@ def winnow_candidate_pairs(
     df_cap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """MOSS-style local-overlap candidate pairs (Schleimer et al., SIGMOD
     2003 §4): document pairs sharing at least `min_shared` winnowing
@@ -589,12 +590,21 @@ def winnow_candidate_pairs(
     an all-pairs cross join — and the pair aggregate is map-side
     combinable. With df_cap set, the join fan-out per fingerprint is
     bounded by the cap.
+
+    The fingerprint table feeds three plan branches (the df-cap aggregate
+    + both self-join sides), each otherwise re-running the per-position
+    md5 scan; `storage_level` persists it across them — the
+    ngram_jaccard_pairs convention, same tradeoff: default None stays
+    safe at 100 TB (the table is O(corpus positions); recomputing the
+    scan beats pinning it), persist at interactive scale.
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if df_cap is not None and df_cap < 2:
         raise ValueError(f"df_cap must be >= 2 (or None), got {df_cap}")
     fp = winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+    if storage_level is not None:
+        fp = fp.persist(storage_level)
     if df_cap is not None:
         keep = (
             fp.groupBy("fingerprint")

@@ -1321,7 +1321,10 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). Catches partial overlap (a copied paragraph) that global
     MinHash/SimHash candidates miss."""
     (d,) = _t(spark, sf_dir, "documents")
-    return dd.winnow_candidate_pairs(d, k=5, w=4, min_shared=3, df_cap=20)
+    return dd.winnow_candidate_pairs(
+        d, k=5, w=4, min_shared=3, df_cap=20,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
 
 
 _Q_WINNOW_PAIRS_SQL = """
