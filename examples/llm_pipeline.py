@@ -6,7 +6,9 @@ production pretraining pipeline runs them:
    2. Exact dedup (first-occurrence wins)
    3. Near-dup removal (MinHash-LSH pairs -> connected components -> keep
       cluster minimum)
-   4. Rule-based quality gate (Gopher-style) then model-based quality score
+   4. Rule-based quality gate (Gopher-style), model-based quality score,
+      bigram-LM perplexity decile gate, per-source length-percentile
+      curation
    5. Eval-set decontamination (shared-8-gram scan)
    6. Domain re-balancing (temperature sampling)
    7. Context-window chunking
@@ -145,6 +147,18 @@ def run(
     )
     docs = docs.join(ok.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
     counts["after_perplexity"] = docs.count()
+
+    # 4c. per-source length curation: drop each source's shortest decile —
+    #     a per-group exact-percentile threshold (O(#sources) broadcast,
+    #     zero corpus shuffle), so a short-form source keeps its best docs
+    #     instead of being wiped out by one global length constant
+    from mine_database_spark.functions.text import token_count
+    from mine_database_spark.operators.quality import percentile_filter
+
+    sized = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    long_enough = percentile_filter(sized, "n_tokens", p=0.10, group_col="source")
+    docs = docs.join(long_enough.select("doc_id"), "doc_id", "left_semi")
+    counts["after_length_curation"] = docs.count()
 
     # 5. decontamination vs the eval set (any shared 8-gram) ---------------
     eval_docs = (

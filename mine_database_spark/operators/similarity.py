@@ -595,9 +595,11 @@ def knn_graph(
     at most k rows per left-row, so the final per-vector top-k window sees
     O(n · n_blocks · k) candidate rows — bounded fan-in, never O(n²)
     materialized. Compute is the exact-baseline O(n²·d) inside numpy tiles;
-    the approximate 100 TB twin is lsh_bucketed_topk(corpus, corpus) (banded
-    hyperplane buckets, no all-pairs scoring), registered as knn_graph_lsh
-    with a recall gate against this exact form.
+    the approximate 100 TB twins — both recall-gated against this exact
+    form — are knn_graph_ivf (coarse lists bound candidate volume; the
+    production path, esp. on weakly-clustered embeddings) and
+    knn_graph_lsh (banded hyperplane buckets; wins only when high-cosine
+    neighbor structure is real — see its geometry note).
     """
     import numpy as np
     import pandas as pd

@@ -23,6 +23,7 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
         "after_span_scrub",
         "after_quality",
         "after_perplexity",
+        "after_length_curation",
         "after_decontamination",
         "after_mixture",
     ]
