@@ -415,3 +415,63 @@ def test_token_shards_distributed_prefix_sum_plan(spark, sf_smoke):
     pre, _, post = plan.partition("HashAggregate")
     assert "Exchange SinglePartition" not in pre
     assert "BroadcastHashJoin" in plan
+
+
+def test_priority_dedup_single_shuffle_no_window(spark, sf_smoke):
+    """priority_dedup keeps exact_dedup's shape with a policy: ONE
+    digest-keyed map-side-combinable min(struct) aggregate — never a
+    per-digest window (which could not skew-split a hot boilerplate
+    digest) and never a join for the priority map (inline literal MAP)."""
+    plan = plan_str(QUERIES["priority_dedup"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "Join" not in plan.replace("union", ""), plan  # map is a literal, not a join
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan and "partial_count" in plan, plan
+
+
+def test_length_percentile_filter_corpus_never_shuffles(spark, sf_smoke):
+    """The per-source thresholds are ONE O(#sources) aggregate broadcast
+    back onto a stateless scan: exactly one hash exchange (the threshold
+    agg), a broadcast join, and no window/sort-merge — the corpus itself
+    must never shuffle (a percent_rank window would die on a dominant
+    source)."""
+    plan = plan_str(QUERIES["length_percentile_filter"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_single_join_no_window(spark, sf_smoke):
+    """snapshot_diff is ONE full-outer join of two digest projections —
+    no windows, no nested-loop fallback, and both sides shuffle only on
+    the id key."""
+    plan = plan_str(QUERIES["snapshot_diff"](spark, sf_smoke), mode="simple")
+    assert "FullOuter" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_knn_graph_ivf_shape(spark, sf_smoke):
+    """The IVF graph's corpus-sized work must stay inside the cogrouped
+    Arrow tiles: codebook broadcast (1-row), no row-at-a-time Python, no
+    corpus cross join, and the multi-list duplicate collapse is a
+    map-side-combinable aggregate BEFORE the top-k window."""
+    plan = plan_str(QUERIES["knn_graph_ivf"](spark, sf_smoke), mode="simple")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_max" in plan, plan  # (a,b) dedup agg, map-side
+    # dedup agg must sit BELOW the ranking window in the plan tree
+    assert plan.index("partial_max") > plan.index("Window"), plan
+
+
+def test_source_overlap_no_cross_join(spark, sf_smoke):
+    """source_overlap pairs sources through the shingle inverted index —
+    an equi-join whose fan-out is bounded by #sources per shingle — never
+    a cross join of the source sets, with map-side partial aggregation on
+    the pair counts."""
+    plan = plan_str(QUERIES["source_overlap"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
