@@ -201,3 +201,84 @@ def minhash_neardup_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+def priority_dedup_stream(
+    docs: DataFrame,
+    priority: "dict[str, int]",
+    default_priority: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    state_ttl_minutes: float | None = None,
+) -> DataFrame:
+    """Streaming form of operators.dedup.priority_dedup: per content digest,
+    track the best copy seen so far under the (source-priority rank, id)
+    order and EMIT AN UPDATE whenever a strictly better copy arrives — so
+    in outputMode("update") the LATEST row per digest always equals the
+    batch operator's survivor over every batch delivered so far. A
+    curated re-publication arriving after the crawl copy therefore
+    *replaces* it downstream, which append-only first-wins dedup cannot
+    express.
+
+    Output rows: (digest, survivor_id, survivor_source). The priority map
+    is applied in plain Python inside the state function (the batch twin
+    inlines it as a literal MAP expression — same semantics: unmapped and
+    NULL sources take `default_priority`, ties fall back to min id).
+
+    State is one (rank, id, source) tuple per distinct digest, partitioned
+    by the digest hash; `state_ttl_minutes` evicts quiet digests exactly
+    like exact_dedup_stream (a post-TTL duplicate re-admits as new).
+    """
+    src = docs.select(
+        F.md5(F.col(text_col)).alias("digest"),
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(source_col).cast("string").alias("source"),
+    )
+    ttl_ms = None if state_ttl_minutes is None else int(round(state_ttl_minutes * 60_000))
+    prio = dict(priority)
+    default = int(default_priority)
+
+    def best_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None  # (rank, id, source); source never compared — (rank, id) is unique
+        for pdf in pdfs:
+            for i, s in zip(pdf["doc_id"], pdf["source"]):
+                s = None if pd.isna(s) else str(s)
+                cand = (prio.get(s, default), int(i), s)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+        if best is None:
+            return
+        if state.exists:
+            r0, i0, s0 = state.get
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            if (int(r0), int(i0)) <= best[:2]:
+                return  # stored copy still wins: no update
+        state.update((best[0], best[1], best[2]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "digest": [key[0]],
+                "survivor_id": [best[1]],
+                "survivor_source": [best[2]],
+            }
+        )
+
+    return src.groupBy("digest").applyInPandasWithState(
+        best_fn,
+        outputStructType="digest string, survivor_id bigint, survivor_source string",
+        stateStructType="r int, survivor_id bigint, survivor_source string",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

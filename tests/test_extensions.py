@@ -2043,3 +2043,56 @@ def test_knn_graph_ivf_recall_and_rank_integrity(spark):
            for r in knn_graph_ivf(e, k=5, n_centroids=16, n_assign=4, sub_blocks=3).collect()}
     base = {(r["vec_id"], r["rank"], r["neighbor_id"], r["score"]) for r in rows}
     assert sub == base
+
+
+def test_streaming_priority_dedup_matches_batch(spark, tmp_path):
+    """priority_dedup_stream: per digest, the LATEST update-mode row must
+    equal the batch priority_dedup survivor over all delivered batches —
+    including the replacement case: a curated copy arriving in batch 2
+    overrides batch 1's crawl survivor; a WORSE later copy emits nothing."""
+    from mine_database_spark.operators.dedup import priority_dedup
+    from mine_database_spark.streaming.stateful import priority_dedup_stream
+
+    src = tmp_path / "prio_src"
+    src.mkdir()
+    # batch1: two crawl copies of 'dup' (min id 1 wins), one solo
+    (src / "batch1.csv").write_text("1,dup,crawl\n3,dup,crawl\n7,solo,crawl")
+    # batch2: curated 'dup' copy (replaces id 1); another crawl copy id 2
+    # (worse than stored curated -> no update); new curated doc
+    (src / "batch2.csv").write_text("9,dup,curated\n2,dup,crawl\n8,other,curated")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        priority_dedup_stream(stream, {"curated": 0}, default_priority=10)
+        .writeStream.format("memory")
+        .queryName("prio_dedup_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    rows = spark.sql(
+        "select * from prio_dedup_stream_test"
+    ).collect()
+    # latest emission per digest (memory sink appends update rows in order)
+    latest = {}
+    for r in rows:
+        latest[r["digest"]] = (r["survivor_id"], r["survivor_source"])
+    batch_docs = spark.createDataFrame(
+        [(1, "dup", "crawl"), (3, "dup", "crawl"), (7, "solo", "crawl"),
+         (9, "dup", "curated"), (2, "dup", "crawl"), (8, "other", "curated")],
+        "doc_id long, text string, source string",
+    )
+    expected = {
+        r["digest"]: (r["survivor_id"], r["survivor_source"])
+        for r in priority_dedup(batch_docs, {"curated": 0}, default_priority=10).collect()
+    }
+    assert latest == expected, (latest, expected)
+    # the replacement actually happened: 'dup' digest emitted twice (1 then 9)
+    import hashlib
+    dup_digest = hashlib.md5(b"dup").hexdigest()
+    dup_rows = [r["survivor_id"] for r in rows if r["digest"] == dup_digest]
+    assert dup_rows == [1, 9], dup_rows
