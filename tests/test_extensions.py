@@ -2096,3 +2096,105 @@ def test_streaming_priority_dedup_matches_batch(spark, tmp_path):
     dup_digest = hashlib.md5(b"dup").hexdigest()
     dup_rows = [r["survivor_id"] for r in rows if r["digest"] == dup_digest]
     assert dup_rows == [1, 9], dup_rows
+
+
+def test_knn_graph_matches_python_twin(spark):
+    """Randomized equivalence against a straight-line numpy twin: small
+    integer vectors FORCE exact raw-score ties (the quantized cosine of
+    scaled copies is identical), docs include a zero vector and a NULL —
+    pins the tile-local top-k composition, the (raw desc, id asc)
+    tie-break, and NaN exclusion across several block counts."""
+    import numpy as np
+
+    from mine_database_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(23)
+    dim, n, k = 4, 40, 3
+    vecs = rng.integers(0, 3, size=(n, dim)).astype(float)
+    vecs[7] = 0.0                       # zero vector -> excluded everywhere
+    vecs[12] = vecs[5] * 2.0            # scaled copy -> exact score tie vs 5
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    rows.append((n, None))              # NULL embedding
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = np.round(vecs * 1.0e6)
+    norms = np.sqrt((q * q).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = (q @ q.T) / (norms[:, None] * norms[None, :])
+    expected = {}
+    for i in range(n):
+        cands = [
+            (-raw[i, j], j) for j in range(n)
+            if j != i and np.isfinite(raw[i, j])
+        ]
+        cands.sort()
+        expected[i] = [
+            (r + 1, j, round(float(-s), 4)) for r, (s, j) in enumerate(cands[:k])
+        ]
+    expected = {i: v for i, v in expected.items() if v}
+
+    for n_blocks in (1, 3, 8):
+        got = {}
+        for r in knn_graph(df, k=k, n_blocks=n_blocks).collect():
+            got.setdefault(r["vec_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["score"])
+            )
+        got = {i: sorted(v) for i, v in got.items()}
+        assert got == expected, f"n_blocks={n_blocks}"
+
+
+def test_snapshot_diff_matches_python_twin(spark):
+    """Randomized old/new frames: every id appears with exactly one status,
+    and each status matches the reference twin computed from raw values."""
+    import numpy as np
+
+    from mine_database_spark.operators.dedup import snapshot_diff
+
+    rng = np.random.default_rng(5)
+    vals = [None, "", "x", "y", "xy"]
+    old = {int(i): (vals[rng.integers(5)], vals[rng.integers(5)]) for i in rng.choice(60, 35, replace=False)}
+    new = {int(i): (vals[rng.integers(5)], vals[rng.integers(5)]) for i in rng.choice(60, 35, replace=False)}
+    odf = spark.createDataFrame([(i, a, b) for i, (a, b) in old.items()], "doc_id long, t1 string, t2 string")
+    ndf = spark.createDataFrame([(i, a, b) for i, (a, b) in new.items()], "doc_id long, t1 string, t2 string")
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(odf, ndf, content_cols=("t1", "t2")).collect()}
+    expected = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            expected[i] = "added"
+        elif i not in new:
+            expected[i] = "removed"
+        else:
+            expected[i] = "unchanged" if old[i] == new[i] else "changed"
+    assert out == expected
+
+
+def test_priority_dedup_matches_python_twin(spark):
+    """Randomized docs over random priority maps: survivor = argmin
+    (rank, id) within each text group, dup_count = group size."""
+    import numpy as np
+
+    from mine_database_spark.operators.dedup import priority_dedup
+
+    rng = np.random.default_rng(9)
+    sources = ["s0", "s1", "s2", "s3", None]
+    texts = ["t%d" % t for t in range(8)]
+    rows = [
+        (int(i), texts[rng.integers(8)], sources[rng.integers(5)])
+        for i in range(120)
+    ]
+    prio = {"s1": 0, "s3": 2}
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["digest"]: (r["survivor_id"], r["survivor_source"], r["dup_count"])
+        for r in priority_dedup(df, prio, default_priority=7).collect()
+    }
+    import hashlib
+
+    groups = {}
+    for i, t, s in rows:
+        groups.setdefault(t, []).append((prio.get(s, 7), i, s))
+    expected = {}
+    for t, members in groups.items():
+        r, i, s = min(members, key=lambda m: (m[0], m[1]))
+        expected[hashlib.md5(t.encode()).hexdigest()] = (i, s, len(members))
+    assert got == expected
