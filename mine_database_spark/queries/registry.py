@@ -1717,6 +1717,40 @@ WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqr
 """
 
 
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination — the semantic complement of
+    the 8-gram contamination_check (paraphrased eval leakage shares no
+    8-gram): each eval item (vec_id < 5, the ann query convention) is
+    flagged when its nearest train vector's cosine clears the threshold.
+    One brute_force_topk(k=1) pass: the train corpus never shuffles to
+    score, the 5-row eval set broadcasts; at 100 TB the same policy runs
+    over ann_lsh/ivf/pq shortlists instead of the exact scan."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") < 5)
+    train = e.where(F.col("vec_id") >= 5)
+    nearest = sim.brute_force_topk(train, ev, k=1)
+    return nearest.select(
+        F.col("query_id").alias("eval_id"),
+        F.col("vec_id").alias("nearest_train_id"),
+        F.col("score"),
+        (F.col("score") >= F.lit(0.37)).alias("contaminated"),
+    )
+
+
+_Q_SEMANTIC_CONTAM_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (
+  SELECT q.eval_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+  FROM e CROSS JOIN q WHERE e.vec_id >= 5
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY score DESC, vec_id) AS rn FROM s)
+SELECT eval_id, vec_id AS nearest_train_id, score, score >= 0.37 AS contaminated
+FROM r WHERE rn = 1
+"""
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-nearest-neighbor graph over the embeddings table
     (similarity.knn_graph): every vector's top-5 cosine neighbors via the
@@ -3231,6 +3265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_percentile_filter": q_length_percentile_filter,
     "source_overlap": q_source_overlap,
     "mixture_upsample": q_mixture_upsample,
+    "semantic_contamination": q_semantic_contamination,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -3248,11 +3283,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "operator_census": q_operator_census,
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
-    "ngram_jaccard": q_ngram_jaccard,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
     # untouched in r9; displaced by the new span_scrub / bigram_logprob /
     # winnow_pairs / knn_graph(+lsh,+ivf) / snapshot_diff / priority_dedup /
-    # length_percentile_filter / source_overlap / mixture_upsample) ---
+    # length_percentile_filter / source_overlap / mixture_upsample /
+    # semantic_contamination) ---
+    "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "repetition_stats": q_repetition_stats,
     "quality_rules": q_quality_rules,
@@ -3297,6 +3333,7 @@ ORACLES: dict[str, str] = {
     "length_percentile_filter": _Q_LENGTH_PCTL_SQL,
     "source_overlap": _Q_SOURCE_OVERLAP_SQL,
     "mixture_upsample": _Q_MIXTURE_UPSAMPLE_SQL,
+    "semantic_contamination": _Q_SEMANTIC_CONTAM_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,
