@@ -2198,3 +2198,28 @@ def test_priority_dedup_matches_python_twin(spark):
         r, i, s = min(members, key=lambda m: (m[0], m[1]))
         expected[hashlib.md5(t.encode()).hexdigest()] = (i, s, len(members))
     assert got == expected
+
+
+def test_semantic_contamination_policy(spark):
+    """A paraphrase-level near-copy in the train set flags its eval item;
+    an eval item orthogonal to every train vector stays clean; the nearest
+    id reported is the true argmax."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # eval: has a near-copy in train
+        (1, [0.0, 1.0, 0.0, 0.0]),     # eval: orthogonal to all train
+        (10, [0.99, 0.1, 0.0, 0.0]),   # train near-copy of eval 0
+        (11, [0.0, 0.0, 1.0, 0.0]),
+        (12, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev, train = e.where("vec_id < 5"), e.where("vec_id >= 5")
+    out = {
+        r["query_id"]: (r["vec_id"], r["score"] >= 0.37)
+        for r in brute_force_topk(train, ev, k=1).collect()
+    }
+    assert out[0] == (10, True)
+    assert out[1][1] is False
