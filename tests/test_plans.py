@@ -486,3 +486,39 @@ def test_mixture_upsample_zero_shuffle(spark, sf_smoke):
     assert "Join" not in plan, plan
     assert "Generate" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_winnow_pairs_inverted_index_shape(spark, sf_smoke):
+    """winnow_pairs pairs documents through the fingerprint inverted index
+    — an equi-join, never a cross join — with the df-cap aggregate and the
+    pair count both map-side combinable."""
+    plan = plan_str(QUERIES["winnow_pairs"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # fingerprint table persisted across branches
+
+
+def test_knn_graph_tile_kernel_shape(spark, sf_smoke):
+    """The exact kNN graph's O(n²) work lives inside cogrouped Arrow tiles:
+    FlatMapCoGroupsInPandas present, no row-at-a-time Python, and the only
+    nested-loop join is the constant 8x8 block-pair grid (its build side
+    is a range, not the corpus)."""
+    plan = plan_str(QUERIES["knn_graph"](spark, sf_smoke), mode="simple")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the corpus scan must never sit under a nested-loop join build
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        head = frag[:400]
+        assert "Scan parquet" not in head.split("FlatMapCoGroupsInPandas")[0] or "Range" in head, plan
+
+
+def test_knn_graph_lsh_blocked_rescore(spark, sf_smoke):
+    """The LSH graph twin must rescore candidates through the blocked
+    cogrouped einsum (score_pairs_blocked), never a per-pair interpreted
+    cosine fold: FlatMapCoGroupsInPandas present, no cross join, no
+    row-Python."""
+    plan = plan_str(QUERIES["knn_graph_lsh"](spark, sf_smoke), mode="simple")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
