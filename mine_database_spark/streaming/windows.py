@@ -171,3 +171,39 @@ def stream_incremental_dedup(
     return doc_stream.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")
     ).join(digests, "digest", "left_anti")
+
+
+def stream_exact_dedup_watermarked(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Event-time streaming exact dedup using Spark's BUILT-IN
+    dropDuplicatesWithinWatermark — the native twin of
+    stateful.exact_dedup_stream, per the engine's prefer-built-ins
+    doctrine. The first-arriving row per md5(text) digest survives; later
+    copies within the watermark window drop; state for a digest is evicted
+    once the watermark passes its event time + delay, so a duplicate
+    arriving later than `delay` after the original re-admits as new —
+    the same bounded-window tradeoff as the custom operator's TTL, but
+    governed by EVENT time (robust to source reordering inside the
+    watermark, where a processing-time TTL is not) and running entirely
+    JVM-side with no Python in the loop.
+
+    Use the custom stateful twin when the policy needs more than
+    first-wins (e.g. priority_dedup_stream's update-mode replacement) —
+    the built-in cannot express emitting a BETTER row for an
+    already-emitted key; use this one for plain exact dedup at scale.
+    """
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("digest"),
+            F.col(id_col).cast("bigint").alias("survivor_id"),
+            F.col(ts_col).alias("__ts"),
+        )
+        .withWatermark("__ts", delay)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("digest", "survivor_id", F.col("__ts").alias("event_ts"))
+    )

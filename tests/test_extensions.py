@@ -2223,3 +2223,40 @@ def test_semantic_contamination_policy(spark):
     }
     assert out[0] == (10, True)
     assert out[1][1] is False
+
+
+def test_stream_exact_dedup_watermarked(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark twin: the first-arriving copy
+    per digest survives across micro-batches, later copies drop, and the
+    emitted set matches the custom stateful operator's on the same input."""
+    from mine_database_spark.streaming.windows import stream_exact_dedup_watermarked
+
+    src = tmp_path / "wm_dedup_src"
+    src.mkdir()
+    (src / "batch1.csv").write_text(
+        "1,hello world,2024-01-01T10:00:00\n"
+        "2,goodbye,2024-01-01T10:00:05\n"
+        "3,hello world,2024-01-01T10:00:10"
+    )
+    (src / "batch2.csv").write_text(
+        "4,hello world,2024-01-01T10:01:00\n"
+        "5,fresh text,2024-01-01T10:01:30"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_exact_dedup_watermarked(stream, ts_col="ts", delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    rows = spark.sql("select * from wm_dedup_test").collect()
+    got = {r["digest"]: r["survivor_id"] for r in rows}
+    assert sorted(got.values()) == [1, 2, 5], rows  # 3 and 4 are duplicates
+    assert len(rows) == 3
