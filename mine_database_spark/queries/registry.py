@@ -1471,6 +1471,86 @@ LEFT JOIN hit USING (doc_id)
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-canonical-URL — the C4/CommonCrawl ingestion primitive
+    (functions/urls.py:canonical_url): two fetches differing only in
+    scheme/host case, a fragment, tracking parameters, parameter order,
+    or a trailing slash collapse to one key; the earliest event survives.
+    The synthetic corpus has no URLs, so each event derives a messy URL
+    deterministically in BOTH engines (the url_stats pattern) exercising
+    every noise class. Scale: pure regexp/array scan + ONE
+    map-side-combinable aggregate keyed by the canonical URL."""
+    from mine_database_spark.functions.urls import canonical_url
+
+    (e,) = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(F.col("event_id") % 3 == 0, F.lit("WWW.SITE")).otherwise(F.lit("www.site")),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".example.com/"),
+        F.col("event_type"),
+        F.lit("/p/"),
+        (F.col("event_id") % 25).cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.element_at(
+            F.array(
+                F.lit(""),
+                F.lit("?utm_source=feed&x=1"),
+                F.lit("?x=1"),
+                F.lit("?x=1&utm_campaign=z&gclid=abc"),
+            ),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ),
+        F.when(F.col("event_id") % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return (
+        e.select(F.col("event_id"), canonical_url(url).alias("canonical"))
+        .where(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(
+            F.min("event_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+_Q_URL_DEDUP_SQL = """
+WITH raw AS (
+  SELECT event_id,
+         (CASE WHEN event_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+         || (CASE WHEN event_id % 3 = 0 THEN 'WWW.SITE' ELSE 'www.site' END)
+         || CAST(user_id % 20 AS VARCHAR) || '.example.com/'
+         || event_type || '/p/' || CAST(event_id % 25 AS VARCHAR)
+         || (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END)
+         || (['', '?utm_source=feed&x=1', '?x=1', '?x=1&utm_campaign=z&gclid=abc'])[CAST(event_id % 4 + 1 AS INTEGER)]
+         || (CASE WHEN event_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+  FROM events
+),
+parts AS (
+  SELECT event_id,
+         lower(regexp_extract(regexp_replace(url, '#.*', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS host,
+         regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(.*)', 1) AS rest
+  FROM raw
+),
+canon AS (
+  SELECT event_id,
+         scheme || '://' || host
+         || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+         || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical
+  FROM (
+    SELECT event_id, scheme, host, rest,
+           array_to_string(list_sort(list_filter(string_split(regexp_extract(rest, '\\?(.*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&') AS qs
+    FROM parts
+  )
+  WHERE scheme <> '' AND host <> ''
+)
+SELECT canonical, MIN(event_id) AS survivor_id, COUNT(*) AS dup_count
+FROM canon GROUP BY canonical
+"""
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain analysis — the C4/RefinedWeb domain-filtering primitive:
     per registrable domain, page count, distinct users, mean path depth,
@@ -3266,6 +3346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "mixture_upsample": q_mixture_upsample,
     "semantic_contamination": q_semantic_contamination,
+    "url_dedup": q_url_dedup,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -3282,12 +3363,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bit_prevalence": q_bit_prevalence,
     "operator_census": q_operator_census,
     "minhash_lsh": q_minhash_lsh,
-    "dup_clusters": q_dup_clusters,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
     # untouched in r9; displaced by the new span_scrub / bigram_logprob /
     # winnow_pairs / knn_graph(+lsh,+ivf) / snapshot_diff / priority_dedup /
     # length_percentile_filter / source_overlap / mixture_upsample /
-    # semantic_contamination) ---
+    # semantic_contamination / url_dedup) ---
+    "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "repetition_stats": q_repetition_stats,
@@ -3334,6 +3415,7 @@ ORACLES: dict[str, str] = {
     "source_overlap": _Q_SOURCE_OVERLAP_SQL,
     "mixture_upsample": _Q_MIXTURE_UPSAMPLE_SQL,
     "semantic_contamination": _Q_SEMANTIC_CONTAM_SQL,
+    "url_dedup": _Q_URL_DEDUP_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

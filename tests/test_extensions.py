@@ -2260,3 +2260,31 @@ def test_stream_exact_dedup_watermarked(spark, tmp_path):
     got = {r["digest"]: r["survivor_id"] for r in rows}
     assert sorted(got.values()) == [1, 2, 5], rows  # 3 and 4 are duplicates
     assert len(rows) == 3
+
+
+def test_canonical_url_noise_classes(spark):
+    """Every canonicalization rule in isolation: fragment, scheme/host
+    case, trailing slash, tracking params, param order — and the
+    contract's deliberate non-rules (scheme, subdomain, and path case are
+    PRESERVED). Garbage and NULL input canonicalize to NULL."""
+    from mine_database_spark.functions.urls import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.Site.Example.COM/A/b", "https://www.site.example.com/A/b"),
+        ("HTTPS://site.example.com/a#frag", "https://site.example.com/a"),
+        ("https://site.example.com/a/", "https://site.example.com/a"),
+        ("https://site.example.com/a///", "https://site.example.com/a"),
+        ("https://site.example.com/a?utm_source=x&b=2&a=1", "https://site.example.com/a?a=1&b=2"),
+        ("https://site.example.com/a?b=2&a=1&gclid=zz#x", "https://site.example.com/a?a=1&b=2"),
+        ("https://site.example.com/a?utm_campaign=only", "https://site.example.com/a"),
+        ("http://site.example.com/a", "http://site.example.com/a"),  # scheme preserved
+        ("https://site.example.com", "https://site.example.com"),
+        ("https://site.example.com/?ref=hn", "https://site.example.com"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

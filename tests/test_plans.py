@@ -522,3 +522,13 @@ def test_knn_graph_lsh_blocked_rescore(spark, sf_smoke):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_url_dedup_scan_agg_shape(spark, sf_smoke):
+    """Canonical-URL dedup is a pure regexp/array scan + ONE canonical-key
+    aggregate — no joins, no Python, map-side partials."""
+    plan = plan_str(QUERIES["url_dedup"](spark, sf_smoke), mode="simple")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan and "partial_count" in plan, plan
