@@ -90,3 +90,44 @@ def stopword_token_count(text: Column, stopwords: list[str] | None = None) -> Co
     """
     words = "|".join(re.escape(w) for w in (stopwords or STOPWORDS_EN))
     return F.regexp_count(text, F.lit(r"(?<=^|\s)(" + words + r")(?=\s|$)"))
+
+
+def strip_html(html: Column) -> Column:
+    """Markup-to-text extraction — the WET-style first step of an ingest
+    pipeline, as a pure JVM regexp chain the SQL oracle reproduces (no
+    lookaround; RE2/Java-compatible):
+
+      1. drop <script>/<style> elements WITH their contents (their text is
+         never prose; (?s) makes . span newlines, (?i) case-folds the tag)
+      2. drop HTML comments
+      3. block-level closers/openers (</p>, <br>, <div>, headings, <li>,
+         <tr>) become newlines so words from adjacent blocks don't fuse
+      4. every remaining tag is deleted
+      5. the predefined entities (&amp; LAST — it may unescape into text
+         that looks like an entity prefix) plus &nbsp; and &#39; unescape
+      6. runs of spaces/tabs collapse; runs of newlines collapse to one;
+         edges trim
+
+    Deliberately NOT a browser: CDATA, conditional comments, and the full
+    entity table are out of scope — this is the deterministic, cheap,
+    scan-speed extractor a 100 TB ingest wants, not a DOM.
+    """
+    # script and style run as separate patterns: a backreference (</\1>)
+    # would be Java-only — RE2 (the oracle engine) has none
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</?(p|br|div|h[1-6]|li|tr|table|ul|ol|blockquote)\b[^>]*/?>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    t = F.regexp_replace(t, r"&nbsp;", " ")
+    t = F.regexp_replace(t, r"&lt;", "<")
+    t = F.regexp_replace(t, r"&gt;", ">")
+    t = F.regexp_replace(t, r"&quot;", "\"")
+    t = F.regexp_replace(t, r"&#39;|&apos;", "'")
+    t = F.regexp_replace(t, r"&amp;", "&")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

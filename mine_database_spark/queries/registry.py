@@ -1551,6 +1551,79 @@ FROM canon GROUP BY canonical
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text extraction (functions/text.py:strip_html) — the
+    WET-style ingest step before every text operator. The synthetic corpus
+    is already plain text, so each document is wrapped in deterministic
+    HTML in BOTH engines (the url_stats pattern) exercising every rule:
+    a script whose body contains markup AND entities, a style block, a
+    comment, block-level tags, and all the unescapes. One regexp-chain
+    scan: no shuffle, no Python."""
+    from mine_database_spark.functions.text import strip_html
+
+    (d,) = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title><style>body { color: red; }</style>'
+            '<script type="text/javascript">if (1 &amp;&amp; 2) { var x = "<p>"; }</script>'
+            "</head><body><!-- generated\npage -->\n<h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>lang: "),
+        F.col("lang"),
+        F.lit("</li></ul><div>footer &amp; fine&nbsp;print &#39;v1&#39;</div></body></html>"),
+    )
+    out = strip_html(html)
+    return d.select(
+        "doc_id", out.alias("clean_text"), F.length(out).cast("int").alias("n_chars")
+    )
+
+
+# regexp_replace needs the 'g' option in DuckDB (Spark replaces all by
+# default); replacements use chr(10) because RE2 REPLACEMENT strings do not
+# process \n escapes (patterns do)
+_Q_HTML_EXTRACT_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         '<html><head><title>T</title><style>body { color: red; }</style>'
+         || '<script type="text/javascript">if (1 &amp;&amp; 2) { var x = "<p>"; }</script>'
+         || '</head><body><!-- generated' || chr(10) || 'page -->' || chr(10) || '<h1>'
+         || source || '</h1>' || chr(10) || '<p>' || text || '</p><ul><li>lang: ' || lang
+         || '</li></ul><div>footer &amp; fine&nbsp;print &#39;v1&#39;</div></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        html,
+        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?i)</?(p|br|div|h[1-6]|li|tr|table|ul|ol|blockquote)\b[^>]*/?>', chr(10), 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' ', 'g'),
+        '&lt;', '<', 'g'),
+        '&gt;', '>', 'g'),
+        '&quot;', '"', 'g'),
+        '&#39;|&apos;', chr(39), 'g'),
+        '&amp;', '&', 'g'),
+        '[ \t]+', ' ', 'g'),
+        ' ?' || chr(10) || ' ?', chr(10), 'g'),
+        chr(10) || '+', chr(10), 'g') AS t
+  FROM raw
+)
+SELECT doc_id,
+       regexp_replace(t, '^\s+|\s+$', '', 'g') AS clean_text,
+       CAST(length(regexp_replace(t, '^\s+|\s+$', '', 'g')) AS INTEGER) AS n_chars
+FROM stripped
+"""
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain analysis — the C4/RefinedWeb domain-filtering primitive:
     per registrable domain, page count, distinct users, mean path depth,
@@ -3347,6 +3420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_upsample": q_mixture_upsample,
     "semantic_contamination": q_semantic_contamination,
     "url_dedup": q_url_dedup,
+    "html_extract": q_html_extract,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -3362,12 +3436,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
     "operator_census": q_operator_census,
-    "minhash_lsh": q_minhash_lsh,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
     # untouched in r9; displaced by the new span_scrub / bigram_logprob /
     # winnow_pairs / knn_graph(+lsh,+ivf) / snapshot_diff / priority_dedup /
     # length_percentile_filter / source_overlap / mixture_upsample /
-    # semantic_contamination / url_dedup) ---
+    # semantic_contamination / url_dedup / html_extract) ---
+    "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -3416,6 +3490,7 @@ ORACLES: dict[str, str] = {
     "mixture_upsample": _Q_MIXTURE_UPSAMPLE_SQL,
     "semantic_contamination": _Q_SEMANTIC_CONTAM_SQL,
     "url_dedup": _Q_URL_DEDUP_SQL,
+    "html_extract": _Q_HTML_EXTRACT_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

@@ -2288,3 +2288,30 @@ def test_canonical_url_noise_classes(spark):
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_strip_html_rules(spark):
+    """Each extraction rule: script/style bodies vanish entirely (even
+    when they contain markup and entities), comments vanish, block tags
+    become line breaks (words never fuse), inline tags become spaces,
+    entities unescape with &amp; last, whitespace collapses."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.functions.text import strip_html
+
+    cases = [
+        ('<p>a</p><p>b</p>', "a\nb"),
+        ('x<script>var p = "<p>hidden</p>";</script>y', "x y"),
+        ("x<style>p { color: &quot;red&quot;; }</style>y", "x y"),
+        ("x<!-- secret\nnote -->y", "x y"),
+        ("<b>bo</b>ld <i>i</i>", "bo ld i"),
+        ("a&lt;b&gt;c &amp;amp; d&nbsp;e", "a<b>c &amp; d e"),
+        ("<h1>Title</h1>body", "Title\nbody"),
+        ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+        ("   lots\t of\n\n\n space   ", "lots of\nspace"),
+        ("plain text stays", "plain text stays"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i long, h string")
+    got = {r["i"]: r["t"] for r in df.select("i", strip_html(F.col("h")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, repr(got[i]), repr(want))

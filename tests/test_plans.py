@@ -532,3 +532,12 @@ def test_url_dedup_scan_agg_shape(spark, sf_smoke):
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "partial_min" in plan and "partial_count" in plan, plan
+
+
+def test_html_extract_zero_shuffle_no_python(spark, sf_smoke):
+    """Markup extraction is a pure regexp-chain scan: no Exchange, no
+    joins, no Python — parquet scan speed at 100 TB."""
+    plan = plan_str(QUERIES["html_extract"](spark, sf_smoke), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
