@@ -32,6 +32,47 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def normalized_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on a NORMALIZED digest — the C4-style middle ground
+    between byte-exact dedup (misses a re-encoded copy that differs only
+    in case or punctuation) and MinHash (overkill for trivially-reformatted
+    copies): lowercase, strip punctuation/symbols, collapse whitespace,
+    then the md5-min-id survivor rule. The normalization is a Unicode-class
+    regexp ([^\\p{L}\\p{N}\\s] — letters/digits/whitespace survive), so it
+    behaves identically on non-Latin text.
+
+    Returns (digest, survivor_id, dup_count, n_variants) where n_variants
+    counts DISTINCT raw texts that collapsed into the group — n_variants
+    > 1 is exactly the set exact_dedup missed.
+
+    Scale: identical to exact_dedup — the normalization is scan-side, the
+    aggregate is one digest-keyed map-side-combinable shuffle. n_variants
+    uses the raw-text md5 (fixed 32 chars), never the text itself, so the
+    distinct-count state stays bounded per group.
+    """
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]+", " "),
+        r"\s+",
+        " ",
+    )
+    norm = F.regexp_replace(norm, r"^ | $", "")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.md5(norm).alias("digest"),
+            F.md5(F.col(text_col)).alias("__raw_digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.countDistinct("__raw_digest").alias("n_variants"),
+        )
+    )
+
+
 def shingle_table(docs: DataFrame, id_col: str, text_col: str, k: int = 5,
                   distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) pairs — the inverted-index building block.

@@ -902,6 +902,43 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
 
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup (dedup.normalized_dedup):
+    every third document gets a reformatted re-publication (leading/
+    trailing whitespace + punctuation noise, new id) that byte-exact dedup
+    cannot collapse — the normalized digest folds each such pair into one
+    group with n_variants = 2. ASCII-only noise keeps the synthesis
+    locale-independent across engines."""
+    (d,) = _t(spark, sf_dir, "documents")
+    reformatted = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit(" !!! ")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(reformatted)
+    return dd.normalized_dedup(corpus)
+
+
+_Q_NORMALIZED_DEDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, '  ' || text || ' !!! ' FROM documents WHERE doc_id % 3 = 0
+),
+k AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             '[^\p{L}\p{N}\s]+', ' ', 'g'),
+             '\s+', ' ', 'g'),
+             '^ | $', '', 'g')) AS digest,
+         md5(text) AS raw_digest
+  FROM corpus
+)
+SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count,
+       COUNT(DISTINCT raw_digest) AS n_variants
+FROM k GROUP BY digest
+"""
+
+
 _SHINGLE_SQL = """
 tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
 pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {km1})) AS i FROM tok WHERE len(toks) >= {k}),
@@ -3421,6 +3458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_contamination": q_semantic_contamination,
     "url_dedup": q_url_dedup,
     "html_extract": q_html_extract,
+    "normalized_dedup": q_normalized_dedup,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -3435,12 +3473,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_of_native": q_product_of_native,
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
-    "operator_census": q_operator_census,
     # --- rotated out of the 50-row gate this round (driver-green r7+r8,
     # untouched in r9; displaced by the new span_scrub / bigram_logprob /
     # winnow_pairs / knn_graph(+lsh,+ivf) / snapshot_diff / priority_dedup /
     # length_percentile_filter / source_overlap / mixture_upsample /
-    # semantic_contamination / url_dedup / html_extract) ---
+    # semantic_contamination / url_dedup / html_extract / normalized_dedup) ---
+    "operator_census": q_operator_census,
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3491,6 +3529,7 @@ ORACLES: dict[str, str] = {
     "semantic_contamination": _Q_SEMANTIC_CONTAM_SQL,
     "url_dedup": _Q_URL_DEDUP_SQL,
     "html_extract": _Q_HTML_EXTRACT_SQL,
+    "normalized_dedup": _Q_NORMALIZED_DEDUP_SQL,
     "pricing_summary": _Q_PRICING_SQL,
     "top_revenue_orders": _Q_TOP_REVENUE_SQL,
     "region_revenue": _Q_REGION_REVENUE_SQL,

@@ -2315,3 +2315,28 @@ def test_strip_html_rules(spark):
     got = {r["i"]: r["t"] for r in df.select("i", strip_html(F.col("h")).alias("t")).collect()}
     for i, (h, want) in enumerate(cases):
         assert got[i] == want, (h, repr(got[i]), repr(want))
+
+
+def test_normalized_dedup_folds_reformatted_copies(spark):
+    """Case, punctuation, and whitespace variants fold into one group
+    (n_variants counts the distinct raw forms); Unicode letters/digits
+    survive normalization so CJK text folds by the same rules; genuinely
+    different text stays separate."""
+    from mine_database_spark.operators.dedup import normalized_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "  HELLO world?! "),
+            (4, "你好，世界。"),
+            (5, "你好 世界"),
+            (6, "different text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["survivor_id"]: r for r in normalized_dedup(docs).collect()}
+    assert set(out) == {1, 4, 6}
+    assert out[1]["dup_count"] == 3 and out[1]["n_variants"] == 3
+    assert out[4]["dup_count"] == 2 and out[4]["n_variants"] == 2
+    assert out[6]["dup_count"] == 1 and out[6]["n_variants"] == 1

@@ -541,3 +541,14 @@ def test_html_extract_zero_shuffle_no_python(spark, sf_smoke):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_normalized_dedup_single_shuffle(spark, sf_smoke):
+    """Normalization is scan-side; the operator keeps exact_dedup's
+    single-shuffle shape with map-side partials (the distinct-variant
+    count is Spark's two-phase expand over the same exchange)."""
+    plan = plan_str(QUERIES["normalized_dedup"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # count-distinct expand
