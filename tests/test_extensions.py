@@ -2340,3 +2340,39 @@ def test_normalized_dedup_folds_reformatted_copies(spark):
     assert out[1]["dup_count"] == 3 and out[1]["n_variants"] == 3
     assert out[4]["dup_count"] == 2 and out[4]["n_variants"] == 2
     assert out[6]["dup_count"] == 1 and out[6]["n_variants"] == 1
+
+
+def test_canonicalizers_are_idempotent(spark):
+    """canonical_url and strip_html are normalizers: applying them twice
+    must equal applying them once, over the registry queries' own
+    synthesized messy inputs (every noise class present)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.functions.text import strip_html
+    from mine_database_spark.functions.urls import canonical_url
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(300)
+    url = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(F.col("event_id") % 3 == 0, F.lit("WWW.SITE")).otherwise(F.lit("www.site")),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".example.com/"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 4 == 1, F.lit("?utm_source=feed&x=1&a=2")).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    bad = e.select(
+        (canonical_url(canonical_url(url)) != canonical_url(url)).alias("diff")
+    ).where("diff").count()
+    assert bad == 0
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+    html = F.concat(
+        F.lit("<p>"), F.col("text"),
+        F.lit('</p><script>var x = "<i>y</i>";</script><div>tail &amp; end</div>'),
+    )
+    bad = d.select(
+        (strip_html(strip_html(html)) != strip_html(html)).alias("diff")
+    ).where("diff").count()
+    assert bad == 0
