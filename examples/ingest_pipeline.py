@@ -1,0 +1,132 @@
+"""Crawl-side ingest template — the stage BEFORE examples/llm_pipeline.py:
+raw fetches (markup + fetch URL) become the clean, URL- and
+content-deduplicated plain-document table the shaping pipeline starts from.
+
+   1. Markup-to-text extraction (functions.text.strip_html) — script/style/
+      comment removal, block tags to line breaks, entity unescape; a pure
+      regexp-chain scan
+   2. Dedup by canonical URL (functions.urls.canonical_url) — two fetches of
+      one resource differing in case/fragment/tracking-params/slash collapse;
+      the earliest fetch survives
+   3. Normalization-insensitive content dedup (dedup.normalized_dedup) —
+      reformatted re-publications (case/punct/whitespace) collapse where
+      byte-exact dedup cannot
+
+The synthetic corpus is already plain text, so step 0 derives a messy fetch
+record (HTML wrapper + noisy URL, plus a reformatted duplicate fetch for
+every third document) deterministically — the registry q_html_extract /
+q_url_dedup convention. Every stage is a DataFrame transform; nothing leaves
+the JVM. Output schema matches llm_pipeline.run()'s input contract
+(doc_id, source, lang, text).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(docs_path: str | None = None, app_name: str = "mine-spark-ingest") -> dict:
+    """Execute the ingest pipeline; returns per-stage survivor counts plus
+    the final DataFrame under the 'docs' key."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.functions.text import strip_html
+    from mine_database_spark.functions.urls import canonical_url
+    from mine_database_spark.operators.dedup import normalized_dedup
+    from mine_database_spark.session import get_spark
+
+    spark = get_spark(app_name)
+    spark.sparkContext.setLogLevel("ERROR")
+    start = time.time()
+    docs_path = docs_path or "/root/testdata/sf0.001/documents.parquet"
+    counts: dict[str, object] = {}
+
+    # 0. synthesize the crawl — three fetch classes, one per dedup stage:
+    #    every doc's original fetch; a TRACKING-LINK refetch of every third
+    #    doc (same resource, noisy URL -> canonical-URL dedup collapses it);
+    #    and a SYNDICATED republication of every fourth doc (different host,
+    #    reformatted text -> only normalized content dedup can collapse it)
+    base = spark.read.parquet(docs_path).select("doc_id", "source", "lang", "text")
+    html_of = lambda text: F.concat(
+        F.lit("<html><body><!-- fetched --><h1>Title</h1><p>"),
+        text,
+        F.lit("</p><script>track();</script><div>footer &amp; legal</div></body></html>"),
+    )
+    url_of = lambda host, noise: F.concat(
+        F.lit(f"https://{host}"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example.com/doc/"),
+        (F.col("doc_id") % 1_000_000).cast("string"),
+        F.lit(noise),
+    )
+    first = base.select(
+        "doc_id", "source", "lang",
+        html_of(F.col("text")).alias("html"),
+        url_of("www.site", "").alias("fetch_url"),
+        F.lit(0).alias("fetch_seq"),
+    )
+    tracking_refetch = base.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source", "lang",
+        html_of(F.col("text")).alias("html"),
+        url_of("WWW.Site", "/?utm_source=feed#top").alias("fetch_url"),
+        F.lit(1).alias("fetch_seq"),
+    )
+    syndicated = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "source", "lang",
+        html_of(F.concat(F.lit("  "), F.col("text"), F.lit(" !!! "))).alias("html"),
+        F.concat(
+            F.lit("https://mirror.example.org/items/"),
+            F.col("doc_id").cast("string"),
+        ).alias("fetch_url"),
+        F.lit(1).alias("fetch_seq"),
+    )
+    fetches = first.unionByName(tracking_refetch).unionByName(syndicated)
+    counts["fetched"] = fetches.count()
+
+    # 1. markup -> text (zero-shuffle regexp chain)
+    fetches = fetches.withColumn("text", strip_html(F.col("html"))).drop("html")
+
+    # 2. dedup by canonical URL: earliest fetch_seq (then doc_id) per key —
+    #    min(struct) keeps the whole winning row without a second join
+    keyed = fetches.withColumn("canonical", canonical_url(F.col("fetch_url")))
+    survivors = (
+        keyed.where(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(
+            F.min(
+                F.struct("fetch_seq", "doc_id", "source", "lang", "text")
+            ).alias("w")
+        )
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.source").alias("source"),
+            F.col("w.lang").alias("lang"),
+            F.col("w.text").alias("text"),
+        )
+    )
+    counts["after_url_dedup"] = survivors.count()
+
+    # 3. normalization-insensitive content dedup: reformatted republications
+    #    that came through DIFFERENT urls still collapse
+    keep = normalized_dedup(survivors).select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    docs = survivors.join(keep, "doc_id", "left_semi")
+    counts["after_normalized_dedup"] = docs.count()
+    counts["wall_seconds"] = round(time.time() - start, 1)
+    counts["docs"] = docs
+    return counts
+
+
+if __name__ == "__main__":
+    out = run()
+    df = out.pop("docs")
+    for k, v in out.items():
+        print(f"{k:24s} {v}")
+    df.show(3, truncate=60)
