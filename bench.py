@@ -2,8 +2,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "details": {name: {"median":..., "min":...,
-"max":...}}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}.
+
+Output-size contract: the consumer of this line captures only the LAST
+2000 characters of stdout (observed: BENCH_r05..r09 artifacts all carry
+"parsed": null because the one-line JSON outgrew that window once the
+registry passed ~60 queries). The stdout line is therefore kept under
+BUDGET=1800 chars: the envelope always carries value/value_min/sf, and
+per-query medians are added slowest-first until the budget is reached
+(slowest queries are the regression-relevant ones). The COMPLETE per-query
+{median,min,max} table for every registry query is written to
+BENCH_DETAILS.json next to this script on every run — read that file for
+full-registry numbers; `queries_total` on the stdout line says how many
+queries ran vs. how many fit inline.
 
 Noise robustness: each query is timed over PASSES (default 4) interleaved
 round-robin passes and the reported per-query number is the MEDIAN, so a
@@ -123,20 +134,42 @@ def main() -> None:
     # a median; read value (median) for the comparable series, value_min
     # for the floor.
     total_min = round(sum(d["min"] for d in details.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "value_min": total_min,
-                "unit": "sec",
-                "queries": times,
-                "details": details,
-                "passes": passes,
-                "sf": sf,
-            }
-        )
-    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    full = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "value_min": total_min,
+        "unit": "sec",
+        "queries": times,
+        "details": details,
+        "passes": passes,
+        "sf": sf,
+    }
+    with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    # Compact stdout line under the 2000-char tail window (see module
+    # docstring): slowest queries first, stop before BUDGET.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
+    envelope = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "value_min": total_min,
+        "unit": "sec",
+        "queries": {},
+        "queries_total": len(times),
+        "queries_file": "BENCH_DETAILS.json",
+        "passes": passes,
+        "sf": sf,
+    }
+    compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
+    for name in sorted(times, key=times.get, reverse=True):
+        envelope["queries"][name] = times[name]
+        if len(compact(envelope)) > budget:
+            del envelope["queries"][name]
+            break
+    print(compact(envelope))
 
 
 if __name__ == "__main__":

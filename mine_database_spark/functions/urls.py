@@ -17,8 +17,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # tracking parameters stripped by the canonicalizer: the industry-standard
-# analytics/click-id set — shared with the SQL oracle via TRACKING_PARAM_RE
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)="
+# analytics/click-id set — shared with the SQL oracle via TRACKING_PARAM_RE.
+# Case-folded ((?i): trackers emit UTM_SOURCE too) and optionally valueless
+# ((=|$): a bare '?utm_source' must also collapse); `(?i)` and the
+# alternation parse identically in java.util.regex and DuckDB's RE2.
+TRACKING_PARAM_RE = r"^(?i)(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|ref)(=|$)"
 
 
 def canonical_url(url: Column) -> Column:

@@ -637,7 +637,12 @@ def winnow_candidate_pairs(
     md5 scan; `storage_level` persists it across them — the
     ngram_jaccard_pairs convention, same tradeoff: default None stays
     safe at 100 TB (the table is O(corpus positions); recomputing the
-    scan beats pinning it), persist at interactive scale.
+    scan beats pinning it), persist at interactive scale. When a
+    storage_level is given, the persisted fingerprint table is exposed on
+    the result as `pairs.persisted_fingerprints` so the caller can
+    `.unpersist()` it once the pairs are materialized — without this the
+    pin lives for the SparkContext lifetime (Spark's cacheManager serves
+    it to any plan-identical scan, so even a fresh invocation reads it).
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
@@ -664,6 +669,8 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+    if storage_level is not None:
+        pairs.persisted_fingerprints = fp
     return pairs
 
 

@@ -19,6 +19,17 @@ from pyspark.sql import functions as F
 from mine_database_spark.functions.vectors import cosine, cosine_maybe_unrolled
 
 
+def _valid_vec(vec_col: str):
+    """Filter predicate for usable embedding rows: drops NULL vectors AND
+    vectors with a NULL element — the numpy tile kernels (np.stack + @)
+    would otherwise receive an object-dtype array and crash at runtime
+    instead of excluding the row. Ragged lengths are not detectable row-
+    locally without a declared dim; the tile kernels raise a descriptive
+    error for those (np.stack refuses mixed lengths)."""
+    c = F.col(vec_col)
+    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull())
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -500,7 +511,7 @@ def embed_neardup_blocked(
     # Alias expression ids each call) — deriving both from one shared
     # DataFrame trips Spark's ambiguous-self-join analysis under cogroup
     def side(pair_key: str) -> DataFrame:
-        q = embeddings.where(F.col(vec_col).isNotNull()).select(
+        q = embeddings.where(_valid_vec(vec_col)).select(
             F.col(id_col).alias("vec_id"),
             F.transform(
                 F.col(vec_col).cast("array<double>"), lambda x: F.round(x * quant_scale)
@@ -621,7 +632,7 @@ def knn_graph(
     # independent projections per cogroup side (fresh expression ids), same
     # reason as embed_neardup_blocked: a shared parent trips ambiguous-self-join
     def side(pair_key: str) -> DataFrame:
-        q = embeddings.where(F.col(vec_col).isNotNull()).select(
+        q = embeddings.where(_valid_vec(vec_col)).select(
             F.col(id_col).alias("vec_id"),
             F.transform(
                 F.col(vec_col).cast("array<double>"), lambda x: F.round(x * quant_scale)
@@ -827,7 +838,7 @@ def knn_graph_ivf(
     spark = embeddings.sparkSession
 
     def side(right: bool) -> DataFrame:
-        c = embeddings.where(F.col(vec_col).isNotNull()).select(
+        c = embeddings.where(_valid_vec(vec_col)).select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
@@ -968,7 +979,7 @@ def score_pairs_blocked(
     # independent projection per role (fresh exprIds — cogroup's
     # ambiguous-self-join check).
     def role(side: str) -> DataFrame:
-        q = embeddings.where(F.col(vec_col).isNotNull()).select(
+        q = embeddings.where(_valid_vec(vec_col)).select(
             F.col(id_col).alias("vid"),
             F.transform(
                 F.col(vec_col).cast("array<double>"), lambda x: F.round(x * quant_scale)

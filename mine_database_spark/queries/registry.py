@@ -1578,7 +1578,7 @@ canon AS (
   FROM (
     SELECT event_id, scheme, host, rest,
            array_to_string(list_sort(list_filter(string_split(regexp_extract(rest, '\\?(.*)', 1), '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&') AS qs
+             p -> p <> '' AND NOT regexp_matches(p, '^(?i)(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|ref)(=|$)'))), '&') AS qs
     FROM parts
   )
   WHERE scheme <> '' AND host <> ''

@@ -260,7 +260,10 @@ def priority_dedup_stream(
                 state.setTimeoutDuration(ttl_ms)
             if (int(r0), int(i0)) <= best[:2]:
                 return  # stored copy still wins: no update
-        state.update((best[0], best[1], best[2]))
+        # int() matches the bigint state column: numpy/pandas integer
+        # subclasses are rejected by the state encoder, and the batch twin
+        # accepts arbitrary int priorities (so the rank column must be i64)
+        state.update((int(best[0]), best[1], best[2]))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
@@ -274,7 +277,7 @@ def priority_dedup_stream(
     return src.groupBy("digest").applyInPandasWithState(
         best_fn,
         outputStructType="digest string, survivor_id bigint, survivor_source string",
-        stateStructType="r int, survivor_id bigint, survivor_source string",
+        stateStructType="r bigint, survivor_id bigint, survivor_source string",
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.NoTimeout

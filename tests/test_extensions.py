@@ -2281,6 +2281,12 @@ def test_canonical_url_noise_classes(spark):
         ("http://site.example.com/a", "http://site.example.com/a"),  # scheme preserved
         ("https://site.example.com", "https://site.example.com"),
         ("https://site.example.com/?ref=hn", "https://site.example.com"),
+        # case-folded tracker names and valueless trackers also collapse
+        ("https://site.example.com/a?UTM_SOURCE=x&b=2", "https://site.example.com/a?b=2"),
+        ("https://site.example.com/a?utm_source&b=2", "https://site.example.com/a?b=2"),
+        ("https://site.example.com/a?FbClid=1", "https://site.example.com/a"),
+        # a non-tracker param that merely PREFIXES a tracker name survives
+        ("https://site.example.com/a?reffoo=1", "https://site.example.com/a?reffoo=1"),
         ("not a url", None),
         (None, None),
     ]

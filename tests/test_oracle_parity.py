@@ -50,13 +50,16 @@ def _rows_to_set(cols, rows):
 # explicitly and ban the DuckDB-only widths (HUGEINT/DECIMAL) outright: no
 # Spark query ever produces them, so any oracle emitting one is a latent
 # driver-hash mismatch even when the local value compare passes.
-# Integer WIDTHS are compared exactly (i8/i16/i32/i64, unsigned collapsed
-# onto the signed width it round-trips through Arrow as): we only KNOW the
+# Integer WIDTHS are compared exactly (i8/i16/i32/i64): we only KNOW the
 # driver hash breaks on non-int64-representable types, but whether it
 # distinguishes int32 from int64 is unobserved — exact widths make the local
 # gate strictly stronger than either answer, at the cost of a CAST in a few
-# oracles.
-_FORBIDDEN_DUCK = ("HUGEINT", "DECIMAL")
+# oracles.  Unsigned widths are banned like HUGEINT rather than collapsed
+# onto the signed kind: a UBIGINT above 2^63-1 would pass a signed-kind
+# gate while breaking the driver hash — the same latent-mismatch class —
+# and no Spark query produces unsigned types, so any oracle yielding one
+# should CAST explicitly.
+_FORBIDDEN_DUCK = ("HUGEINT", "DECIMAL", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
 
 _SPARK_KIND = {
     "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
@@ -67,7 +70,6 @@ _SPARK_KIND = {
 
 _DUCK_KIND = {
     "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
-    "UTINYINT": "i8", "USMALLINT": "i16", "UINTEGER": "i32", "UBIGINT": "i64",
     "FLOAT": "float", "DOUBLE": "float",
     "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
     "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
