@@ -76,6 +76,48 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+def pseudonymize_emails(text: Column, salt: str = "", token_len: int = 10) -> Column:
+    """Replace every email with a CONSISTENT pseudonym token
+    `<EMAIL:xxxxxxxxxx>` derived from sha256(lower(email) || salt): the
+    same address maps to the same token corpus-wide, so joins/threading
+    on the pseudonymized text still link the same principal — redact_pii's
+    uniform `<EMAIL>` destroys that linkage. The GDPR-style
+    pseudonymization step of a training-data scrub (keep the salt secret
+    and rotation re-keys the whole corpus).
+
+    Pure expression form (split on the email regex, hash the extracted
+    matches, interleave back): zero shuffle, zero Python — Java's
+    split(limit=-1) and DuckDB's str_split_regex both keep leading/
+    trailing empty parts, so parts is always matches+1 long and the
+    interleave is a total rebuild, byte-identical across engines.
+    """
+    parts = F.split(text, EMAIL_RE, -1)
+    matches = F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)
+    pseudo = F.transform(
+        matches,
+        lambda m: F.concat(
+            F.lit("<EMAIL:"),
+            F.substring(F.sha2(F.concat(F.lower(m), F.lit(salt)), 256), 1, token_len),
+            F.lit(">"),
+        ),
+    )
+    # pad the match list to len(parts) == len(matches)+1 so zip_with never
+    # pads with NULL (concat(p, NULL) would null the whole part)
+    padded = F.concat(pseudo, F.array(F.lit("")))
+    return F.array_join(F.zip_with(parts, padded, lambda p, h: F.concat(p, h)), "")
+
+
+def duckdb_pseudonymize_emails_sql(col: str, salt: str = "", token_len: int = 10) -> str:
+    """DuckDB mirror of pseudonymize_emails (oracle construction)."""
+    pat = EMAIL_RE.replace("'", "''")
+    return (
+        f"array_to_string(list_transform(range(1, len(str_split_regex({col}, '{pat}')) + 1), "
+        f"i -> str_split_regex({col}, '{pat}')[i] || coalesce("
+        f"'<EMAIL:' || substr(sha256(lower(regexp_extract_all({col}, '{pat}')[i]) || '{salt}'), 1, {token_len}) || '>', "
+        f"'')), '')"
+    )
+
+
 # DuckDB-side equivalents for oracle SQL construction (RE2 syntax is
 # identical for these patterns; \b and (?:...) are supported by RE2)
 def duckdb_count_sql(col: str, pattern: str) -> str:

@@ -131,3 +131,30 @@ def strip_html(html: Column) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n+", "\n")
     return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    cheap gibberish/boilerplate signal: natural prose sits ~4 bits,
+    base64/random blobs near 6, "aaaa..." padding near 0. Quality
+    pipelines threshold both tails.
+
+    Row-local form: distinct chars, per-char counts via filter+size, then
+    a LEFT FOLD over the SORTED char list so the float additions happen
+    in one fixed order — bit-identical across engines and partition
+    counts (an unordered SUM over an exploded histogram is not). Zero
+    shuffle: the whole expression runs inside the scan projection;
+    O(len·distinct) compute is bounded by the alphabet (~100) regardless
+    of document length.
+    """
+    cs = F.split(text, "")
+    n = F.length(text)
+    dist = F.array_sort(F.array_distinct(cs))
+    # counts materialize ONCE (HOF lambdas evaluate interpreted — no
+    # codegen subexpression elimination to dedup a repeated filter+size)
+    counts = F.transform(dist, lambda c: F.size(F.filter(cs, lambda x: x == c)))
+    return -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n),
+    )

@@ -902,3 +902,169 @@ def incremental_dedup(
     return definite_new.select(id_col, "digest").unionByName(
         verified_new.select(id_col, "digest")
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup candidates by k-gram CONTAINMENT
+    (Broder, SEQUENCES 1997 §3): containment of A in B is
+    |S(A)∩S(B)| / |S(A)|. Jaccard misses subset duplication — a paragraph
+    quoted inside a 100× longer document scores near 0 Jaccard but 1.0
+    containment — and subset dups are the common crawl pathology (article
+    + site chrome, quoted posts, README embedded in a repo dump).
+
+    Returns (a_id, b_id, inter, na, nb, containment) with a_id < b_id and
+    containment = the LARGER of the two directions (round 6) filtered at
+    `threshold`; direction recovers from the sizes (the contained side is
+    the smaller set).
+
+    Scale: identical plan family to ngram_jaccard_pairs — distinct
+    shingle inverted index, shingle-keyed equi-join (never all-pairs),
+    map-side-combinable intersection counts; `df_cap` drops
+    boilerplate shingles (> cap docs) exactly like the jaccard/winnow
+    skew guard. Reference: the reference's dedup is whole-InChIKey
+    equality (minedatabase/pickaxe.py:399-404); containment extends it
+    for the training-data pipeline like ngram_jaccard does.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_table(docs, id_col, text_col, k=k, distinct=True)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "inter", F.col("na").cast("bigint").alias("na"),
+                F.col("nb").cast("bigint").alias("nb"), "containment")
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance <= max_hamming, found by
+    pigeonhole banding (Manku/Jain/Sarma, WWW 2007 §3): the 60-bit
+    signature splits into 4 disjoint 15-bit bands; two signatures within
+    Hamming distance 3 MUST agree exactly on at least one band, so the
+    band equi-self-join finds every qualifying pair and a bit_count(xor)
+    verify removes false candidates. max_hamming is capped at 3 (= #bands
+    - 1) — the pigeonhole recall guarantee stops there.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id.
+
+    Scale: simhash60 is one map-side-combinable aggregate (O(docs)
+    shuffle); banding multiplies rows 4×; candidates come from 4 band
+    equi-joins (never all-pairs) and the verify is a row-local xor —
+    the WWW'07 production shape for multi-billion-page dedup. `band_cap`
+    drops degenerate bands (> cap docs sharing one band value — e.g. the
+    all-zero band of near-empty docs) whose self-join fan-out is
+    quadratic, same knob as the LSH/winnow/jaccard skew guards.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(f"max_hamming must be in [0, 3] (4-band pigeonhole), got {max_hamming}")
+    sig = simhash60(docs, id_col=id_col, text_col=text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 15 * b).bitwiseAND(F.lit(0x7FFF))
+                for b in range(4)
+            ])
+        ).alias("band", "band_val"),
+    )
+    if band_cap is not None:
+        if band_cap < 2:
+            raise ValueError(f"band_cap must be >= 2 (or None), got {band_cap}")
+        keep = (
+            bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bf"))
+            .where(F.col("__bf") <= band_cap)
+            .select("band", "band_val")
+        )
+        bands = bands.join(keep, ["band", "band_val"])
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def dedup_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplicate audit — the report a curation run reads
+    BEFORE deciding which dedup passes to pay for: row counts, unique
+    content counts, duplicate-row percentage, and the largest duplicate
+    cluster per source.
+
+    Returns (source, n_docs, n_unique, n_dup_rows, dup_pct, max_cluster);
+    dup_pct is round(100·(n_docs−n_unique)/n_docs, 4) — one IEEE division
+    of exact integers, bit-identical across engines.
+
+    Scale: two stacked map-side-combinable aggregates (per-(source,
+    digest) counts, then per-source rollup) — the second groupBy is a
+    prefix of the first's key, so under AQE it reuses the same exchange;
+    nothing wider than O(distinct digests) ever shuffles.
+    """
+    clusters = (
+        docs.select(F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("__d"))
+        .groupBy("source", "__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n_docs = F.sum("__c").cast("bigint")
+    n_unique = F.count(F.lit(1)).cast("bigint")
+    return clusters.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        n_unique.alias("n_unique"),
+        (n_docs - n_unique).alias("n_dup_rows"),
+        F.round((n_docs - n_unique) * 100.0 / n_docs, 4).alias("dup_pct"),
+        F.max("__c").cast("bigint").alias("max_cluster"),
+    )

@@ -609,3 +609,37 @@ def mixture_upsample(
             "n_copies",
         )
     )
+
+
+def stratified_cap_sample(
+    df: DataFrame,
+    cap: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-budget subsample: keep EXACTLY min(cap, |s|)
+    rows per stratum, chosen by hash order — the "N documents per domain"
+    curation rule, where temperature_sample's rate form can only hit a
+    budget in expectation. hex_uniform(id) orders each stratum uniformly
+    at random but reproducibly: re-running (or re-running on a grown
+    corpus) never swaps a kept row for an unkept one unless new rows
+    hash earlier.
+
+    Returns (id_col, stratum_col, pick) with pick the 1-based selection
+    order within the stratum.
+
+    Scale: ONE hash exchange on the stratum key; the rank filter is a
+    running-window top-N that Spark 3.5's WindowGroupLimit rewrites into
+    per-partition partial limits BEFORE the shuffle, so a hot stratum
+    ships at most cap·n_map_partitions rows, not its full population.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(stratum_col).orderBy(
+        hex_uniform(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.select(id_col, stratum_col)
+        .withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pick") <= cap)
+    )

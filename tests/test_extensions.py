@@ -2382,3 +2382,169 @@ def test_canonicalizers_are_idempotent(spark):
         (strip_html(strip_html(html)) != strip_html(html)).alias("diff")
     ).where("diff").count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# round-10 operators: retrieval, containment, hamming, audits, pseudonyms
+
+
+def test_simhash_hamming_planted_near_dup_and_popcount_twin(spark):
+    """A doc and a lightly-edited copy (few tokens changed) must surface as
+    a pair; the reported hamming must equal a python popcount of the two
+    simhash60 signatures; pairs are symmetric-free (a < b) and within the
+    threshold."""
+    from mine_database_spark.operators.dedup import simhash60, simhash_hamming_pairs
+
+    base = " ".join(f"w{i % 37}" for i in range(120))
+    edited = base.replace("w5", "w999")  # perturbs a handful of token hashes
+    rows = [(1, base), (2, edited), (3, "completely different vocabulary here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash60(docs).collect()}
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in simhash_hamming_pairs(docs, max_hamming=3).collect()}
+    want = bin(sigs[1] ^ sigs[2]).count("1")
+    if want <= 3:
+        assert got[(1, 2)] == want
+    for (a, b), h in got.items():
+        assert a < b and 0 <= h <= 3
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+
+def test_simhash_hamming_exact_dup_is_zero(spark):
+    from mine_database_spark.operators.dedup import simhash_hamming_pairs
+
+    t = "same text twice " * 10
+    docs = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    got = simhash_hamming_pairs(docs, max_hamming=0).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_ngram_containment_subset_duplication(spark):
+    """A paragraph quoted inside a much longer doc: containment ~1.0 while
+    symmetric Jaccard is small — the case this operator exists for."""
+    from mine_database_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    para = " ".join(f"p{i}" for i in range(20))
+    long_doc = para + " " + " ".join(f"x{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, para), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9, k=3).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    assert cont[0]["na"] == 18  # 20 tokens -> 18 3-grams, all contained
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert jac == []  # jaccard ~ 18/218 — invisible at any sane threshold
+
+
+def test_stratified_cap_sample_exact_budget_and_stability(spark):
+    """Exactly min(cap, |stratum|) rows per stratum; growing the corpus
+    never evicts a kept row unless the new row hashes earlier."""
+    from mine_database_spark.operators.packing import stratified_cap_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(60)] + [(100 + i, "tiny") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = stratified_cap_sample(df, cap=5, stratum_col="source").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == {"s0": 5, "s1": 5, "s2": 5, "tiny": 2}
+    # growth: add rows to s0 only; kept s1/s2/tiny sets must be unchanged
+    grown = spark.createDataFrame(rows + [(200 + i, "s0") for i in range(20)],
+                                  "doc_id long, source string")
+    got2 = stratified_cap_sample(grown, cap=5, stratum_col="source").collect()
+    by_src2 = {}
+    for r in got2:
+        by_src2.setdefault(r["source"], set()).add(r["doc_id"])
+    for s in ("s1", "s2", "tiny"):
+        assert by_src2[s] == by_src[s]
+
+
+def test_pseudonymize_emails_consistency_and_structure(spark):
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.functions.pii import pseudonymize_emails
+
+    rows = [
+        (1, "contact Alice@X.example for details"),
+        (2, "alice@x.example and bob@y.example talked"),
+        (3, "no addresses here"),
+        (4, "edge@end.example"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {r["i"]: r["p"] for r in df.select(
+        "i", pseudonymize_emails(F.col("t"), salt="z").alias("p")).collect()}
+    # same address (case-insensitive) -> same token across rows
+    tok1 = out[1].split("<EMAIL:")[1].split(">")[0]
+    tok2a = out[2].split("<EMAIL:")[1].split(">")[0]
+    assert tok1 == tok2a
+    # different addresses -> different tokens
+    tok2b = out[2].rsplit("<EMAIL:", 1)[1].split(">")[0]
+    assert tok2b != tok2a
+    # non-email text preserved verbatim around the tokens
+    assert out[1] == f"contact <EMAIL:{tok1}> for details"
+    assert out[3] == "no addresses here"
+    assert out[4].startswith("<EMAIL:") and out[4].endswith(">")
+
+
+def test_char_entropy_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.functions.text import char_entropy
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "aab")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["e"] for r in df.select(
+        "i", F.round(char_entropy(F.col("t")), 4).alias("e")).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0
+    import math
+    h = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(got[4] - round(h, 4)) < 1e-9
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from mine_database_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark appears once here in a much longer document " + "pad " * 50),
+        (3, "nothing relevant at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]  # doc 3 never matches
+    assert got[0]["score"] > got[1]["score"] > 0
+    assert [r["rank"] for r in got] == [1, 2]
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    from mine_database_spark.operators.search import inverted_index
+
+    rows = [(1, "a b"), (2, "b c"), (3, "b a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {r["tok"]: r for r in inverted_index(docs, min_df=2).collect()}
+    assert set(idx) == {"a", "b"}
+    assert idx["b"]["df"] == 3 and idx["b"]["postings"] == [1, 2, 3]
+    assert idx["a"]["postings"] == [1, 3]
+    capped = {r["tok"]: r["postings"]
+              for r in inverted_index(docs, min_df=2, max_postings=2).collect()}
+    assert capped["b"] == [1, 2]
+
+
+def test_dedup_report_planted_clusters(spark):
+    from mine_database_spark.operators.dedup import dedup_report
+
+    rows = [
+        (1, "x", "s1"), (2, "x", "s1"), (3, "x", "s1"), (4, "y", "s1"),
+        (5, "z", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in dedup_report(docs).collect()}
+    assert got["s1"]["n_docs"] == 4 and got["s1"]["n_unique"] == 2
+    assert got["s1"]["n_dup_rows"] == 2 and got["s1"]["max_cluster"] == 3
+    assert got["s1"]["dup_pct"] == 50.0
+    assert got["s2"]["n_dup_rows"] == 0 and got["s2"]["dup_pct"] == 0.0

@@ -552,3 +552,81 @@ def test_normalized_dedup_single_shuffle(spark, sf_smoke):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # count-distinct expand
+
+
+def test_char_entropy_zero_shuffle_no_python(spark, sf_smoke):
+    """The entropy fold is a row-local array expression: pure scan, no
+    Exchange, no Python — the quality signal costs one corpus pass."""
+    plan = plan_str(QUERIES["char_entropy"](spark, sf_smoke), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pii_pseudonymize_zero_shuffle_no_python(spark, sf_smoke):
+    """Split + hash + interleave are all Catalyst expressions — the
+    pseudonymization pass is a pure scan like redaction."""
+    plan = plan_str(QUERIES["pii_pseudonymize"](spark, sf_smoke), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dedup_report_stacked_aggregates(spark, sf_smoke):
+    """Two stacked map-side-combinable aggregates, no joins/windows; the
+    source rollup's key is a prefix of the cluster key, so at most two
+    hash exchanges appear (AQE can reuse the first at runtime)."""
+    plan = plan_str(QUERIES["dedup_report"](spark, sf_smoke), mode="simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post
+
+
+def test_simhash_hamming_band_join_never_all_pairs(spark, sf_smoke):
+    """Candidates come from the 4-band equi-self-join; the verify is a
+    row-local xor. No cartesian/broadcast-nested-loop anywhere, and no
+    per-pair Python."""
+    plan = plan_str(QUERIES["simhash_hamming"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ngram_containment_inverted_index_shape(spark, sf_smoke):
+    """Pair generation is the shingle-keyed equi-join (ngram_jaccard's
+    family) — never a cross join of documents."""
+    plan = plan_str(QUERIES["ngram_containment"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_stats_broadcast_corpus_never_shuffles_tokens_twice(spark, sf_smoke):
+    """df/N/avgdl join back as broadcasts; the heavy token stream shuffles
+    only for the tf aggregate. Global top-k is a sort-limit
+    (TakeOrderedAndProject), never a full-corpus sort."""
+    plan = plan_str(QUERIES["bm25_topk"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_stratified_sample_single_exchange_group_limit(spark, sf_smoke):
+    """One hash exchange on the stratum key; Spark 3.5's WindowGroupLimit
+    must rewrite the rank filter into partial limits below the shuffle so
+    a hot stratum never ships its full population."""
+    plan = plan_str(QUERIES["stratified_sample"](spark, sf_smoke), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_inverted_index_single_distinct_then_group(spark, sf_smoke):
+    """The (tok, doc) distinct and the tok group are the only exchanges;
+    no joins, map-side partials present."""
+    plan = plan_str(QUERIES["inverted_index"](spark, sf_smoke), mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post
