@@ -245,3 +245,74 @@ def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFra
     a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src")).distinct()
     b = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("dst")).distinct()
     return a.join(b, "g").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic, so the result is
+    bit-reproducible across engines and partition counts: ranks live in
+    `scale` units per node (start = scale ≡ rank 1.0, unnormalized
+    convention), each node sends `r div outdeg` units down every out-edge,
+    and the update is `(scale - d) + (d_pct · Σ_in) div 100` with every
+    division an integer floor — the incoming SUM is an integer sum, which
+    is order-independent where a float PageRank's partial sums are not.
+    Floor truncation loses ≤ outdeg + 100 units (≈1e-7 of a rank) per node
+    per iteration — far below any ranking-relevant difference — and buys a
+    value a SQL oracle reproduces exactly.
+
+    Node set = every id appearing as a source or destination; dangling
+    mass (nodes with no out-edges) simply evaporates, the common
+    simplification. Returns (id, rank_units BIGINT, rank = units/scale
+    rounded 6).
+
+    Scale: each iteration is one src-keyed equi-join (ranks are
+    O(nodes)) + one map-side-combinable dst-keyed sum + a left join back
+    onto the node list — shuffle volume O(edges) per iteration, the
+    standard distributed PageRank shape. iters is a constant, so the
+    logical plan is a depth-`iters` LINEAR chain (no self-join doubling —
+    the plan-growth hazard documented for scrub pipelines doesn't apply).
+    Overflow headroom: Σ ranks ≤ n·scale, so damping_pct·Σ needs
+    n·scale·100 < 2^63 — at scale=1e9 that holds to ~90M nodes; lower
+    `scale` for larger graphs.
+
+    Reference context: the reference's graph ops are BFS reach/pruning
+    (pickaxe.py:898-1021); PageRank extends the same edge-table model with
+    the canonical iterative-centrality workload.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("od"))
+    ew = e.join(outdeg, "src")
+    base = scale - scale * damping_pct // 100
+    ranks = nodes.select("id", F.lit(scale).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contrib = ew.join(ranks, ew.src == ranks.id).select(
+            "dst", F.expr("r div od").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, nodes.id == sums.dst, "left").select(
+            nodes.id,
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({damping_pct}L * coalesce(s, 0L)) div 100")
+            ).alias("r"),
+        )
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_units"),
+        F.round(F.col("r") / F.lit(float(scale)), 6).alias("rank"),
+    )

@@ -98,3 +98,104 @@ def tumbling_window_agg(
             / 10000.0,
         )
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    stage completes IN ORDER — stage k counts only at the first event of
+    type stages[k] strictly AFTER the user's stage-(k-1) completion (the
+    standard product-analytics funnel; events before the prior stage do
+    not count).
+
+    Returns (user_col, t_<stage>... epoch-micros BIGINT with -1 for "never
+    reached", n_stages INT = stages completed). Sentinel -1 instead of
+    NULL keeps the value-hash compare total-ordered in both engines.
+
+    Scale: ONE user-keyed aggregate per stage, all over the SAME
+    hash-partitioning (each stage k is a conditional min over the same
+    user key, so every exchange after the first reuses the clustering);
+    no windows, no self-joins — per-user state is one timestamp per
+    stage regardless of event volume.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    us = _micros(events, ts_col)
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        us.alias("us"),
+        F.col(type_col).alias("et"),
+    )
+    # stage 0: min ts of the first event type
+    cur = e.where(F.col("et") == stages[0]).groupBy("user_id").agg(
+        F.min("us").alias("t0")
+    )
+    for k, st in enumerate(stages[1:], start=1):
+        nxt = (
+            e.where(F.col("et") == st)
+            .join(cur.select("user_id", F.col(f"t{k-1}").alias("__prev")), "user_id")
+            .where(F.col("us") > F.col("__prev"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    n_stages = F.lit(1)
+    for k in range(1, len(stages)):
+        n_stages = n_stages + F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"t{k}"), F.lit(-1).cast("bigint")).alias(f"t_{st}")
+            for k, st in enumerate(stages)
+        ],
+        n_stages.cast("int").alias("n_stages"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (cohort), counted in every later period they were active —
+    the (cohort, offset) retention triangle every engagement dashboard
+    draws, and for a training-data platform the freshness audit of a
+    rolling crawl (how much of week-0's source set is still producing
+    documents k weeks later).
+
+    Period = floor(epoch_us / period_days·86400e6) — a fixed absolute
+    grid (not user-relative), so period arithmetic is pure integer
+    division. Returns (cohort_period BIGINT, period_offset INT,
+    n_users BIGINT).
+
+    Scale: distinct (user, period) activity + a per-user min — two
+    map-side-combinable aggregates over the SAME user-keyed exchange —
+    then one user-keyed equi-join and a final small (cohort, offset)
+    rollup. Nothing wider than O(users · active periods) shuffles.
+    """
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    us = _micros(events, ts_col)
+    period_us = period_days * 86_400_000_000
+    # integer floor division (epoch micros are non-negative)
+    act = (
+        events.select(F.col(user_col).alias("user_id"), us.alias("__us"))
+        .select("user_id", F.expr(f"__us div {period_us}").alias("p"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_period"),
+            (F.col("p") - F.col("cohort")).cast("int").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

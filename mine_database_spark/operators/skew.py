@@ -13,7 +13,7 @@ exceeds a unit of state" problem, solved relationally here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,3 +56,42 @@ def salted_count_distinct(
         F.countDistinct(value_col).alias("__n")
     )
     return partial.groupBy(*key_cols).agg(F.sum("__n").cast("bigint").alias(out_col))
+
+
+def key_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter audit for a prospective join/group key: the top-N keys
+    by frequency with their share of all rows — the diagnostic read BEFORE
+    choosing a salting factor, a df_cap, or an AQE skew threshold (a key
+    holding 30% of the rows means every downstream shuffle on it has a
+    30% straggler).
+
+    Returns (key [as string], n, share_pct rounded 4, rank) for the top_n
+    most frequent keys; NULL keys count as the literal key '∅' so the
+    null-skew case (the classic outer-join pathology) is visible rather
+    than silently dropped.
+
+    Scale: one map-side-combinable count aggregate + a broadcast 1-row
+    total; the top-N is a sort-limit (TakeOrderedAndProject), never a full
+    sort of the key histogram.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    keyed = df.select(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("∅")).alias("key")
+    )
+    hist = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = hist.agg(F.sum("n").alias("__t"))
+    top = (
+        hist.crossJoin(F.broadcast(total))
+        .select("key", "n", F.round(F.col("n") * 100.0 / F.col("__t"), 4).alias("share_pct"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return top.select(
+        "key", "n", "share_pct", F.row_number().over(w).cast("int").alias("rank")
+    )

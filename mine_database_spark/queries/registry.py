@@ -3671,6 +3671,123 @@ SELECT doc_id, source, pick FROM r WHERE pick <= 10
 
 
 # ---------------------------------------------------------------------------
+# Round-10 extensions, batch 2: iterative graph centrality, skew audit,
+# ordered funnels, cohort retention
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank (graph.pagerank_fixed, 5 rounds,
+    damping 0.85) over the co-purchase graph — the canonical iterative-
+    centrality workload; integer micro-unit arithmetic makes the float-
+    free result bit-reproducible, so the oracle replays all 5 rounds."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    edges = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    return gr.pagerank_fixed(edges, iters=5)
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**9, d: int = 85) -> str:
+    base = scale - scale * d // 100
+    parts = [
+        "WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),",
+        "e AS (SELECT DISTINCT a.id AS src, b.id AS dst FROM li a JOIN li b ON a.g = b.g AND a.id <> b.id),",
+        "nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),",
+        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),",
+        f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS r FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS id, CAST(SUM(r.r // od.od) AS BIGINT) AS s"
+            f" FROM e JOIN od ON e.src = od.src JOIN r{i-1} r ON r.id = e.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.id, CAST({base} + ({d} * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN s{i} ON n.id = s{i}.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, r AS rank_units, round(r / {float(scale)}, 6) AS rank FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+_Q_PAGERANK_SQL = _pagerank_sql()
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key heavy-hitter audit (skew.key_skew_audit): top-20 l_partkey
+    values by row count with their share — the diagnostic read before
+    picking a salting factor or AQE skew threshold. NULL keys surface as
+    a literal '∅' row instead of vanishing."""
+    from mine_database_spark.operators.skew import key_skew_audit
+
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return key_skew_audit(l, "l_partkey", top_n=20)
+
+
+_Q_KEY_SKEW_SQL = """
+WITH k AS (SELECT coalesce(CAST(l_partkey AS VARCHAR), '∅') AS key FROM lineitem),
+h AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY key),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM h),
+top AS (
+  SELECT key, n, round((n * 100.0) / t.t, 4) AS share_pct
+  FROM h CROSS JOIN t ORDER BY n DESC, key LIMIT 20
+)
+SELECT key, n, share_pct,
+       CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank
+FROM top
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase (sessionize.funnel_stages):
+    stage k counts only strictly after stage k-1 completed for that user.
+    -1 sentinels keep the hash compare total-ordered."""
+    (e,) = _t(spark, sf_dir, "events")
+    return sz.funnel_stages(e, ["signup", "click", "purchase"])
+
+
+_Q_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS et FROM events),
+s0 AS (SELECT user_id, MIN(us) AS t0 FROM e WHERE et = 'signup' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(us) AS t1 FROM e JOIN s0 ON e.user_id = s0.user_id
+  WHERE et = 'click' AND us > s0.t0 GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE et = 'purchase' AND us > s1.t1 GROUP BY e.user_id
+)
+SELECT s0.user_id,
+       s0.t0 AS t_signup,
+       coalesce(s1.t1, -1) AS t_click,
+       coalesce(s2.t2, -1) AS t_purchase,
+       CAST(1 + (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_stages
+FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id LEFT JOIN s2 ON s0.user_id = s2.user_id
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (sessionize.retention_cohorts):
+    users bucketed by first-activity week, counted in every later active
+    week — pure integer period arithmetic on the epoch."""
+    (e,) = _t(spark, sf_dir, "events")
+    return sz.retention_cohorts(e, period_days=7)
+
+
+_Q_RETENTION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS p FROM events),
+act AS (SELECT DISTINCT user_id, p FROM e),
+first AS (SELECT user_id, MIN(p) AS cohort FROM act GROUP BY user_id)
+SELECT f.cohort AS cohort_period,
+       CAST(a.p - f.cohort AS INT) AS period_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort, CAST(a.p - f.cohort AS INT)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 # Dict ORDER matters: the driver's correctness gate hashes only the first 50
@@ -3684,7 +3801,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-checked r8, untouched in r9 — per the standing rotation rule,
     # the whole r9-era tail re-enters while the r9-checked-and-untouched
     # rows rotate out ---
-    "operator_census": q_operator_census,
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3718,7 +3834,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,
     "url_stats": q_url_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
-    # --- NEW in round 10 (8): must sit inside the gate ---
+    # --- NEW in round 10 (12): must sit inside the gate ---
+    "pagerank": q_pagerank,
+    "key_skew": q_key_skew,
+    "funnel": q_funnel,
+    "retention": q_retention,
     "bm25_topk": q_bm25_topk,
     "inverted_index": q_inverted_index,
     "ngram_containment": q_ngram_containment,
@@ -3735,12 +3855,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "knn_graph_lsh": q_knn_graph_lsh,
     "knn_graph_ivf": q_knn_graph_ivf,
-    # --- retained fillers (3): the most load-bearing kernels stay gated ---
+    # --- rotated out of the 50-row gate this round: driver-green in r9
+    # and untouched in r10 (operator_census: r8-green x2, displaced by the
+    # batch-2 queries; segment_dedup/span_scrub: r9-green, displaced) ---
+    "operator_census": q_operator_census,
     "token_shards": q_token_shards,
     "segment_dedup": q_segment_dedup,
     "span_scrub": q_span_scrub,
-    # --- rotated out of the 50-row gate this round: driver-green in r9
-    # and untouched in r10 ---
     "assign_ids": q_assign_ids,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
@@ -3786,6 +3907,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pagerank": _Q_PAGERANK_SQL,
+    "key_skew": _Q_KEY_SKEW_SQL,
+    "funnel": _Q_FUNNEL_SQL,
+    "retention": _Q_RETENTION_SQL,
     "bm25_topk": _Q_BM25_SQL,
     "inverted_index": _Q_INVIDX_SQL,
     "ngram_containment": _Q_CONTAINMENT_SQL,

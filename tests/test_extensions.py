@@ -2548,3 +2548,91 @@ def test_dedup_report_planted_clusters(spark):
     assert got["s1"]["n_dup_rows"] == 2 and got["s1"]["max_cluster"] == 3
     assert got["s1"]["dup_pct"] == 50.0
     assert got["s2"]["n_dup_rows"] == 0 and got["s2"]["dup_pct"] == 0.0
+
+
+def test_pagerank_python_twin(spark):
+    """Integer PageRank on a hand-built graph must equal a python replay
+    of the same integer recurrence (including a dangling node and a node
+    with no in-links)."""
+    from mine_database_spark.operators.graph import pagerank_fixed
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (4, 1)]  # 4 -> 1 only: 4 has no in-links
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank_units"] for r in pagerank_fixed(e, iters=5).collect()}
+
+    scale, d = 10**9, 85
+    base = scale - scale * d // 100
+    nodes = {1, 2, 3, 4}
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = {n: scale for n in nodes}
+    for _ in range(5):
+        s = {n: 0 for n in nodes}
+        for u, targets in out.items():
+            c = r[u] // len(targets)
+            for t in targets:
+                s[t] += c
+        r = {n: base + (d * s[n]) // 100 for n in nodes}
+    assert got == r
+    assert got[1] > got[2] == got[3] > got[4]  # hub ranks highest; 4 floor
+
+
+def test_key_skew_audit_shares_and_null_key(spark):
+    from mine_database_spark.operators.skew import key_skew_audit
+
+    rows = [(x,) for x in ["a"] * 6 + ["b"] * 3 + [None]]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_audit(df, "k", top_n=2).collect()
+    assert [(r["key"], r["n"], r["share_pct"], r["rank"]) for r in got] == [
+        ("a", 6, 60.0, 1), ("b", 3, 30.0, 2)
+    ]
+    all3 = {r["key"]: r["share_pct"] for r in key_skew_audit(df, "k", top_n=5).collect()}
+    assert all3["∅"] == 10.0  # NULL keys visible, not dropped
+
+
+def test_funnel_orders_stages_strictly(spark):
+    """An out-of-order purchase (before the click) must not count; a later
+    in-order one must."""
+    import datetime as dt
+
+    from mine_database_spark.operators.sessionize import funnel_stages
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: purchase BEFORE click -> stage 3 not reached
+        (2, t(0), "signup"), (2, t(2), "click"), (2, t(1), "purchase"),
+        # user 3: signup only
+        (3, t(0), "signup"),
+        # user 4: no signup -> not in the funnel at all
+        (4, t(0), "click"), (4, t(1), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r for r in
+           funnel_stages(e, ["signup", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_stages"] == 3 and got[1]["t_purchase"] > got[1]["t_click"]
+    assert got[2]["n_stages"] == 2 and got[2]["t_purchase"] == -1
+    assert got[3]["n_stages"] == 1 and got[3]["t_click"] == -1
+
+
+def test_retention_cohort_triangle(spark):
+    import datetime as dt
+
+    from mine_database_spark.operators.sessionize import retention_cohorts
+
+    day = lambda d: dt.datetime(2024, 1, 1) + dt.timedelta(days=d)  # noqa: E731
+    rows = [
+        (1, day(0)), (1, day(7)), (1, day(21)),   # cohort w0, active w0/w1/w3
+        (2, day(1)), (2, day(8)),                 # cohort w0, active w0/w1
+        (3, day(9)),                              # cohort w1, active w1 only
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(e, period_days=7).collect()}
+    w0 = min(k[0] for k in got)
+    assert got[(w0, 0)] == 2 and got[(w0, 1)] == 2 and got[(w0, 3)] == 1
+    assert got[(w0 + 1, 0)] == 1
+    assert (w0, 2) not in got

@@ -630,3 +630,40 @@ def test_inverted_index_single_distinct_then_group(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     pre, _, post = plan.partition("Exchange hashpartitioning")
     assert "HashAggregate" in pre and "partial" in post
+
+
+def test_pagerank_linear_iteration_chain(spark, sf_smoke):
+    """5 iterations = a LINEAR chain of src-join + dst-agg: no cartesian,
+    no windows, no Python; per-iteration shuffle volume is O(edges)."""
+    plan = plan_str(QUERIES["pagerank"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_key_skew_audit_sort_limit(spark, sf_smoke):
+    """Histogram agg map-side combined; total broadcasts as one row; the
+    top-N is TakeOrderedAndProject — never a full histogram sort."""
+    plan = plan_str(QUERIES["key_skew"](spark, sf_smoke), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post
+
+
+def test_funnel_reuses_user_clustering(spark, sf_smoke):
+    """Every funnel stage aggregates on the same user key; no windows, no
+    Python, no cartesian — per-user state is one timestamp per stage."""
+    plan = plan_str(QUERIES["funnel"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_retention_two_aggregates_one_join(spark, sf_smoke):
+    """Distinct activity + per-user min share the user-keyed exchange;
+    one equi-join; final rollup is tiny."""
+    plan = plan_str(QUERIES["retention"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan
