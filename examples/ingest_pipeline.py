@@ -54,7 +54,11 @@ def run(docs_path: str | None = None, app_name: str = "mine-spark-ingest") -> di
     html_of = lambda text: F.concat(
         F.lit("<html><body><!-- fetched --><h1>Title</h1><p>"),
         text,
-        F.lit("</p><script>track();</script><div>footer &amp; legal</div></body></html>"),
+        F.lit(
+            "</p><script>track();</script>"
+            "<div>footer &amp; legal — contact editor@site.example</div>"
+            "</body></html>"
+        ),
     )
     url_of = lambda host, noise: F.concat(
         F.lit(f"https://{host}"),
@@ -91,6 +95,15 @@ def run(docs_path: str | None = None, app_name: str = "mine-spark-ingest") -> di
 
     # 1. markup -> text (zero-shuffle regexp chain)
     fetches = fetches.withColumn("text", strip_html(F.col("html"))).drop("html")
+
+    # 1b. PII pseudonymization BEFORE any content digesting: every email
+    #     becomes a consistent sha256-keyed <EMAIL:token> (the same address
+    #     maps to the same token corpus-wide), so downstream dedup keys and
+    #     shipped text never carry raw addresses — another zero-shuffle
+    #     scan fused into the same stage as extraction
+    from mine_database_spark.functions.pii import pseudonymize_emails
+
+    fetches = fetches.withColumn("text", pseudonymize_emails(F.col("text")))
 
     # 2. dedup by canonical URL: earliest fetch_seq (then doc_id) per key —
     #    min(struct) keeps the whole winning row without a second join

@@ -8,9 +8,10 @@ production pretraining pipeline runs them:
       cluster minimum)
    4. Rule-based quality gate (Gopher-style), model-based quality score,
       bigram-LM perplexity decile gate, per-source length-percentile
-      curation
+      curation, character-entropy degenerate-tail gate
    5. Eval-set decontamination (shared-8-gram scan)
-   6. Domain re-balancing (temperature sampling)
+   6. Domain re-balancing (temperature sampling), optional hard
+      per-source ceiling (stratified cap sample)
    7. Context-window chunking
    8. Token-budget output shards (distributed prefix sum), written
       partitioned by shard
@@ -44,6 +45,8 @@ def run(
     neardup_threshold: float = 0.7,
     quality_threshold: float = 0.4,
     mixture_alpha: float = 0.7,
+    entropy_bounds: tuple[float, float] = (1.5, 6.0),
+    source_cap: int | None = None,
     app_name: str = "mine-spark-llm-pipeline",
 ) -> dict:
     """Execute the shaping pipeline; returns per-stage survivor counts.
@@ -160,6 +163,16 @@ def run(
     docs = docs.join(long_enough.select("doc_id"), "doc_id", "left_semi")
     counts["after_length_curation"] = docs.count()
 
+    # 4d. character-entropy gate: drop the degenerate tails — padding/
+    #     repeated-char docs (entropy near 0) and random/base64 blobs
+    #     (near 6 bits) — a zero-shuffle row-local fold, so the gate is
+    #     free inside the existing scan
+    from mine_database_spark.functions.text import char_entropy
+
+    ent = char_entropy(F.col("text"))
+    docs = docs.where((ent >= entropy_bounds[0]) & (ent <= entropy_bounds[1]))
+    counts["after_entropy"] = docs.count()
+
     # 5. decontamination vs the eval set (any shared 8-gram) ---------------
     eval_docs = (
         spark.read.parquet(eval_docs_path).select("doc_id", "text")
@@ -182,6 +195,14 @@ def run(
     kept = pk.temperature_sample(docs, alpha=mixture_alpha, source_col="lang", id_col="doc_id")
     docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
     counts["after_mixture"] = docs.count()
+
+    # 6b. optional hard per-source ceiling: exactly min(cap, n) docs per
+    #     source by deterministic hash order (temperature sampling hits
+    #     budgets only in expectation; this is the hard guarantee)
+    if source_cap is not None:
+        capped = pk.stratified_cap_sample(docs, cap=source_cap, stratum_col="source")
+        docs = docs.join(capped.select("doc_id"), "doc_id", "left_semi")
+        counts["after_source_cap"] = docs.count()
 
     # 7. chunk to context windows ------------------------------------------
     chunks = pk.chunk_documents(docs, chunk_size=chunk_size, stride=stride)

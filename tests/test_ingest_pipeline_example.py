@@ -32,5 +32,11 @@ def test_ingest_pipeline_end_to_end(spark):
     for r in rows:
         assert "track();" not in r["text"]
         assert r["text"].startswith("Title\n")
+        # pseudonymization ran: the planted footer address never survives,
+        # and every doc carries the SAME consistent token for it
+        assert "editor@site.example" not in r["text"]
+        assert "<EMAIL:" in r["text"]
+    toks = {r["text"].rsplit("<EMAIL:", 1)[1].split(">")[0] for r in rows}
+    assert len(toks) == 1
     # the original fetch (fetch_seq 0, original doc_id) won every group
     assert docs.where("doc_id >= 1000000").count() == 0

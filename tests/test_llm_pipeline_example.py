@@ -14,7 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 def test_llm_pipeline_end_to_end(spark, tmp_path):
     from llm_pipeline import run
 
-    counts = run(out_dir=str(tmp_path / "shards"))
+    counts = run(out_dir=str(tmp_path / "shards"), source_cap=30)
     stages = [
         "ingested",
         "after_exact_dedup",
@@ -24,15 +24,17 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
         "after_quality",
         "after_perplexity",
         "after_length_curation",
+        "after_entropy",
         "after_decontamination",
         "after_mixture",
+        "after_source_cap",
     ]
     vals = [counts[s] for s in stages]
     assert vals[0] > 0
     assert all(a >= b for a, b in zip(vals, vals[1:])), counts
     # decontamination must actually have removed the planted eval overlap
     assert counts["after_decontamination"] < counts["after_quality"], counts
-    assert counts["chunks"] >= counts["after_mixture"] > 0
+    assert counts["chunks"] >= counts["after_source_cap"] > 0
     assert counts["shards"] >= 1
     out = spark.read.parquet(counts["out_dir"])
     assert {"doc_id", "text", "shard_id"} <= set(out.columns)
