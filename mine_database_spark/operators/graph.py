@@ -254,6 +254,7 @@ def pagerank_fixed(
     scale: int = 10**9,
     src_col: str = "src",
     dst_col: str = "dst",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic, so the result is
     bit-reproducible across engines and partition counts: ranks live in
@@ -290,12 +291,18 @@ def pagerank_fixed(
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("od"))
+    # symmetric graphs (e.g. co-occurrence): src-set == dst-set == node set,
+    # so the node list falls out of the outdeg aggregate for free instead
+    # of a second union+distinct pass over the edge table
+    if symmetric:
+        nodes = outdeg.select(F.col("src").alias("id"))
+    else:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
     ew = e.join(outdeg, "src")
     base = scale - scale * damping_pct // 100
     ranks = nodes.select("id", F.lit(scale).cast("bigint").alias("r"))

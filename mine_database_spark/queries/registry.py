@@ -3682,7 +3682,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     free result bit-reproducible, so the oracle replays all 5 rounds."""
     (l,) = _t(spark, sf_dir, "lineitem")
     edges = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
-    return gr.pagerank_fixed(edges, iters=5)
+    return gr.pagerank_fixed(edges, iters=5, symmetric=True)
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**9, d: int = 85) -> str:
