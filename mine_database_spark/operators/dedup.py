@@ -1068,3 +1068,119 @@ def dedup_report(
         F.round((n_docs - n_unique) * 100.0 / n_docs, 4).alias("dup_pct"),
         F.max("__c").cast("bigint").alias("max_cluster"),
     )
+
+
+# Bloom-filter decontamination: the 100 TB twin of the exact shared-gram
+# join. Deliberately DETERMINISTIC (md5 double hashing, fixed m/k) so the
+# approximate structure itself is oracle-checkable — same bits, same flags
+# in any engine.
+
+def _bloom_positions(g, k: int, m_bits: int, salt: str):
+    """k bit positions for gram g via Kirsch–Mitzenmacher double hashing:
+    pos_i = (h1 + i·h2) mod m, h1/h2 independent 60-bit md5 values, h2
+    forced odd so the stride never degenerates. All arithmetic stays under
+    2^63 for k <= 7 (h1 + 6·h2 < 7·2^60)."""
+    h1 = F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+    h2 = (
+        F.conv(F.substring(F.md5(F.concat(g, F.lit(salt))), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseOR(F.lit(1))
+    )
+    return [F.pmod(h1 + i * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_bitmap(
+    items: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """ONE-row DataFrame holding the Bloom bitmap as a map<word_idx, word>
+    of 60-bit words (60, not 64: 1<<59 is the largest mask that stays
+    positive in every engine's signed BIGINT). Build cost is O(items·k)
+    rows into a map-side-combinable bit_or aggregate over <= m/60 word
+    rows — the whole structure is ~m/8 bytes and broadcasts anywhere.
+    """
+    if k < 1 or k > 7:
+        raise ValueError(f"k must be in [1, 7], got {k}")
+    pos = items.select(
+        F.explode(F.array(*_bloom_positions(F.col(col), k, m_bits, salt))).alias("p")
+    )
+    words = pos.select(
+        F.expr("p div 60").alias("w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("p"), F.lit(60)).cast("int")
+        ).alias("m"),
+    )
+    packed = words.groupBy("w").agg(F.bit_or("m").alias("word"))
+    return packed.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bm")
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    gram_words: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter train/eval decontamination — the scale twin of the
+    exact shared-8-gram join (q_contamination_check): eval grams build a
+    bitmap once; every corpus document probes it ROW-LOCALLY.
+
+    Returns (doc_id, n_grams, n_flagged, contaminated). One-sided error
+    by construction: a truly shared gram is ALWAYS flagged (no false
+    negatives — the safe direction for decontamination); a false positive
+    costs an over-drop at rate ~(1 - e^{-kn/m})^k.
+
+    Scale: this is the decontamination shape for a 100 TB corpus — the
+    exact form shuffles every corpus gram into a semi-join against the
+    eval gram set, while here the corpus side is a ZERO-shuffle scan (the
+    gram array, the k hash probes, and the any-gram-flagged fold are all
+    expressions inside the projection) against a broadcast map whose size
+    is m/8 bytes (~128 KB at the default) regardless of corpus size. The
+    only shuffles are the tiny eval-side build (O(eval grams · k) into
+    <= m/60 word rows). Deterministic md5 double hashing keeps the bits
+    engine-reproducible, so even this approximate path carries a full
+    value oracle.
+    """
+    from mine_database_spark.functions.text import word_shingle_strings
+
+    bm = bloom_bitmap(
+        eval_docs.select(
+            F.explode(word_shingle_strings(F.col(text_col), gram_words)).alias("g")
+        ).distinct(),
+        "g", m_bits=m_bits, k=k, salt=salt,
+    )
+    def probe_one(g):
+        # all k bits present? (p/60 is exact in double for p < 2^53, and
+        # cast truncation == floor for non-negative p)
+        def bit_set(p):
+            # F.shiftleft's numBits only takes a python int; the SQL
+            # function itself accepts a column
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), F.pmod(p, F.lit(60)).cast("int")
+            )
+            word = F.coalesce(
+                F.element_at(F.col("bm"), (p / 60).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            )
+            return word.bitwiseAND(mask) == mask
+
+        return F.forall(F.array(*_bloom_positions(g, k, m_bits, salt)), bit_set)
+    grams = word_shingle_strings(F.col(text_col), gram_words)
+    flagged = F.size(F.filter(grams, probe_one))
+    return (
+        docs.crossJoin(F.broadcast(bm))
+        .select(
+            F.col(id_col),
+            F.size(grams).alias("n_grams"),
+            flagged.alias("n_flagged"),
+            (flagged > 0).alias("contaminated"),
+        )
+    )

@@ -3787,6 +3787,82 @@ GROUP BY f.cohort, CAST(a.p - f.cohort AS INT)
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination twin (dedup.bloom_decontaminate):
+    eval grams ('src0' as the eval split) build a deterministic 2^20-bit
+    / 5-hash bitmap once; every training doc probes it ROW-LOCALLY — the
+    zero-corpus-shuffle scale path of contamination_check, with one-sided
+    error (never a false negative). md5 double hashing keeps even the
+    approximate bits engine-reproducible, so this carries a full value
+    oracle."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.bloom_decontaminate(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        gram_words=8,
+    )
+
+
+_Q_BLOOM_DECON_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+ev AS (
+  SELECT DISTINCT array_to_string(toks[i:i + 7], ' ') AS g
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM t WHERE source = 'src0' AND len(toks) >= 8)
+),
+evh AS (
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+         (('0x' || substr(md5(g || 'bloom'), 1, 15))::BIGINT | 1) AS h2
+  FROM ev
+),
+pos AS (
+  SELECT ((h1 + i * h2) % 1048576) AS p
+  FROM (SELECT h1, h2, unnest([0, 1, 2, 3, 4]) AS i FROM evh)
+),
+words AS (
+  SELECT p // 60 AS w,
+         CAST(bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS BIGINT) AS word
+  FROM pos GROUP BY p // 60
+),
+corp AS (SELECT doc_id, toks FROM t WHERE source <> 'src0'),
+cg AS (
+  SELECT doc_id, i AS gpos, array_to_string(toks[i:i + 7], ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM corp WHERE len(toks) >= 8)
+),
+cgh AS (
+  SELECT doc_id, gpos,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+         (('0x' || substr(md5(g || 'bloom'), 1, 15))::BIGINT | 1) AS h2
+  FROM cg
+),
+cpos AS (
+  SELECT doc_id, gpos, ((h1 + i * h2) % 1048576) AS p
+  FROM (SELECT doc_id, gpos, h1, h2, unnest([0, 1, 2, 3, 4]) AS i FROM cgh)
+),
+hit AS (
+  SELECT c.doc_id, c.gpos,
+         CASE WHEN (coalesce(w.word, 0) & (1::BIGINT << CAST(c.p % 60 AS INT)))
+                   = (1::BIGINT << CAST(c.p % 60 AS INT)) THEN 1 ELSE 0 END AS b
+  FROM cpos c LEFT JOIN words w ON w.w = c.p // 60
+),
+per_gram AS (
+  SELECT doc_id, gpos, CASE WHEN SUM(b) = 5 THEN 1 ELSE 0 END AS f
+  FROM hit GROUP BY doc_id, gpos
+),
+per_doc AS (SELECT doc_id, CAST(SUM(f) AS INT) AS nf FROM per_gram GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(greatest(len(c.toks) - 7, 0) AS INT) AS n_grams,
+       coalesce(p.nf, 0) AS n_flagged,
+       coalesce(p.nf, 0) > 0 AS contaminated
+FROM corp c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3817,7 +3893,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "model_jaccard": q_model_jaccard,
     "orphan_gc": q_orphan_gc,
-    "regex_filter": q_regex_filter,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "domain_mixture_sample": q_domain_mixture_sample,
@@ -3836,6 +3911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     # --- NEW in round 10 (12): must sit inside the gate ---
     "pagerank": q_pagerank,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "key_skew": q_key_skew,
     "funnel": q_funnel,
     "retention": q_retention,
@@ -3859,6 +3935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and untouched in r10 (operator_census: r8-green x2, displaced by the
     # batch-2 queries; segment_dedup/span_scrub: r9-green, displaced) ---
     "operator_census": q_operator_census,
+    "regex_filter": q_regex_filter,
     "token_shards": q_token_shards,
     "segment_dedup": q_segment_dedup,
     "span_scrub": q_span_scrub,
@@ -3907,6 +3984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bloom_decontaminate": _Q_BLOOM_DECON_SQL,
     "pagerank": _Q_PAGERANK_SQL,
     "key_skew": _Q_KEY_SKEW_SQL,
     "funnel": _Q_FUNNEL_SQL,

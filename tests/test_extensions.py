@@ -2636,3 +2636,45 @@ def test_retention_cohort_triangle(spark):
     assert got[(w0, 0)] == 2 and got[(w0, 1)] == 2 and got[(w0, 3)] == 1
     assert got[(w0 + 1, 0)] == 1
     assert (w0, 2) not in got
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Every doc sharing an 8-gram with the eval set MUST be flagged (the
+    one-sided error guarantee); clean docs are almost always clean, and
+    gram counts match the raw shingle count."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.dedup import bloom_decontaminate
+
+    leak = " ".join(f"e{i}" for i in range(8))  # the contaminated 8-gram
+    rows = [
+        (1, "prefix words here " + leak + " suffix tail words"),  # leaked
+        (2, " ".join(f"c{i}" for i in range(30))),                # clean
+        (3, leak),                                                # exactly the gram
+        (4, "short doc"),                                         # < 8 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "eval set context " + leak + " more eval text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bloom_decontaminate(docs, ev).collect()}
+    assert got[1]["contaminated"] and got[1]["n_flagged"] >= 1
+    assert got[3]["contaminated"] and got[3]["n_grams"] == 1
+    assert got[4]["n_grams"] == 0 and not got[4]["contaminated"]
+    # clean doc: with 2^20 bits and a handful of eval grams the FP chance
+    # is ~(35·5/2^20)^5 ~ 1e-19 — assert clean outright
+    assert not got[2]["contaminated"]
+    # exact-join cross-check: bloom flags are a superset of exact overlap
+    from mine_database_spark.functions.text import word_shingle_strings
+
+    g = lambda df: df.select(
+        F.explode(word_shingle_strings(F.col("text"), 8)).alias("g"), "doc_id"
+    )
+    exact = {
+        r["doc_id"]
+        for r in g(docs).join(g(ev).select("g").distinct(), "g", "left_semi")
+        .select("doc_id").distinct().collect()
+    }
+    flagged = {i for i, r in got.items() if r["contaminated"]}
+    assert exact <= flagged

@@ -667,3 +667,18 @@ def test_retention_two_aggregates_one_join(spark, sf_smoke):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_decontaminate_corpus_side_zero_shuffle(spark, sf_smoke):
+    """The corpus probe is a scan against a broadcast one-row bitmap: the
+    only exchanges belong to the tiny eval-side build; the corpus TEXT
+    scan feeds no Exchange (no sort-merge join, no corpus aggregation,
+    no Python)."""
+    plan = plan_str(QUERIES["bloom_decontaminate"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    # eval build: gram distinct (2-phase) + word pack + the single-row
+    # map collect — everything else must stay exchange-free
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert plan.count("BroadcastExchange") == 1, plan
