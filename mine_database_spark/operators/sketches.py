@@ -1,0 +1,168 @@
+"""Deterministic streaming-sketch operators: Count-Min frequency
+estimation and HyperLogLog cardinality estimation.
+
+At 100 TB, exact frequency/cardinality answers need corpus-wide shuffles
+whose state is O(distinct items); these sketches bound the state to a few
+KB regardless of scale. Both are built DETERMINISTICALLY (md5-derived
+hashing, and every order-sensitive accumulation kept in INTEGER domain so
+partition order cannot perturb the result) — which is what lets even the
+approximate answers carry full DuckDB value oracles, the repo's standing
+bar for "done" (same bar as bloom_decontaminate, dedup.py).
+
+Reference context: the reference has no sketch machinery (its censuses are
+exact Mongo counts, pickaxe.py:1218-1221); these extend the audit family
+(corpus_stats, dedup_report, key_skew) with the constant-memory forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h2pair(col, salt: str):
+    """Two independent 60-bit md5 hashes (h2 forced odd) — the same
+    Kirsch–Mitzenmacher double-hashing base as bloom_decontaminate."""
+    h1 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    h2 = (
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseOR(F.lit(1))
+    )
+    return h1, h2
+
+
+def cms_table(
+    items: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 8192,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch as a (row, col, c) cell table: every item
+    increments one counter per hash row; an item's estimate is the MIN of
+    its d counters — never an underestimate (one-sided error, overestimate
+    bounded by ~2N/w per row with probability 1-2^-d).
+
+    Scale: the aggregate is map-side combinable and its state is at most
+    d·w cells (~32k rows at the default) NO MATTER how many items flow in
+    — the constant-memory twin of an exact groupBy(item) whose state is
+    O(distinct items). The cell table broadcasts anywhere.
+    """
+    if d < 1 or d > 7:
+        raise ValueError(f"d must be in [1, 7], got {d}")
+    h1, h2 = _h2pair(F.col(col), salt)
+    cells = items.select(
+        F.posexplode(
+            F.array(*[F.pmod(h1 + i * h2, F.lit(w)) for i in range(d)])
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 8192,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for `probes[col]` against a cms_table:
+    est = min over the d addressed counters (0 if a cell is absent —
+    only possible when the item truly never occurred).
+
+    Scale: probes fan out d rows each and equi-join the broadcastable
+    cell table — O(|probes|·d) work, independent of the stream size the
+    sketch absorbed.
+    """
+    h1, h2 = _h2pair(F.col(col), salt)
+    addr = probes.select(
+        col,
+        F.posexplode(
+            F.array(*[F.pmod(h1 + i * h2, F.lit(w)) for i in range(d)])
+        ).alias("row", "col_idx"),
+    )
+    joined = addr.join(
+        F.broadcast(cms.withColumnRenamed("col", "col_idx")),
+        ["row", "col_idx"],
+        "left",
+    )
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0).cast("bigint"))).alias("est_n")
+    )
+
+
+# HyperLogLog constants: m = 1024 buckets (b = 10 index bits out of the
+# 60-bit md5 value; the remaining 50 bits feed the rank). alpha_m per the
+# original Flajolet et al. 2007 formula, precomputed so both engines parse
+# the identical double literal.
+HLL_M = 1024
+HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M  # ≈ 755780.3
+_POW2_51 = float(1 << 51)
+
+
+def hll_registers(
+    items: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog registers per group: bucket = top 10 bits of the 60-bit
+    md5 value, rho = leading-zero count of the low 50 bits + 1 (computed
+    EXACTLY via length(bin(x)) — no float log), register = max rho.
+
+    Scale: one map-side-combinable max-aggregate whose state is ≤ 1024
+    registers per group — the constant-memory twin of count_distinct,
+    whose exact state is O(distinct values).
+    """
+    g = group_cols or []
+    v = F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit(salt))), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    # v < 2^60 so v / 2^50 is exact in double and the cast == floor
+    bucket = (v / F.lit(1 << 50)).cast("bigint")
+    rest = F.pmod(v, F.lit(1 << 50))
+    rho = F.when(rest == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.bin(rest))
+    ).cast("int")
+    return (
+        items.select(*g, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cardinality estimate from hll_registers, returned as
+    (group_cols..., est_distinct DOUBLE rounded 2).
+
+    Determinism: the harmonic denominator Σ 2^-M_j is accumulated as the
+    INTEGER Σ 2^(51-M_j) (each term ≤ 2^51, 1024 terms < 2^62 — no
+    overflow), so the order-sensitive float summation that would break
+    engine/partition reproducibility never happens; the only float ops
+    are one division and (in the small-range branch) one ln, identical
+    in both engines. Flajolet's small-range correction applies below
+    2.5·m when empty buckets remain: E = m·ln(m/V0).
+    """
+    g = group_cols or []
+    agg = registers.groupBy(*g).agg(
+        F.sum(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.lit(51) - F.col("m_j")).cast("int")
+            )
+        ).alias("__num_present"),
+        F.count(F.lit(1)).alias("__v_present"),
+    )
+    # absent buckets contribute 2^(51-0) each to the integer numerator
+    num = F.col("__num_present") + (F.lit(HLL_M) - F.col("__v_present")) * F.lit(1 << 51)
+    raw = F.lit(HLL_ALPHA_M2) * F.lit(_POW2_51) / num
+    v0 = (F.lit(HLL_M) - F.col("__v_present")).cast("double")
+    small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v0)
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v0 > 0), small).otherwise(raw)
+    return agg.select(*g, F.round(est, 2).alias("est_distinct"))

@@ -3863,6 +3863,126 @@ FROM corp c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
 """
 
 
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates vs exact counts for the corpus's 20
+    most frequent tokens (sketches.cms_table/cms_estimate): the sketch
+    state is <= d·w cells however large the corpus, the estimate is never
+    an underestimate, and deterministic md5 double hashing makes even the
+    approximation oracle-checkable."""
+    from mine_database_spark.operators import sketches as sk
+
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    est = sk.cms_estimate(top.select("tok"), sk.cms_table(toks, "tok"), "tok")
+    return top.join(est, "tok").select(
+        "tok", "exact_n", "est_n", (F.col("est_n") - F.col("exact_n")).alias("overest")
+    )
+
+
+_Q_CMS_SQL = f"""
+WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+h AS (
+  SELECT tok,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h1,
+         (('0x' || substr(md5(tok || 'cms'), 1, 15))::BIGINT | 1) AS h2
+  FROM tok
+),
+cells AS (
+  SELECT i AS row, ((h1 + i * h2) % 8192) AS col
+  FROM (SELECT h1, h2, unnest([0, 1, 2, 3]) AS i FROM h)
+),
+cms AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY row, col),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok),
+top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+addr AS (
+  SELECT tok, i AS row, ((h1 + i * h2) % 8192) AS col
+  FROM (
+    SELECT t.tok,
+           ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h1,
+           (('0x' || substr(md5(t.tok || 'cms'), 1, 15))::BIGINT | 1) AS h2,
+           unnest([0, 1, 2, 3]) AS i
+    FROM top t
+  )
+),
+est AS (
+  SELECT a.tok, MIN(coalesce(cms.c, 0)) AS est_n
+  FROM addr a LEFT JOIN cms ON a.row = cms.row AND a.col = cms.col
+  GROUP BY a.tok
+)
+SELECT t.tok, t.exact_n, e.est_n, e.est_n - t.exact_n AS overest
+FROM top t JOIN est e ON t.tok = e.tok
+"""
+
+
+def q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-source vocabulary estimate vs exact distinct count
+    (sketches.hll_registers/hll_estimate): <= 1024 integer registers per
+    source replace count_distinct's O(vocab) state; the harmonic sum
+    stays integer so the estimate is bit-reproducible and fully
+    oracle-checked."""
+    from mine_database_spark.operators import sketches as sk
+
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    est = sk.hll_estimate(sk.hll_registers(toks, "tok", ["source"]), ["source"])
+    return exact.join(est, "source").select(
+        "source",
+        "exact_distinct",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct")) / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_HLL_ALPHA_REPR = repr(0.7213 / (1 + 1.079 / 1024) * 1024 * 1024)
+
+_Q_HLL_SQL = f"""
+WITH tok AS (SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents),
+v AS (
+  SELECT source, tok, ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS v
+  FROM tok
+),
+r AS (
+  SELECT source,
+         v // 1125899906842624 AS bucket,
+         CASE WHEN v % 1125899906842624 = 0 THEN 51
+              ELSE 51 - length(bin(v % 1125899906842624)) END AS rho
+  FROM v
+),
+reg AS (SELECT source, bucket, MAX(rho) AS m_j FROM r GROUP BY source, bucket),
+a AS (
+  SELECT source,
+         CAST(SUM(1::BIGINT << CAST(51 - m_j AS INT)) AS BIGINT) AS np,
+         COUNT(*) AS vp
+  FROM reg GROUP BY source
+),
+e AS (
+  SELECT source,
+         np + (1024 - vp) * 2251799813685248 AS num,
+         CAST(1024 - vp AS DOUBLE) AS v0
+  FROM a
+),
+est AS (
+  SELECT source,
+         round(CASE WHEN (CAST({_HLL_ALPHA_REPR} AS DOUBLE) * CAST(2251799813685248.0 AS DOUBLE) / num) <= 2560.0 AND v0 > 0
+                    THEN 1024.0 * ln(1024.0 / v0)
+                    ELSE CAST({_HLL_ALPHA_REPR} AS DOUBLE) * CAST(2251799813685248.0 AS DOUBLE) / num END, 2) AS est_distinct
+  FROM e
+),
+exact AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct FROM tok GROUP BY source)
+SELECT x.source, x.exact_distinct, est.est_distinct,
+       round(abs(est.est_distinct - x.exact_distinct) / x.exact_distinct, 4) AS rel_err
+FROM exact x JOIN est ON x.source = est.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3891,8 +4011,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "semantic_dedup": q_semantic_dedup,
-    "model_jaccard": q_model_jaccard,
-    "orphan_gc": q_orphan_gc,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "domain_mixture_sample": q_domain_mixture_sample,
@@ -3912,6 +4030,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW in round 10 (12): must sit inside the gate ---
     "pagerank": q_pagerank,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "cms_token_freq": q_cms_token_freq,
+    "hll_vocab": q_hll_vocab,
     "key_skew": q_key_skew,
     "funnel": q_funnel,
     "retention": q_retention,
@@ -3935,6 +4055,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and untouched in r10 (operator_census: r8-green x2, displaced by the
     # batch-2 queries; segment_dedup/span_scrub: r9-green, displaced) ---
     "operator_census": q_operator_census,
+    "model_jaccard": q_model_jaccard,
+    "orphan_gc": q_orphan_gc,
     "regex_filter": q_regex_filter,
     "token_shards": q_token_shards,
     "segment_dedup": q_segment_dedup,
@@ -3985,6 +4107,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "bloom_decontaminate": _Q_BLOOM_DECON_SQL,
+    "cms_token_freq": _Q_CMS_SQL,
+    "hll_vocab": _Q_HLL_SQL,
     "pagerank": _Q_PAGERANK_SQL,
     "key_skew": _Q_KEY_SKEW_SQL,
     "funnel": _Q_FUNNEL_SQL,

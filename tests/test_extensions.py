@@ -2678,3 +2678,40 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     }
     flagged = {i for i, r in got.items() if r["contaminated"]}
     assert exact <= flagged
+
+
+def test_cms_never_underestimates(spark):
+    """CMS guarantee: est >= exact for EVERY item (one-sided error), and
+    with w >> distinct items the estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.sketches import cms_estimate, cms_table
+
+    rows = [(x,) for x in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+    items = spark.createDataFrame(rows, "tok string")
+    cms = cms_table(items, "tok", d=4, w=1024)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("never",)], "tok string")
+    got = {r["tok"]: r["est_n"] for r in cms_estimate(probes, cms, "tok", d=4, w=1024).collect()}
+    assert got["a"] >= 50 and got["b"] >= 7 and got["c"] >= 1
+    # 3 distinct items in 1024 columns: collisions essentially impossible
+    assert got == {"a": 50, "b": 7, "c": 1, "never": 0}
+    # sketch state is bounded by d*w, not by the item count
+    assert cms.count() <= 4 * 1024
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    """HLL at m=1024: relative error ~1.04/sqrt(m) ≈ 3.3%; assert within
+    10% on a 5k-distinct set (large range) and on a 50-distinct set
+    (small-range linear-counting branch)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.sketches import hll_estimate, hll_registers
+
+    big = spark.range(5000).select(F.concat(F.lit("item"), F.col("id")).alias("x"))
+    est = hll_estimate(hll_registers(big, "x")).collect()[0]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.10, est
+    small = spark.range(50).select(F.concat(F.lit("s"), F.col("id")).alias("x"))
+    est2 = hll_estimate(hll_registers(small, "x")).collect()[0]["est_distinct"]
+    assert abs(est2 - 50) / 50 < 0.10, est2
+    # register table is bounded by m per group
+    assert hll_registers(big, "x").count() <= 1024

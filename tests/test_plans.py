@@ -682,3 +682,22 @@ def test_bloom_decontaminate_corpus_side_zero_shuffle(spark, sf_smoke):
     # map collect — everything else must stay exchange-free
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_cms_bounded_state_map_side(spark, sf_smoke):
+    """The CMS build is one map-side-combinable aggregate into <= d·w
+    cells; probes join the cell table broadcast — never sort-merge."""
+    plan = plan_str(QUERIES["cms_token_freq"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post
+
+
+def test_hll_registers_map_side_no_window(spark, sf_smoke):
+    """Register build = one max-aggregate (<= 1024 rows per group);
+    estimate = one more tiny aggregate. No windows, no Python."""
+    plan = plan_str(QUERIES["hll_vocab"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
