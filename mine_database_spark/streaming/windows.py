@@ -207,3 +207,35 @@ def stream_exact_dedup_watermarked(
         .dropDuplicatesWithinWatermark(["digest"])
         .select("digest", "survivor_id", F.col("__ts").alias("event_ts"))
     )
+
+
+def stream_bloom_decontaminate(
+    doc_stream: DataFrame,
+    eval_docs: DataFrame,
+    gram_words: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of dedup.bloom_decontaminate: incoming docs probe a
+    STATIC Bloom bitmap of the eval grams ROW-LOCALLY, so unlike
+    stream_contamination there is no per-micro-batch join at all — each
+    document's verdict is a stateless projection (append mode, no
+    aggregation, no watermark), which also means per-row latency instead
+    of per-group update latency.
+
+    Scale: the bitmap is one broadcast row (~m/8 bytes); the stream side
+    is a pure scan. This is the decontamination shape for a firehose
+    ingest: constant memory, zero shuffle, exactly the batch operator's
+    one-sided-error semantics (bit-identical flags, pinned in pytest).
+    """
+    from mine_database_spark.operators.dedup import bloom_decontaminate
+
+    # the batch operator is already a stateless crossJoin(broadcast) +
+    # projection, which Structured Streaming supports verbatim
+    return bloom_decontaminate(
+        doc_stream, eval_docs, gram_words=gram_words, m_bits=m_bits,
+        k=k, salt=salt, id_col=id_col, text_col=text_col,
+    )

@@ -2715,3 +2715,39 @@ def test_hll_estimate_accuracy_and_small_range(spark):
     assert abs(est2 - 50) / 50 < 0.10, est2
     # register table is bounded by m per group
     assert hll_registers(big, "x").count() <= 1024
+
+
+def test_stream_bloom_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming bloom probe: append-mode stateless scan whose flags are
+    bit-identical to the batch operator on the same docs."""
+    from mine_database_spark.operators.dedup import bloom_decontaminate
+    from mine_database_spark.streaming.windows import stream_bloom_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    docs = [
+        (1, "x b c d e f g h i y"),   # contains the eval 8-gram
+        (2, "q r s t u v w x y z"),   # clean
+    ]
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    (src / "d.csv").write_text("".join(f"{i},{t}\n" for i, t in docs))
+    stream = spark.readStream.schema("doc_id long, text string").csv(str(src))
+    q = (
+        stream_bloom_decontaminate(stream, ev)
+        .writeStream.format("memory")
+        .queryName("bloom_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    got = {r["doc_id"]: (r["n_grams"], r["n_flagged"], r["contaminated"]) for r in
+           spark.sql("select * from bloom_stream_test").collect()}
+    batch = {r["doc_id"]: (r["n_grams"], r["n_flagged"], r["contaminated"]) for r in
+             bloom_decontaminate(
+                 spark.createDataFrame(docs, "doc_id long, text string"), ev
+             ).collect()}
+    assert got == batch
+    assert got[1][2] and not got[2][2]
