@@ -95,3 +95,41 @@ def key_skew_audit(
     return top.select(
         "key", "n", "share_pct", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with hot-key salting: each LEFT (large, skewed-side) row
+    picks ONE deterministic salt bucket (xxhash64 of the whole row — never
+    of the key, which would re-collapse the hot key into one bucket), and
+    the RIGHT (smaller) side replicates once per salt, so a key holding
+    30% of the left rows spreads over n_salts reducers instead of one
+    straggler.
+
+    AQE's skew-join handles most cases at runtime; explicit salting still
+    matters when (a) the skewed join is NOT the last stage (AQE splits only
+    sort-merge partitions it can see), (b) the downstream aggregate keys on
+    the same hot key, or (c) deterministic task sizing is required.
+
+    Semantics equal a plain equi-join (pinned in pytest); `how` supports
+    inner/left. Cost: right side × n_salts rows — size the factor so
+    |right|·n_salts stays broadcastable or comfortably shuffle-able.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    # salt = deterministic per-row uniform (never derived from the key —
+    # that would put every copy of the hot key in one bucket again)
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")

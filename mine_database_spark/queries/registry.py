@@ -3983,6 +3983,25 @@ FROM exact x JOIN est ON x.source = est.source
 """
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph — the first audit run on
+    any edge table (skew in the degree distribution predicts every
+    downstream join/agg hotspot). Two stacked map-side aggregates on the
+    distinct edge set."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+
+_Q_DEGREE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),
+e AS (SELECT DISTINCT a.id AS src, b.id AS dst FROM li a JOIN li b ON a.g = b.g AND a.id <> b.id),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4004,7 +4023,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "quality_rules": q_quality_rules,
     "pii_scan": q_pii_scan,
-    "contamination_check": q_contamination_check,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4032,6 +4050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "cms_token_freq": q_cms_token_freq,
     "hll_vocab": q_hll_vocab,
+    "degree_distribution": q_degree_distribution,
     "key_skew": q_key_skew,
     "funnel": q_funnel,
     "retention": q_retention,
@@ -4055,6 +4074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and untouched in r10 (operator_census: r8-green x2, displaced by the
     # batch-2 queries; segment_dedup/span_scrub: r9-green, displaced) ---
     "operator_census": q_operator_census,
+    "contamination_check": q_contamination_check,
     "model_jaccard": q_model_jaccard,
     "orphan_gc": q_orphan_gc,
     "regex_filter": q_regex_filter,
@@ -4108,6 +4128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "bloom_decontaminate": _Q_BLOOM_DECON_SQL,
     "cms_token_freq": _Q_CMS_SQL,
+    "degree_distribution": _Q_DEGREE_SQL,
     "hll_vocab": _Q_HLL_SQL,
     "pagerank": _Q_PAGERANK_SQL,
     "key_skew": _Q_KEY_SKEW_SQL,

@@ -170,3 +170,65 @@ def merge_core_compounds(existing: DataFrame, new: DataFrame, mine_name: str) ->
     if "spectra" in u.columns:
         aggs.append(F.first("spectra", ignorenulls=True).alias("spectra"))
     return u.groupBy("_id").agg(*aggs)
+
+
+def write_zorder(
+    df,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+):
+    """Z-order (Morton-interleaved) clustered parquet write: rows sort by
+    the bit-interleaving of their columns' RANKS, so file-level min/max
+    zone maps stay tight on EVERY participating column at once — a range
+    predicate on any of them prunes whole files, where a plain sort only
+    serves its leading column. The multi-dimensional analogue of the
+    mass-sorted layout (write_core_compounds_mass_sorted); Delta/Iceberg
+    expose the same technique as OPTIMIZE ZORDER BY.
+
+    Each column is rank-normalized to `bits` bits via a percent_rank
+    window (value distributions are arbitrary; raw values would interleave
+    uselessly when ranges differ), then the z-value interleaves the bit
+    planes. repartitionByRange on the z-value gives each output file a
+    contiguous z-range.
+
+    Scale: one window per column over its own single sort + the final
+    range shuffle — O(cols) shuffles total, no collect; for production at
+    100 TB replace percent_rank with precomputed quantile boundaries
+    (one pass, broadcast) to drop the per-column windows.
+    """
+    from pyspark.sql import Window
+
+    if not cols or len(cols) > 4:
+        raise ValueError(f"cols must have 1-4 entries, got {cols}")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    out = df
+    scale = (1 << bits) - 1
+    for c in cols:
+        w = Window.orderBy(F.col(c))
+        out = out.withColumn(
+            f"__r_{c}", F.round(F.percent_rank().over(w) * scale).cast("bigint")
+        )
+    # interleave bit planes: z = sum over bit b, col i of
+    # bit(b of col_i) << (b*n_cols + i)
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"__r_{c}"), b).bitwiseAND(F.lit(1))
+            z = z + F.call_function(
+                "shiftleft", bit.cast("bigint"), F.lit(b * n + i)
+            )
+    out = out.withColumn("__z", z)
+    if n_files is not None:
+        out = out.repartitionByRange(n_files, "__z")
+    else:
+        out = out.repartitionByRange("__z")
+    (
+        out.sortWithinPartitions("__z")
+        .drop(*[f"__r_{c}" for c in cols], "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

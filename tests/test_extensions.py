@@ -2751,3 +2751,65 @@ def test_stream_bloom_decontaminate_matches_batch(spark, tmp_path):
              ).collect()}
     assert got == batch
     assert got[1][2] and not got[2][2]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is an execution strategy, not a semantics change: inner and
+    left joins over a planted hot key must equal the unsalted joins
+    row-for-row (including duplicate multiplicity)."""
+    from collections import Counter
+
+    from mine_database_spark.operators.skew import salted_join
+
+    left_rows = [(1, f"l{i}") for i in range(200)] + [(2, "x"), (3, "y"), (9, "m")]
+    right_rows = [(1, "hot"), (2, "warm"), (2, "warm2"), (4, "unused")]
+    left = spark.createDataFrame(left_rows, "k long, lv string")
+    right = spark.createDataFrame(right_rows, "k long, rv string")
+    for how in ("inner", "left"):
+        plain = Counter(map(tuple, left.join(right, "k", how).collect()))
+        salted = Counter(map(tuple, salted_join(left, right, "k", n_salts=8, how=how).collect()))
+        assert salted == plain, how
+
+
+def test_write_zorder_prunes_on_every_column(spark, tmp_path):
+    """Z-order layout: a tight range predicate on EITHER column must skip
+    most files via parquet min/max stats — the property a single-column
+    sort only provides for its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.sources.writers import write_zorder
+
+    # two independent uniform columns: a plain sort on x leaves y ranges
+    # spanning the whole domain in every file
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1000)).alias("y"),
+    )
+    out = str(tmp_path / "zorder")
+    write_zorder(df, out, ["x", "y"], bits=10, n_files=16)
+
+    def coverage(colname):
+        # fraction of the value domain covered per file, averaged
+        fracs = []
+        for f in sorted(glob.glob(out + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.row_group(0).num_columns)}[colname]
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            fracs.append((hi - lo) / 1000.0)
+        return sum(fracs) / len(fracs)
+
+    # 16 files over a 2-d z-curve: each file covers ~a quarter of each
+    # axis (4x4 grid); assert well under the ~1.0 a single-column sort
+    # leaves on its trailing column
+    assert coverage("x") < 0.6
+    assert coverage("y") < 0.6
+    # round-trip integrity
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
