@@ -2813,3 +2813,83 @@ def test_write_zorder_prunes_on_every_column(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20000
     assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+
+def test_cms_matches_python_twin(spark):
+    """Randomized third-implementation check (besides the DuckDB oracle):
+    a python replay of the md5 double-hash CMS must produce IDENTICAL
+    estimates for every probe — the determinism claim, independently."""
+    import hashlib
+    import random
+
+    from mine_database_spark.operators.sketches import cms_estimate, cms_table
+
+    rng = random.Random(107)
+    vocab = [f"t{i}" for i in range(60)]
+    stream = [rng.choice(vocab) for _ in range(2000)]
+    d, w, salt = 4, 512, "cms"
+
+    def hashes(tok):
+        h1 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        h2 = int(hashlib.md5((tok + salt).encode()).hexdigest()[:15], 16) | 1
+        return [(h1 + i * h2) % w for i in range(d)]
+
+    cells = {}
+    for tok in stream:
+        for i, c in enumerate(hashes(tok)):
+            cells[(i, c)] = cells.get((i, c), 0) + 1
+    want = {
+        tok: min(cells.get((i, c), 0) for i, c in enumerate(hashes(tok)))
+        for tok in vocab
+    }
+
+    items = spark.createDataFrame([(t,) for t in stream], "tok string")
+    probes = spark.createDataFrame([(t,) for t in vocab], "tok string")
+    got = {
+        r["tok"]: r["est_n"]
+        for r in cms_estimate(
+            probes, cms_table(items, "tok", d=d, w=w, salt=salt), "tok", d=d, w=w, salt=salt
+        ).collect()
+    }
+    assert got == want
+    exact = {t: stream.count(t) for t in vocab}
+    assert all(got[t] >= exact[t] for t in vocab)
+
+
+def test_hll_matches_python_twin(spark):
+    """Python replay of the integer-domain HLL recurrence: identical
+    registers AND identical rounded estimate (the bit-reproducibility
+    claim, independently of DuckDB)."""
+    import hashlib
+    import math
+    import random
+
+    from mine_database_spark.operators.sketches import (
+        HLL_ALPHA_M2,
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rng = random.Random(211)
+    vals = [f"v{rng.randrange(10_000_000)}" for _ in range(3000)]
+
+    regs = {}
+    for x in set(vals):
+        v = int(hashlib.md5((x + "hll").encode()).hexdigest()[:15], 16)
+        bucket, rest = v >> 50, v % (1 << 50)
+        rho = 51 if rest == 0 else 51 - rest.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    num = sum(1 << (51 - m) for m in regs.values()) + (HLL_M - len(regs)) * (1 << 51)
+    raw = HLL_ALPHA_M2 * float(1 << 51) / num
+    v0 = float(HLL_M - len(regs))
+    want = round(
+        float(HLL_M) * math.log(float(HLL_M) / v0) if raw <= 2.5 * HLL_M and v0 > 0 else raw,
+        2,
+    )
+
+    items = spark.createDataFrame([(x,) for x in vals], "x string")
+    got_regs = {r["bucket"]: r["m_j"] for r in hll_registers(items, "x").collect()}
+    assert got_regs == regs
+    got = hll_estimate(hll_registers(items, "x")).collect()[0]["est_distinct"]
+    assert got == want
