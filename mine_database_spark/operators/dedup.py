@@ -1076,16 +1076,17 @@ def dedup_report(
 # in any engine.
 
 def _bloom_positions(g, k: int, m_bits: int, salt: str):
-    """k bit positions for gram g via Kirsch–Mitzenmacher double hashing:
-    pos_i = (h1 + i·h2) mod m, h1/h2 independent 60-bit md5 values, h2
-    forced odd so the stride never degenerates. All arithmetic stays under
-    2^63 for k <= 7 (h1 + 6·h2 < 7·2^60)."""
-    h1 = F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
-    h2 = (
-        F.conv(F.substring(F.md5(F.concat(g, F.lit(salt))), 1, 15), 16, 10)
-        .cast("bigint")
-        .bitwiseOR(F.lit(1))
-    )
+    """k bit positions for gram g via Kirsch-Mitzenmacher double hashing
+    over ONE md5: the salted digest's 60 bits split into two independent
+    30-bit halves (h2 forced odd so the stride never degenerates),
+    pos_i = (h1 + i*h2) mod m. One digest per gram, not two — md5 is the
+    dominant probe cost (the minhash lesson, minhash_signatures above).
+    Arithmetic stays tiny: h1 + 6*h2 < 7·2^30."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(g, F.lit(salt))), 1, 15), 16, 10
+    ).cast("bigint")
+    h1 = v.bitwiseAND(F.lit((1 << 30) - 1))
+    h2 = F.shiftright(v, 30).bitwiseOR(F.lit(1))
     return [F.pmod(h1 + i * h2, F.lit(m_bits)) for i in range(k)]
 
 
@@ -1096,14 +1097,25 @@ def bloom_bitmap(
     k: int = 5,
     salt: str = "bloom",
 ) -> DataFrame:
-    """ONE-row DataFrame holding the Bloom bitmap as a map<word_idx, word>
-    of 60-bit words (60, not 64: 1<<59 is the largest mask that stays
-    positive in every engine's signed BIGINT). Build cost is O(items·k)
-    rows into a map-side-combinable bit_or aggregate over <= m/60 word
-    rows — the whole structure is ~m/8 bytes and broadcasts anywhere.
+    """ONE-row DataFrame holding the Bloom bitmap as a DENSE
+    array<bigint> of ceil(m/60) 60-bit words (60, not 64: 1<<59 is the
+    largest mask that stays positive in every engine's signed BIGINT).
+
+    DENSE, not a map: Spark's element_at on a map column is a LINEAR scan
+    of the map's key array (no hash structure inside MapData), so a
+    17k-entry map probed 5x per gram made the corpus scan O(grams·k·m/60)
+    — measured 53s at sf0.1 vs ~3s with O(1) array indexing. The density
+    pad unions a zero row per word index BEFORE the bit_or aggregate, so
+    the collect_list is complete and in-order extraction needs no lookups.
+
+    Build cost is O(items·k) rows into a map-side-combinable bit_or over
+    exactly m/60 word rows; the structure is ~m/8 bytes and broadcasts
+    anywhere.
     """
     if k < 1 or k > 7:
         raise ValueError(f"k must be in [1, 7], got {k}")
+    n_words = (m_bits + 59) // 60
+    spark = items.sparkSession
     pos = items.select(
         F.explode(F.array(*_bloom_positions(F.col(col), k, m_bits, salt))).alias("p")
     )
@@ -1113,9 +1125,15 @@ def bloom_bitmap(
             "shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("p"), F.lit(60)).cast("int")
         ).alias("m"),
     )
-    packed = words.groupBy("w").agg(F.bit_or("m").alias("word"))
+    pad = spark.range(n_words).select(
+        F.col("id").alias("w"), F.lit(0).cast("bigint").alias("m")
+    )
+    packed = words.unionByName(pad).groupBy("w").agg(F.bit_or("m").alias("word"))
     return packed.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bm")
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "word"))),
+            lambda s: s.getField("word"),
+        ).alias("bm")
     )
 
 
@@ -1149,7 +1167,7 @@ def bloom_decontaminate(
     engine-reproducible, so even this approximate path carries a full
     value oracle.
     """
-    from mine_database_spark.functions.text import word_shingle_strings
+    from mine_database_spark.functions.text import token_count, word_shingle_strings
 
     bm = bloom_bitmap(
         eval_docs.select(
@@ -1157,30 +1175,46 @@ def bloom_decontaminate(
         ).distinct(),
         "g", m_bits=m_bits, k=k, salt=salt,
     )
-    def probe_one(g):
-        # all k bits present? (p/60 is exact in double for p < 2^53, and
-        # cast truncation == floor for non-negative p)
+
+    def probe_v(v):
+        # all k bits present for digest v? h1/h2 are single bit-ops on the
+        # already-materialized lambda value — the md5 itself lives in the
+        # __vs array and is computed exactly ONCE per gram (HOFs evaluate
+        # interpreted with no subexpression elimination, so an expression
+        # that re-derives the digest per position pays k md5s per gram —
+        # measured 5.6s -> ~2.5s at sf0.1 when hoisted)
+        h1 = v.bitwiseAND(F.lit((1 << 30) - 1))
+        h2 = F.shiftright(v, 30).bitwiseOR(F.lit(1))
+
         def bit_set(p):
+            # DENSE array bitmap: element_at is O(1) positional indexing
+            # (1-based); p/60 is exact in double and cast == floor, p >= 0.
             # F.shiftleft's numBits only takes a python int; the SQL
             # function itself accepts a column
             mask = F.call_function(
                 "shiftleft", F.lit(1).cast("bigint"), F.pmod(p, F.lit(60)).cast("int")
             )
-            word = F.coalesce(
-                F.element_at(F.col("bm"), (p / 60).cast("bigint")),
-                F.lit(0).cast("bigint"),
-            )
+            word = F.element_at(F.col("bm"), ((p / 60) + 1).cast("int"))
             return word.bitwiseAND(mask) == mask
 
-        return F.forall(F.array(*_bloom_positions(g, k, m_bits, salt)), bit_set)
-    grams = word_shingle_strings(F.col(text_col), gram_words)
-    flagged = F.size(F.filter(grams, probe_one))
-    return (
-        docs.crossJoin(F.broadcast(bm))
-        .select(
-            F.col(id_col),
-            F.size(grams).alias("n_grams"),
-            flagged.alias("n_flagged"),
-            (flagged > 0).alias("contaminated"),
+        return F.forall(
+            F.array(*[F.pmod(h1 + i * h2, F.lit(m_bits)) for i in range(k)]), bit_set
         )
+
+    digest = lambda g: F.conv(  # noqa: E731 — the single md5 per gram
+        F.substring(F.md5(F.concat(g, F.lit(salt))), 1, 15), 16, 10
+    ).cast("bigint")
+    vs = F.transform(word_shingle_strings(F.col(text_col), gram_words), digest)
+    # n_grams from the token count (== size of the gram array, one cheap
+    # regex) so the gram-extraction regex runs once, inside __vs only
+    n_grams = F.greatest(
+        token_count(F.col(text_col)) - F.lit(gram_words - 1), F.lit(0)
+    ).cast("int")
+    per_doc = docs.crossJoin(F.broadcast(bm)).select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        F.size(F.filter(vs, probe_v)).alias("n_flagged"),
+    )
+    return per_doc.select(
+        id_col, "n_grams", "n_flagged", (F.col("n_flagged") > 0).alias("contaminated")
     )

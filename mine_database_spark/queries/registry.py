@@ -3815,9 +3815,8 @@ ev AS (
         FROM t WHERE source = 'src0' AND len(toks) >= 8)
 ),
 evh AS (
-  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
-         (('0x' || substr(md5(g || 'bloom'), 1, 15))::BIGINT | 1) AS h2
-  FROM ev
+  SELECT (v & 1073741823) AS h1, ((v >> 30) | 1) AS h2
+  FROM (SELECT ('0x' || substr(md5(g || 'bloom'), 1, 15))::BIGINT AS v FROM ev)
 ),
 pos AS (
   SELECT ((h1 + i * h2) % 1048576) AS p
@@ -3835,10 +3834,9 @@ cg AS (
         FROM corp WHERE len(toks) >= 8)
 ),
 cgh AS (
-  SELECT doc_id, gpos,
-         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
-         (('0x' || substr(md5(g || 'bloom'), 1, 15))::BIGINT | 1) AS h2
-  FROM cg
+  SELECT doc_id, gpos, (v & 1073741823) AS h1, ((v >> 30) | 1) AS h2
+  FROM (SELECT doc_id, gpos,
+               ('0x' || substr(md5(g || 'bloom'), 1, 15))::BIGINT AS v FROM cg)
 ),
 cpos AS (
   SELECT doc_id, gpos, ((h1 + i * h2) % 1048576) AS p
