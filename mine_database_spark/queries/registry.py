@@ -4000,6 +4000,60 @@ SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
 """
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-blocklist content filter — the toxicity/NSFW gate of a
+    curation pipeline (the word-level stand-in for a model scorer; the
+    synthetic corpus has no real profanity, so common corpus words play
+    the blocked set). Per doc: occurrence count, distinct blocked terms
+    hit (sorted render), and the keep/drop verdict at a density
+    threshold — count-based, not membership-based, so a single stray term
+    in a long document survives while saturated spam drops.
+
+    Scale: ZERO shuffle — the token array, the per-token membership scan
+    (blocklist inlined as a literal array, O(|blocklist|) per token), the
+    density ratio, and the verdict all evaluate inside the scan
+    projection.
+    """
+    (d,) = _t(spark, sf_dir, "documents")
+    blocked = ["dup", "spam", "error"]
+    lit_block = F.array(*[F.lit(b) for b in blocked])
+    toks = tokens(F.col("text"))
+    hits = F.filter(toks, lambda x: F.array_contains(lit_block, x))
+    n_hits = F.size(hits).cast("int")
+    n_toks = F.size(toks).cast("int")
+    density = F.when(n_toks > 0, n_hits / n_toks).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        n_hits.alias("n_blocked"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("blocked_terms"),
+        F.round(density, 4).alias("block_density"),
+        (density < 0.05).alias("keep"),
+    )
+
+
+_Q_BLOCKLIST_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, toks,
+         list_filter(toks, x -> list_contains(['dup', 'spam', 'error'], x)) AS hits
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(hits) AS INT) AS n_blocked,
+         coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '') AS blocked_terms,
+         CASE WHEN len(toks) > 0 THEN len(hits) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS density
+  FROM h
+)
+SELECT doc_id, n_tokens, n_blocked, blocked_terms,
+       round(density, 4) AS block_density,
+       density < 0.05 AS keep
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4021,7 +4075,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "quality_rules": q_quality_rules,
     "pii_scan": q_pii_scan,
-    "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
@@ -4049,6 +4102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_freq": q_cms_token_freq,
     "hll_vocab": q_hll_vocab,
     "degree_distribution": q_degree_distribution,
+    "blocklist_filter": q_blocklist_filter,
     "key_skew": q_key_skew,
     "funnel": q_funnel,
     "retention": q_retention,
@@ -4072,6 +4126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and untouched in r10 (operator_census: r8-green x2, displaced by the
     # batch-2 queries; segment_dedup/span_scrub: r9-green, displaced) ---
     "operator_census": q_operator_census,
+    "ann_cosine_topk": q_ann_cosine_topk,
     "contamination_check": q_contamination_check,
     "model_jaccard": q_model_jaccard,
     "orphan_gc": q_orphan_gc,
@@ -4127,6 +4182,7 @@ ORACLES: dict[str, str] = {
     "bloom_decontaminate": _Q_BLOOM_DECON_SQL,
     "cms_token_freq": _Q_CMS_SQL,
     "degree_distribution": _Q_DEGREE_SQL,
+    "blocklist_filter": _Q_BLOCKLIST_SQL,
     "hll_vocab": _Q_HLL_SQL,
     "pagerank": _Q_PAGERANK_SQL,
     "key_skew": _Q_KEY_SKEW_SQL,

@@ -2893,3 +2893,29 @@ def test_hll_matches_python_twin(spark):
     assert got_regs == regs
     got = hll_estimate(hll_registers(items, "x")).collect()[0]["est_distinct"]
     assert got == want
+
+
+def test_blocklist_filter_density_policy(spark):
+    from mine_database_spark.queries.registry import q_blocklist_filter  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # exercise the operator shape directly via the registry function's
+    # building blocks: planted saturated-spam vs stray-term docs
+    from mine_database_spark.functions.text import tokens
+
+    blocked = ["dup", "spam", "error"]
+    lit_block = F.array(*[F.lit(b) for b in blocked])
+    rows = [
+        (1, "spam spam spam dup spam"),                       # saturated -> drop
+        (2, "a long clean document with one stray spam word " + "pad " * 40),
+        (3, "no bad words at all here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens(F.col("text"))
+    hits = F.filter(toks, lambda x: F.array_contains(lit_block, x))
+    dens = F.size(hits) / F.size(toks)
+    got = {r["doc_id"]: (r["n"], r["keep"]) for r in d.select(
+        "doc_id", F.size(hits).alias("n"), (dens < 0.05).alias("keep")).collect()}
+    assert got[1] == (5, False)
+    assert got[2][0] == 1 and got[2][1] is True
+    assert got[3] == (0, True)

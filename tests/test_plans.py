@@ -701,3 +701,12 @@ def test_hll_registers_map_side_no_window(spark, sf_smoke):
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_blocklist_filter_zero_shuffle_no_python(spark, sf_smoke):
+    """The blocklist gate is a pure scan: literal-array membership, counts,
+    density, verdict — all inside the projection."""
+    plan = plan_str(QUERIES["blocklist_filter"](spark, sf_smoke), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
