@@ -239,3 +239,32 @@ def stream_bloom_decontaminate(
         doc_stream, eval_docs, gram_words=gram_words, m_bits=m_bits,
         k=k, salt=salt, id_col=id_col, text_col=text_col,
     )
+
+
+def stream_cms_table(
+    item_stream: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 8192,
+    salt: str = "cms",
+) -> DataFrame:
+    """Streaming twin of sketches.cms_table: the Count-Min cell counts as
+    a NATIVE streaming aggregation (groupBy(row, col).count in update/
+    complete mode) — no custom state handler needed, and the streaming
+    state is bounded by d·w cells FOREVER, which is the whole point of
+    sketching a firehose: an exact per-item streaming count would grow
+    state with the distinct-item count, this never does. Identical cell
+    values to the batch build on the same data (pinned in pytest), so
+    cms_estimate serves either form.
+    """
+    from mine_database_spark.operators.sketches import _h2pair
+
+    h1, h2 = _h2pair(F.col(col), salt)
+    cells = item_stream.select(
+        F.posexplode(
+            F.array(*[F.pmod(h1 + i * h2, F.lit(w)) for i in range(d)])
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )

@@ -2919,3 +2919,31 @@ def test_blocklist_filter_density_policy(spark):
     assert got[1] == (5, False)
     assert got[2][0] == 1 and got[2][1] is True
     assert got[3] == (0, True)
+
+
+def test_stream_cms_matches_batch(spark, tmp_path):
+    """Streaming CMS: complete-mode cell counts equal the batch build on
+    the same items, so estimates agree serve-side."""
+    from mine_database_spark.operators.sketches import cms_table
+    from mine_database_spark.streaming.windows import stream_cms_table
+
+    items = ["a"] * 5 + ["b"] * 3 + ["c"]
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    (src / "d.csv").write_text("".join(f"{t}\n" for t in items))
+    stream = spark.readStream.schema("tok string").csv(str(src))
+    q = (
+        stream_cms_table(stream, "tok", d=4, w=64)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    got = {(r["row"], r["col"]): r["c"] for r in
+           spark.sql("select * from cms_stream_test").collect()}
+    batch = {(r["row"], r["col"]): r["c"] for r in
+             cms_table(spark.createDataFrame([(t,) for t in items], "tok string"),
+                       "tok", d=4, w=64).collect()}
+    assert got == batch and len(got) > 0
