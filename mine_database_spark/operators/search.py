@@ -37,12 +37,18 @@ def inverted_index(
     half the corpus has a posting list O(corpus) long, and a single row
     holding it becomes the straggler. Production at 100 TB sets
     max_postings (or shards hot terms downstream); None keeps exact
-    semantics for the oracle.
+    semantics for the oracle. `df` is always the EXACT document
+    frequency (counted over the full posting set, never the cap).
 
-    Scale: one explode scan + per-(tok, doc) distinct + one groupBy(tok)
-    with map-side-combinable collect_set. The distinct and the group
-    share the token-keyed shuffle under AQE; df comes from the same
-    aggregate (size of the set), not a second scan.
+    Scale: one explode scan + per-(tok, doc) distinct. Exact path: one
+    groupBy(tok) whose df comes from the same aggregate (size of the
+    set), not a second scan. Capped path: the posting list comes from a
+    `row_number() over (partition by tok order by doc_id) <= N` filter
+    BEFORE collect_set — Spark's WindowGroupLimit rewrite pushes a
+    partial per-term top-N into each map task, so the hot term's
+    reduce-side rows are O(N × maps), not O(corpus), and the aggregate
+    buffer never holds more than N ids; df comes from a sibling
+    map-side-combinable count on the same token-keyed exchange.
     """
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
@@ -50,18 +56,30 @@ def inverted_index(
         F.explode(tokens(F.col(text_col))).alias("tok"),
         F.col(id_col).alias("doc_id"),
     ).distinct()
-    idx = posting.groupBy("tok").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("postings")
-    )
-    idx = idx.select(
-        "tok",
-        F.size("postings").cast("bigint").alias("df"),
-        (
-            F.slice("postings", 1, max_postings)
-            if max_postings is not None
-            else F.col("postings")
-        ).alias("postings"),
-    )
+    if max_postings is not None:
+        if max_postings < 1:
+            raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+        dfreq = posting.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        )
+        w = Window.partitionBy("tok").orderBy("doc_id")
+        capped = (
+            posting.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_postings)
+            .groupBy("tok")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
+        )
+        idx = dfreq.join(capped, "tok").select("tok", "df", "postings")
+    else:
+        idx = (
+            posting.groupBy("tok")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
+            .select(
+                "tok",
+                F.size("postings").cast("bigint").alias("df"),
+                "postings",
+            )
+        )
     if min_df > 1:
         idx = idx.where(F.col("df") >= min_df)
     return idx

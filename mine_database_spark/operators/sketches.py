@@ -122,8 +122,11 @@ def hll_registers(
     v = F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit(salt))), 1, 15), 16, 10).cast(
         "bigint"
     )
-    # v < 2^60 so v / 2^50 is exact in double and the cast == floor
-    bucket = (v / F.lit(1 << 50)).cast("bigint")
+    # integer shift, not double division: v is up to 2^60-1, which a
+    # 53-bit double mantissa cannot hold exactly — values within ~64 of a
+    # 2^50 boundary would round into the NEXT bucket (~2^-44/row, latent),
+    # diverging from the oracle's exact integer `//`
+    bucket = F.shiftright(v, 50)
     rest = F.pmod(v, F.lit(1 << 50))
     rho = F.when(rest == 0, F.lit(51)).otherwise(
         F.lit(51) - F.length(F.bin(rest))

@@ -3460,11 +3460,15 @@ FROM top
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term -> sorted posting-list index with document frequency
     (operators/search.py:inverted_index), min_df=2 — the retrieval-side
-    artifact every curation search runs against."""
+    artifact every curation search runs against. The posting list is
+    rendered as a comma-joined string in the FINAL projection (repo
+    convention, same as collect_set_union above): the driver's pandas
+    canonicalizer cannot hash list-typed cells."""
     from mine_database_spark.operators import search as srch
 
     (d,) = _t(spark, sf_dir, "documents")
-    return srch.inverted_index(d, min_df=2)
+    idx = srch.inverted_index(d, min_df=2)
+    return idx.select("tok", "df", F.concat_ws(",", "postings").alias("postings"))
 
 
 _Q_INVIDX_SQL = f"""
@@ -3473,7 +3477,8 @@ WITH tok AS (
     SELECT unnest({_DUCK_TOKS}) AS tok, doc_id FROM documents
   ) WHERE tok <> ''
 )
-SELECT tok, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+SELECT tok, COUNT(*) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM tok GROUP BY tok HAVING COUNT(*) >= 2
 """
 

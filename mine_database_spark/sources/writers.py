@@ -204,6 +204,16 @@ def write_zorder(
         raise ValueError(f"cols must have 1-4 entries, got {cols}")
     if not 1 <= bits <= 16:
         raise ValueError(f"bits must be in [1, 16], got {bits}")
+    # the top interleaved bit lands at position bits*n_cols - 1; position
+    # 63 is the bigint SIGN bit, so e.g. 4 cols × default 16 bits would
+    # flip z negative for half the rows and range-partition them FIRST —
+    # a silent monotonicity break, not an overflow
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits * len(cols) must be <= 63 (bigint sign bit), got "
+            f"{bits} * {len(cols)} = {bits * len(cols)}; lower bits "
+            f"(e.g. bits={63 // len(cols)})"
+        )
     out = df
     scale = (1 << bits) - 1
     for c in cols:

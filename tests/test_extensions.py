@@ -2530,9 +2530,16 @@ def test_inverted_index_postings_sorted_and_capped(spark):
     assert set(idx) == {"a", "b"}
     assert idx["b"]["df"] == 3 and idx["b"]["postings"] == [1, 2, 3]
     assert idx["a"]["postings"] == [1, 3]
-    capped = {r["tok"]: r["postings"]
+    capped = {r["tok"]: r
               for r in inverted_index(docs, min_df=2, max_postings=2).collect()}
-    assert capped["b"] == [1, 2]
+    assert capped["b"]["postings"] == [1, 2]
+    # df stays EXACT under the cap (counted over the full set, never the
+    # truncated list) — the cap bounds aggregation state, not semantics
+    assert capped["b"]["df"] == 3
+    assert capped["a"]["postings"] == [1, 3] and capped["a"]["df"] == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_postings"):
+        inverted_index(docs, max_postings=0)
 
 
 def test_dedup_report_planted_clusters(spark):
@@ -2813,6 +2820,28 @@ def test_write_zorder_prunes_on_every_column(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20000
     assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+
+def test_write_zorder_rejects_sign_bit_overflow(spark, tmp_path):
+    """4 columns x default bits=16 would place the top interleaved bit at
+    position 63 — the bigint sign bit — flipping z negative for half the
+    rows and silently breaking the monotone layout; the writer must refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.sources.writers import write_zorder
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), F.col("id").alias("b"),
+        F.col("id").alias("c"), F.col("id").alias("d"),
+    )
+    with _pytest.raises(ValueError, match="sign bit"):
+        write_zorder(df, str(tmp_path / "z4"), ["a", "b", "c", "d"], bits=16)
+    # the suggested max works and clusters all four axes
+    write_zorder(df, str(tmp_path / "z4ok"), ["a", "b", "c", "d"], bits=15, n_files=2)
+    back = spark.read.parquet(str(tmp_path / "z4ok"))
+    assert back.count() == 100
+    assert sorted(r["a"] for r in back.collect()) == list(range(100))
 
 
 def test_cms_matches_python_twin(spark):

@@ -97,6 +97,23 @@ def _assert_type_parity(name, scols, sdtypes, dcols, dtypes):
         )
     skinds = {c: _spark_kind(t) for c, t in zip(scols, sdtypes)}
     dkinds = {c: _duck_kind(t) for c, t in zip(dcols, dtypes)}
+    # Array/list columns in a FINAL projection are banned on BOTH sides:
+    # the driver's canonicalizer sorts the result in pandas, and pandas
+    # factorize() dies on list-typed cells ("unhashable type: 'list'",
+    # inverted_index round 10 — the second local-replica blind spot after
+    # round 7's HUGEINT; Python compares tuples-of-lists fine, so the
+    # value compare below would happily pass).  Render sets/lists as
+    # concat_ws / array_to_string strings (registry.py collect_set_union
+    # is the convention).
+    listy = {
+        c: k
+        for c, k in list(skinds.items()) + list(dkinds.items())
+        if k.startswith("list<")
+    }
+    assert not listy, (
+        f"{name}: list-typed FINAL projection {listy} — the driver's pandas "
+        "canonicalizer cannot hash list cells; render as a joined string"
+    )
     diffs = {c: (skinds[c], dkinds[c]) for c in skinds if skinds[c] != dkinds.get(c)}
     assert not diffs, f"{name}: spark/duck type-kind mismatch {diffs}"
 
@@ -121,6 +138,37 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     dset = _rows_to_set(dcols, drows)
     mismatches = [(a, b) for a, b in zip(sset, dset) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_type_gate_rejects_list_projection():
+    """The gate must fail wherever the driver's pandas canonicalizer would:
+    a list-typed column in the final projection on either side is an error
+    even when names/values agree (inverted_index r10 regression class)."""
+    with pytest.raises(AssertionError, match="list-typed FINAL projection"):
+        _assert_type_parity(
+            "demo", ["postings"], ["array<bigint>"], ["postings"], ["BIGINT[]"]
+        )
+    with pytest.raises(AssertionError, match="list-typed FINAL projection"):
+        _assert_type_parity(
+            "demo", ["postings"], ["string"], ["postings"], ["BIGINT[]"]
+        )
+    # strings pass
+    _assert_type_parity("demo", ["postings"], ["string"], ["postings"], ["VARCHAR"])
+
+
+def test_readme_query_count_in_sync():
+    """README's front-door registry line must track len(QUERIES) — it
+    drifted 96 vs 101 in round 10; this pins it mechanically."""
+    import pathlib
+    import re
+
+    readme = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"(\d+) queries \+ (\d+) DuckDB oracles", readme)
+    assert m, "README registry line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLES)), (
+        f"README says {m.group(1)}/{m.group(2)} but registry has "
+        f"{len(QUERIES)}/{len(ORACLES)} — update README.md"
+    )
 
 
 def test_rows_only_queries_run(spark, sf_smoke):

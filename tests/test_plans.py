@@ -632,6 +632,21 @@ def test_inverted_index_single_distinct_then_group(spark, sf_smoke):
     assert "HashAggregate" in pre and "partial" in post
 
 
+def test_inverted_index_capped_pushes_partial_limits(spark, sf_smoke):
+    """With max_postings set, the posting branch must carry Spark's
+    WindowGroupLimit rewrite (rank<=N filter over the tok window): each
+    map task keeps only N ids per term BEFORE the shuffle, so a stop-word
+    term's reduce-side rows are O(N x maps), not O(corpus) — the straggler
+    guard the knob promises (round-10 ADVICE: the old post-agg slice only
+    bounded OUTPUT size)."""
+    from mine_database_spark.operators.search import inverted_index
+    from mine_database_spark.queries.registry import _t
+
+    (d,) = _t(spark, sf_smoke, "documents")
+    plan = plan_str(inverted_index(d, min_df=2, max_postings=8), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_pagerank_linear_iteration_chain(spark, sf_smoke):
     """5 iterations = a LINEAR chain of src-join + dst-agg: no cartesian,
     no windows, no Python; per-iteration shuffle volume is O(edges)."""
