@@ -11,13 +11,15 @@ content-deduplicated plain-document table the shaping pipeline starts from.
    3. Normalization-insensitive content dedup (dedup.normalized_dedup) —
       reformatted re-publications (case/punct/whitespace) collapse where
       byte-exact dedup cannot
+   4. Skew-aware source-stats enrichment (operators.skew) — the key-skew
+      audit on the join key decides, per batch, whether the join salts
 
 The synthetic corpus is already plain text, so step 0 derives a messy fetch
 record (HTML wrapper + noisy URL, plus a reformatted duplicate fetch for
 every third document) deterministically — the registry q_html_extract /
 q_url_dedup convention. Every stage is a DataFrame transform; nothing leaves
-the JVM. Output schema matches llm_pipeline.run()'s input contract
-(doc_id, source, lang, text).
+the JVM. Output schema is a superset of llm_pipeline.run()'s input contract
+(doc_id, source, lang, text — plus the stage-4 source stats).
 """
 
 from __future__ import annotations
@@ -29,9 +31,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(docs_path: str | None = None, app_name: str = "mine-spark-ingest") -> dict:
+def run(
+    docs_path: str | None = None,
+    app_name: str = "mine-spark-ingest",
+    skew_share_threshold_pct: float = 20.0,
+) -> dict:
     """Execute the ingest pipeline; returns per-stage survivor counts plus
-    the final DataFrame under the 'docs' key."""
+    the final DataFrame under the 'docs' key.
+
+    `skew_share_threshold_pct`: if the key-skew audit shows the hottest
+    source holding at least this share of surviving rows, the enrichment
+    join (stage 4) salts; otherwise it runs plain."""
     from pyspark.sql import functions as F
 
     from mine_database_spark.functions.text import strip_html
@@ -132,6 +142,31 @@ def run(docs_path: str | None = None, app_name: str = "mine-spark-ingest") -> di
     )
     docs = survivors.join(keep, "doc_id", "left_semi")
     counts["after_normalized_dedup"] = docs.count()
+
+    # 4. source-reputation enrichment, skew-aware: 'source' is the canonical
+    #    hot key of a crawl batch (one domain can dominate a fetch window),
+    #    so the stage reads the key-skew audit FIRST and salts the join only
+    #    when the hottest key's share crosses the threshold — the audit ->
+    #    conditional-salt pattern from operators/skew.py as executable
+    #    documentation. At this template's scale the stats dim would
+    #    broadcast (and a broadcast join never has reduce-side skew); the
+    #    salted branch is the shape for the 100 TB case where the dim is a
+    #    per-domain table of millions of rows and the join must sort-merge.
+    from mine_database_spark.operators.skew import key_skew_audit, salted_join
+
+    top = key_skew_audit(docs, "source", top_n=1).collect()
+    top_share = float(top[0]["share_pct"]) if top else 0.0
+    counts["top_source_share_pct"] = top_share
+    source_stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("source_docs"),
+        F.round(F.avg(F.length("text")), 2).alias("source_avg_len"),
+    )
+    if top_share >= skew_share_threshold_pct:
+        docs = salted_join(docs, source_stats, "source", n_salts=8)
+        counts["enrich_join"] = "salted"
+    else:
+        docs = docs.join(source_stats, "source")
+        counts["enrich_join"] = "plain"
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["docs"] = docs
     return counts

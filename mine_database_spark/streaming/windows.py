@@ -268,3 +268,26 @@ def stream_cms_table(
     return cells.groupBy("row", "col").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+
+
+def stream_hll_registers(
+    item_stream: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "hll",
+) -> DataFrame:
+    """Streaming twin of sketches.hll_registers: the per-bucket max-rho
+    register update as a NATIVE streaming aggregation (groupBy(bucket).
+    max in update/complete mode). Register state is ≤ 1024 rows per group
+    FOREVER — the constant-memory streaming form of count_distinct, whose
+    exact streaming state grows with the distinct-value count. max() is
+    order-insensitive and the bucket/rho derivation is the same integer
+    expression as the batch build, so the registers are bit-identical to
+    batch on the same data (pinned in pytest) and hll_estimate serves
+    either form.
+    """
+    from mine_database_spark.operators.sketches import hll_registers
+
+    # the batch operator is scan + groupBy(max) — a shape Structured
+    # Streaming supports verbatim, so the twin IS the batch expression
+    return hll_registers(item_stream, col, group_cols=group_cols, salt=salt)

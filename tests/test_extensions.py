@@ -2976,3 +2976,36 @@ def test_stream_cms_matches_batch(spark, tmp_path):
              cms_table(spark.createDataFrame([(t,) for t in items], "tok string"),
                        "tok", d=4, w=64).collect()}
     assert got == batch and len(got) > 0
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    """Streaming HLL: complete-mode max-rho registers equal the batch
+    build on the same items, so hll_estimate serves either form."""
+    from mine_database_spark.operators.sketches import hll_estimate, hll_registers
+    from mine_database_spark.streaming.windows import stream_hll_registers
+
+    items = [f"v{i}" for i in range(300)] + ["v0", "v1", "v2"]
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    (src / "d.csv").write_text("".join(f"{t}\n" for t in items))
+    stream = spark.readStream.schema("x string").csv(str(src))
+    q = (
+        stream_hll_registers(stream, "x")
+        .writeStream.format("memory")
+        .queryName("hll_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    stream_regs = spark.sql("select * from hll_stream_test")
+    got = {r["bucket"]: r["m_j"] for r in stream_regs.collect()}
+    batch_df = spark.createDataFrame([(t,) for t in items], "x string")
+    batch = {r["bucket"]: r["m_j"]
+             for r in hll_registers(batch_df, "x").collect()}
+    assert got == batch and len(got) > 0
+    # the estimate path accepts the streamed registers verbatim
+    est = hll_estimate(stream_regs).collect()[0]["est_distinct"]
+    est_b = hll_estimate(hll_registers(batch_df, "x")).collect()[0]["est_distinct"]
+    assert est == est_b
+    assert abs(est - 300) / 300 < 0.15

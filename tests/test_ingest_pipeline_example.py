@@ -27,7 +27,9 @@ def test_ingest_pipeline_end_to_end(spark):
     # normalized content dedup collapses the reformatted syndications
     assert out["after_normalized_dedup"] == n_base
     rows = docs.limit(5).collect()
-    assert set(docs.columns) == {"doc_id", "source", "lang", "text"}
+    assert set(docs.columns) == {
+        "doc_id", "source", "lang", "text", "source_docs", "source_avg_len",
+    }
     # extraction really ran: markup and script bodies are gone
     for r in rows:
         assert "track();" not in r["text"]
@@ -40,3 +42,44 @@ def test_ingest_pipeline_end_to_end(spark):
     assert len(toks) == 1
     # the original fetch (fetch_seq 0, original doc_id) won every group
     assert docs.where("doc_id >= 1000000").count() == 0
+    # stage 4 ran and every row carries its source's stats
+    assert out["enrich_join"] in ("plain", "salted")
+    assert docs.where("source_docs IS NULL").count() == 0
+
+
+def test_ingest_pipeline_salts_on_planted_hot_key(spark, tmp_path):
+    """Plant a corpus where one source dominates: the stage-4 audit must
+    cross the threshold and pick the salted join, with row multiplicity
+    and enrichment values identical to a plain join's."""
+    from pyspark.sql import functions as F
+
+    from ingest_pipeline import run
+
+    # 60 docs from one hot source, 40 spread across 8 cold ones; unique
+    # texts/ids so the dedup stages pass everything through
+    rows = [
+        (i, "hot.example" if i < 60 else f"cold{i % 8}.example", "en",
+         f"unique document body number {i} with fill {'x' * (i % 7)}")
+        for i in range(100)
+    ]
+    src = str(tmp_path / "hotdocs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(src)
+
+    out = run(docs_path=src, skew_share_threshold_pct=50.0)
+    docs = out.pop("docs")
+    assert out["top_source_share_pct"] >= 50.0
+    assert out["enrich_join"] == "salted"
+    # salted join preserves plain-join semantics: one row per survivor,
+    # stats equal the group's true count
+    got = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.first("source_docs").alias("sd")
+    ).collect()
+    for r in got:
+        assert r["n"] == r["sd"], r
+    assert docs.count() == out["after_normalized_dedup"]
+    # the same corpus under a high threshold takes the plain branch
+    out2 = run(docs_path=src, skew_share_threshold_pct=90.0)
+    assert out2["enrich_join"] == "plain"
+    assert out2.pop("docs").count() == docs.count()
