@@ -323,3 +323,65 @@ def pagerank_fixed(
         F.col("r").alias("rank_units"),
         F.round(F.col("r") / F.lit(float(scale)), 6).alias("rank"),
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge set — the community-structure audit of any
+    co-occurrence graph (a dedup-pair graph whose nodes close triangles
+    is CLUSTERED duplication — template families — where a triangle-free
+    one is pairwise noise; the same read tells a link-graph curator which
+    domains are citation rings).
+
+    Input edges may carry either or both directions; they canonicalize to
+    a < b internally. Returns (node, degree, triangles, clustering_coeff
+    = 2·t/(d·(d−1)) rounded 6, 0.0 for degree < 2) for every node.
+
+    Scale: the classic oriented edge-iterator — wedges enumerate only
+    from the id-ordered edge list (a<b joined to b<c), so each triangle
+    is generated exactly once and the wedge volume is Σ_b deg_lo(b)·
+    deg_hi(b), never the all-pairs square. All three joins are equi-joins
+    Catalyst shuffles on node keys; at production scale orient by
+    (degree, id) instead of raw id — it provably minimizes Σ wedge counts
+    (Chiba–Nishizeki) — and pre-bucket the edge table on the join keys.
+    The id orientation here keeps the SQL oracle a three-line replay.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # wedge (a<b<c) closed by the (a,c) edge
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        canon.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    both = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("bigint"))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * t / (F.col("degree") * (F.col("degree") - 1)), 6),
+    ).otherwise(F.lit(0.0))
+    return deg.join(per_node, "node", "left").select(
+        "node", "degree", t.alias("triangles"), coeff.alias("clustering_coeff")
+    )

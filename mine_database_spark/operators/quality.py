@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mine_database_spark.functions.text import (
@@ -29,6 +29,8 @@ from mine_database_spark.functions.text import (
     nonspace_chars,
     stopword_token_count,
     token_count,
+    tokens,
+    word_shingles,
 )
 
 # (name, weight) — trained offline on a synthetic clean-vs-spam sample with
@@ -286,3 +288,164 @@ def percentile_filter(
         else F.col(score_col) <= F.col("threshold")
     )
     return joined.where(cmp)
+
+
+def zipf_audit(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf rank-frequency audit per group: the least-squares slope of
+    ln(freq) against ln(rank) over the group's top-N tokens, with its r².
+    Natural-language corpora sit near slope -1 (Zipf's law); a slope far
+    shallower flags template/boilerplate floods, far steeper flags
+    tiny-vocabulary spam — the distributional health check a corpus
+    intake runs per source before mixing.
+
+    Returns (group, n_terms INT, zipf_slope, zipf_r2, top_share) — top_share
+    is the most frequent token's share of the group's tokens (rounded 6),
+    the one-number skew companion. Rank ties break by token string so the
+    regression input set is deterministic; the regression sums are float
+    but over <= top_n values (error ~1e-13 against round-6 output).
+
+    Scale: one token-count aggregate, a per-group top-N (rank window over
+    the group histogram — O(vocab) rows, not O(corpus)), and an O(#groups)
+    regression rollup. The corpus scans once.
+    """
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    hist = toks.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = hist.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_n
+    )
+    totals = hist.groupBy("grp").agg(F.sum("n").alias("__tot"))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    reg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.regr_slope(y, x).alias("__slope"),
+        F.regr_r2(y, x).alias("__r2"),
+        F.max(F.when(F.col("rank") == 1, F.col("n"))).alias("__top_n"),
+    )
+    return reg.join(F.broadcast(totals), "grp").select(
+        F.col("grp").alias(group_col),
+        "n_terms",
+        F.round("__slope", 6).alias("zipf_slope"),
+        F.round("__r2", 6).alias("zipf_r2"),
+        F.round(F.col("__top_n") / F.col("__tot"), 6).alias("top_share"),
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Inter-document n-gram diversity per group: distinct k-gram count
+    over total k-gram count — the corpus-level type-token ratio that
+    drops toward 0 when a source floods the mix with templated or
+    self-repetitive text (the inverse signal of repetition_stats, which
+    is per-document and blind to ACROSS-document repetition).
+
+    Returns (group, total_ngrams, distinct_ngrams, diversity rounded 6).
+
+    Scale: one explode scan + per-group count / count_distinct sharing a
+    shuffle. count_distinct state is O(group vocab) — the exact audit
+    form; hll_registers over the same shingle column is the registered
+    constant-memory twin when group vocabularies blow past executor
+    memory.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("g"),
+    )
+    agg = grams.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+        F.countDistinct("g").cast("bigint").alias("distinct_ngrams"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6).alias(
+            "diversity"
+        ),
+    )
+
+
+def token_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_n: int = 100,
+    min_pair: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information over document
+    co-occurrence: PMI = ln(N·c_xy / (c_x·c_y)) with c_* document
+    frequencies and N the corpus size — the collocation/topic-coherence
+    audit (natural corpora surface real collocations; template floods
+    surface boilerplate pairs at implausible PMI).
+
+    Restricted to the top `vocab_n` tokens by document frequency (ties by
+    token string) so the pair space is bounded; pairs below `min_pair`
+    co-occurrences are noise and dropped. All counts are exact integers;
+    ln happens once per surviving pair, rounded 6 — deterministic.
+    Returns (tok_a, tok_b, n_pair, pmi, rank), top_k by (pmi desc, toks).
+
+    Scale: one (doc, tok) distinct scan; the vocabulary is a top-N
+    sort-limit broadcast BACK into the scan (semi-join), so the pair
+    self-join fans at most vocab_n tokens per document — O(docs·vocab_n²)
+    worst case, governed by vocab_n, never by corpus vocabulary. The
+    final top-k is a sort-limit.
+    """
+    if vocab_n < 2:
+        raise ValueError(f"vocab_n must be >= 2, got {vocab_n}")
+    dt = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).distinct()
+    cx = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    vocab = cx.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_n)
+    dtv = dt.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    pairs = (
+        dtv.alias("x")
+        .join(dtv.alias("y"), "doc_id")
+        .where(F.col("x.tok") < F.col("y.tok"))
+        .groupBy(F.col("x.tok").alias("tok_a"), F.col("y.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair)
+    )
+    ca = vocab.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    cb = vocab.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("n_docs"))
+            / (F.col("ca") * F.col("cb")).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok_a", "tok_b", "n_pair", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(top_k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

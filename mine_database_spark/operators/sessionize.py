@@ -199,3 +199,111 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_days: int = 1,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key event-rate anomaly flags: bucket counts per (key, period),
+    then each bucket's z-score against ITS key's own mean/stddev across
+    buckets — the ingest-health audit that catches a crawler retry storm,
+    a source going dark, or a duplicated feed day before it pollutes a
+    training snapshot.
+
+    Determinism: mean and variance derive from INTEGER Σn and Σn² (both
+    bigint, exact and order-insensitive) — var = (cnt·Σn² − (Σn)²) /
+    cnt², computed as one float expression per row, never a float
+    aggregation whose partition order could perturb the hash. Returns
+    (key, period BIGINT, n, z rounded 4, is_anomaly) for every bucket;
+    zero-variance keys get z = 0.
+
+    Scale: one (key, period) count + one O(#keys) stats rollup joined
+    broadcast — per-key state is two bigints regardless of event volume.
+    Σn² caps the honest bucket count: ~3e9 events per bucket before the
+    bigint square overflows; shard the period grid past that.
+    """
+    if bucket_days < 1:
+        raise ValueError(f"bucket_days must be >= 1, got {bucket_days}")
+    us = _micros(events, ts_col)
+    bucket_us = bucket_days * 86_400_000_000
+    per = (
+        events.select(F.col(key_col).alias("key"), us.alias("__us"))
+        .select("key", F.expr(f"__us div {bucket_us}").alias("period"))
+        .groupBy("key", "period")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = per.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.sum("n").alias("__s1"),
+        F.sum(F.col("n") * F.col("n")).alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("__cnt")
+    var = (
+        (F.col("__cnt") * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+        / (F.col("__cnt") * F.col("__cnt"))
+    ).cast("double")
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return per.join(F.broadcast(stats), "key").select(
+        "key",
+        "period",
+        "n",
+        F.round(z, 4).alias("z"),
+        (F.abs(F.round(z, 4)) >= z_threshold).alias("is_anomaly"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k first-order Markov transitions between consecutive events of
+    the same user: (from_type, to_type, n, p, rank) where p is the
+    transition probability out of from_type — the behavioral summary
+    behind funnel design, and for a pipeline the step-graph audit of a
+    crawl scheduler's fetch→parse→store loop.
+
+    Consecutive = lead() over (user, ts, id) — the id tiebreak makes
+    simultaneous events deterministic. p = n / Σn per from_type, rounded
+    6; global top-k orders by (n desc, from, to).
+
+    Scale: one user-keyed window (the sort is per user, state one row) +
+    a (from, to) count whose group count is at most |event types|² +
+    a broadcast per-from total; top-k is a sort-limit, never a full sort.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    us = _micros(events, ts_col)
+    w = Window.partitionBy("user_id").orderBy("__us", "__id")
+    seq = events.select(
+        F.col(user_col).alias("user_id"),
+        us.alias("__us"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("from_type"),
+    ).withColumn("to_type", F.lead("from_type").over(w))
+    trans = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    top = (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+        )
+        .orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
+        .limit(top_k)
+    )
+    rw = Window.orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
+    return top.withColumn("rank", F.row_number().over(rw).cast("int"))

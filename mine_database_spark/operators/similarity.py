@@ -1721,3 +1721,83 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "score")
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bottom_k: int = 3,
+    quant_scale: float = 1.0e5,
+) -> DataFrame:
+    """Per-group embedding outliers: the bottom-k vectors by cosine to
+    their OWN group's centroid — the mislabeled-cluster / off-topic-shard
+    audit an embedding-curated corpus runs per topic before sampling
+    (SemDeDup's outlier companion: instead of dropping near-duplicates at
+    the cluster core, it surfaces what barely belongs to the cluster).
+
+    Centroid direction = the component-wise SUM of the group's quantized
+    vectors (same direction as the mean, skips the division): components
+    quantize JVM-side to round(x·quant_scale) BIGINT, so the centroid,
+    both norms, and every dot product are exact integer arithmetic — the
+    knn_graph determinism recipe — and the rounded score hash-matches any
+    engine. Returns (group, rank, id, score) with score = round(cos, 4),
+    rank ascending (worst first), ties by id.
+
+    Scale: the centroid build is ONE map-side-combinable (group, dim)
+    aggregate (shuffled rows <= maps · groups · dim); the scoring pass is
+    a broadcast join of the O(groups) centroid table onto a stateless
+    scan (zip_with/aggregate folds are row-local); the bottom-k is a
+    rank<=k filter Spark rewrites to WindowGroupLimit (partial limits
+    map-side). Overflow bound (bigint): group_size · dim · (quant_scale ·
+    max|x|)² < 2^63 — ~7k vectors/group at the default scale for unit-
+    normalized 64-dim inputs; drop quant_scale one decade per 100x group
+    size (at 1e3 the bound is ~70M vectors/group, precision ~1e-3).
+    """
+    if bottom_k < 1:
+        raise ValueError(f"bottom_k must be >= 1, got {bottom_k}")
+    e = embeddings.where(_valid_vec(vec_col)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(group_col).alias("grp"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * quant_scale).cast("bigint"),
+        ).alias("v"),
+    )
+    comp = e.select("grp", F.posexplode("v").alias("i", "q"))
+    cent = comp.groupBy("grp", "i").agg(F.sum("q").alias("s"))
+    cent_arr = cent.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda t: t["s"]
+        ).alias("cv")
+    )
+    zero = F.lit(0).cast("bigint")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b), zero,
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(F.col("v"), zero, lambda acc, x: acc + x * x)
+    ns = F.aggregate(F.col("cv"), zero, lambda acc, x: acc + x * x)
+    scored = (
+        e.join(F.broadcast(cent_arr), "grp")
+        .select(
+            "vec_id", "grp", dot.alias("__dot"), nv.alias("__nv"), ns.alias("__ns")
+        )
+        .where((F.col("__nv") > 0) & (F.col("__ns") > 0))
+        .select(
+            "vec_id",
+            "grp",
+            F.round(
+                F.col("__dot")
+                / (F.sqrt(F.col("__nv").cast("double")) * F.sqrt(F.col("__ns").cast("double"))),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= bottom_k)
+        .select(F.col("grp").alias(group_col), "rank", "vec_id", "score")
+    )

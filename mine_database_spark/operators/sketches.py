@@ -1,13 +1,15 @@
 """Deterministic streaming-sketch operators: Count-Min frequency
-estimation and HyperLogLog cardinality estimation.
+estimation, HyperLogLog cardinality estimation, and log2-histogram
+quantile estimation.
 
-At 100 TB, exact frequency/cardinality answers need corpus-wide shuffles
-whose state is O(distinct items); these sketches bound the state to a few
-KB regardless of scale. Both are built DETERMINISTICALLY (md5-derived
-hashing, and every order-sensitive accumulation kept in INTEGER domain so
-partition order cannot perturb the result) — which is what lets even the
-approximate answers carry full DuckDB value oracles, the repo's standing
-bar for "done" (same bar as bloom_decontaminate, dedup.py).
+At 100 TB, exact frequency/cardinality/quantile answers need corpus-wide
+shuffles whose state is O(distinct items); these sketches bound the state
+to a few KB regardless of scale. All are built DETERMINISTICALLY
+(md5-derived hashing, and every order-sensitive accumulation kept in
+INTEGER domain so partition order cannot perturb the result) — which is
+what lets even the approximate answers carry full DuckDB value oracles,
+the repo's standing bar for "done" (same bar as bloom_decontaminate,
+dedup.py).
 
 Reference context: the reference has no sketch machinery (its censuses are
 exact Mongo counts, pickaxe.py:1218-1221); these extend the audit family
@@ -16,7 +18,7 @@ exact Mongo counts, pickaxe.py:1218-1221); these extend the audit family
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -169,3 +171,69 @@ def hll_estimate(
     small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v0)
     est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v0 > 0), small).otherwise(raw)
     return agg.select(*g, F.round(est, 2).alias("est_distinct"))
+
+
+def hist_quantiles(
+    df: DataFrame,
+    col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    group_cols: list[str] | None = None,
+    n_bins: int = 62,
+) -> DataFrame:
+    """Constant-memory quantile estimates for a non-negative integer
+    metric via a log2-bucketed histogram: bin = bit_length(v+1) - 1
+    (EXACT integer arithmetic — length(bin(x)), the HLL-rho idiom, never
+    a float log whose boundary rounding differs across engines), and the
+    p-th percentile reports the smallest bin whose cumulative count
+    covers p% (upper bound 2^(bin+1) - 1 as the value estimate).
+
+    The selection threshold is the integer comparison cum·100 >= pct·total
+    — no float multiply, no ceil, no engine disagreement at exact-boundary
+    percentiles (the round-6 tumbling_window lesson). Returns
+    (group..., pct INT, bin INT, est_hi BIGINT) per requested percentile.
+
+    This is the sketch-tier twin of percentile_filter's exact
+    percentile(): state is <= n_bins counters per group FOREVER (vs the
+    exact form's O(distinct values) sort buffer) at log2-bin resolution —
+    the right audit for "how long are documents per source" at 100 TB,
+    where half-order-of-magnitude precision is plenty.
+
+    Scale: one map-side-combinable (group, bin) count; the cumulative
+    walk runs over O(groups · n_bins) rows. Negative values raise (the
+    bin function is undefined there); clamp or shift upstream.
+    """
+    if not pcts or any(not 1 <= p <= 100 for p in pcts):
+        raise ValueError(f"pcts must be ints in [1, 100], got {pcts}")
+    if not 1 <= n_bins <= 62:
+        raise ValueError(f"n_bins must be in [1, 62], got {n_bins}")
+    g = group_cols or []
+    v = F.col(col).cast("bigint")
+    # the negative guard lives INSIDE the bin expression — a separate
+    # guard column would be column-pruned away and never evaluate
+    bin_expr = F.least(F.lit(n_bins - 1), F.length(F.bin(v + 1)) - F.lit(1))
+    binned = df.select(
+        *g,
+        F.when(v < 0, F.raise_error(f"hist_quantiles: negative {col}").cast("bigint"))
+        .otherwise(bin_expr)
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy(*g, "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wcum = Window.partitionBy(*g).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy(*g)
+    cum = counts.select(
+        *g, "bin", F.sum("n").over(wcum).alias("cum"), F.sum("n").over(wtot).alias("tot")
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in sorted(set(pcts))])).alias("pct")
+    hit = cum.select(*g, "bin", "cum", "tot", p).where(
+        F.col("cum") * 100 >= F.col("pct") * F.col("tot")
+    )
+    sel = hit.groupBy(*g, "pct").agg(F.min("bin").alias("bin"))
+    est = F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), (F.col("bin") + 1).cast("int")
+    ) - F.lit(1)
+    return sel.select(*g, "pct", "bin", est.alias("est_hi"))

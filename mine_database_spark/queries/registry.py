@@ -4060,6 +4060,341 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# round 11: corpus-distribution, event-health, and embedding-cluster audits
+
+
+def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit per source (quality.zipf_audit, top 200
+    terms): ln-ln regression slope + r² + top-token share — the
+    distributional health check run per source before mixing."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.zipf_audit(d, top_n=200)
+
+
+_Q_ZIPF_SQL = f"""
+WITH toks AS (SELECT source AS grp, unnest({_DUCK_TOKS}) AS tok FROM documents),
+hist AS (SELECT grp, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT grp, tok, n,
+         row_number() OVER (PARTITION BY grp ORDER BY n DESC, tok) AS rank
+  FROM hist
+),
+tot AS (SELECT grp, SUM(n) AS tot FROM hist GROUP BY 1),
+reg AS (
+  SELECT grp, CAST(COUNT(*) AS INT) AS n_terms,
+         regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS slope,
+         regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS r2,
+         MAX(CASE WHEN rank = 1 THEN n END) AS topn
+  FROM ranked WHERE rank <= 200 GROUP BY 1
+)
+SELECT reg.grp AS source, n_terms, round(slope, 6) AS zipf_slope,
+       round(r2, 6) AS zipf_r2,
+       round(CAST(topn AS DOUBLE) / tot, 6) AS top_share
+FROM reg JOIN tot ON reg.grp = tot.grp
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document trigram diversity per source (quality.
+    ngram_diversity): distinct/total k-gram ratio — the ACROSS-document
+    repetition audit repetition_stats (per-doc) is blind to."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.ngram_diversity(d, k=3)
+
+
+_Q_NGRAM_DIVERSITY_SQL = f"""
+WITH tok AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM tok WHERE len(toks) >= 3
+),
+g AS (SELECT source, array_to_string(toks[i:i + 2], ' ') AS g FROM pos),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams
+  FROM g GROUP BY 1
+)
+SELECT source, total_ngrams, distinct_ngrams,
+       round(CAST(distinct_ngrams AS DOUBLE) / total_ngrams, 6) AS diversity
+FROM agg
+"""
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-rate anomaly flags (sessionize.rate_anomaly):
+    z-score of each day's count against the type's own day distribution,
+    mean/variance derived from exact integer Σn / Σn² — the ingest-health
+    audit (retry storms, dark sources, duplicated feed days)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return sz.rate_anomaly(ev, bucket_days=1, z_threshold=3.0)
+
+
+_Q_RATE_ANOMALY_SQL = """
+WITH per AS (
+  SELECT event_type AS key,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM per GROUP BY 1
+),
+z AS (
+  SELECT per.key, period, n,
+         CASE WHEN cnt * s2 - s1 * s1 > 0 THEN
+           round((n - CAST(s1 AS DOUBLE) / cnt)
+                 / sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / CAST(cnt * cnt AS DOUBLE)), 4)
+         ELSE 0.0 END AS z
+  FROM per JOIN st ON per.key = st.key
+)
+SELECT key, period, n, z, abs(z) >= 3.0 AS is_anomaly FROM z
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 first-order Markov transitions between a user's consecutive
+    events (sessionize.event_transitions) with per-from transition
+    probability — the step-graph audit of an event stream."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return sz.event_transitions(ev, top_k=20)
+
+
+_Q_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+tr AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY 1),
+top AS (
+  SELECT tr.from_type, to_type, n, round(n / CAST(t AS DOUBLE), 6) AS p
+  FROM tr JOIN tot ON tr.from_type = tot.from_type
+  ORDER BY n DESC, tr.from_type, to_type LIMIT 20
+)
+SELECT from_type, to_type, n, p,
+       CAST(row_number() OVER (ORDER BY n DESC, from_type, to_type) AS INT) AS rank
+FROM top
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-3 vectors per label by cosine to their own label centroid
+    (similarity.embedding_outliers) — the mislabeled-cluster audit; the
+    centroid and every product are exact integer arithmetic over
+    round(x·1e5)-quantized components (knn_graph determinism recipe)."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_outliers(e, bottom_k=3)
+
+
+_Q_EMBED_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+comp AS (SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS q FROM e),
+cent AS (SELECT label, i, CAST(SUM(q) AS BIGINT) AS s FROM comp GROUP BY 1, 2),
+cnorm AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS ns FROM cent GROUP BY 1),
+dots AS (
+  SELECT c.vec_id, c.label,
+         CAST(SUM(c.q * t.s) AS BIGINT) AS dot,
+         CAST(SUM(c.q * c.q) AS BIGINT) AS nv
+  FROM comp c JOIN cent t ON c.label = t.label AND c.i = t.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.label,
+         round(dot / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns AS DOUBLE))), 4) AS score
+  FROM dots d JOIN cnorm cn ON d.label = cn.label
+  WHERE nv > 0 AND ns > 0
+),
+r AS (
+  SELECT label, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY label ORDER BY score ASC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT label, rank, vec_id, score FROM r WHERE rank <= 3
+"""
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length per source from a log2-bucketed
+    histogram (sketches.hist_quantiles) — the constant-memory quantile
+    twin of percentile_filter's exact percentile(); bins via exact
+    length(bin(v+1)), selection via integer cum·100 >= pct·total."""
+    from mine_database_spark.operators import sketches as sk
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return sk.hist_quantiles(d, "n_chars", pcts=(50, 90, 99), group_cols=["source"])
+
+
+_Q_HIST_QUANTILES_SQL = """
+WITH b AS (
+  SELECT source, least(61, length(bin(n_chars + 1)) - 1) AS bin FROM documents
+),
+c AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT source, bin,
+         SUM(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY source) AS tot
+  FROM c
+),
+p AS (SELECT unnest([50, 90, 99]) AS pct),
+hit AS (
+  SELECT source, pct, MIN(bin) AS bin
+  FROM cum CROSS JOIN p WHERE cum * 100 >= pct * tot GROUP BY 1, 2
+)
+SELECT source, CAST(pct AS INT) AS pct, CAST(bin AS INT) AS bin,
+       CAST((CAST(1 AS BIGINT) << CAST(bin + 1 AS INT)) - 1 AS BIGINT) AS est_hi
+FROM hit
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-purchase graph (graph.triangle_count) — the community-structure
+    audit: clustered duplication (template families) closes triangles,
+    pairwise noise does not."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    return gr.triangle_count(e)
+
+
+_Q_TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),
+e0 AS (SELECT DISTINCT a.id AS src, b.id AS dst FROM li a JOIN li b ON a.g = b.g AND a.id <> b.id),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM c e1 JOIN c e2 ON e1.b = e2.a JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM c UNION ALL SELECT b FROM c
+  ) GROUP BY node
+)
+SELECT deg.node, degree, coalesce(triangles, CAST(0 AS BIGINT)) AS triangles,
+       CASE WHEN degree >= 2
+            THEN round(2.0 * coalesce(triangles, 0) / (degree * (degree - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN pn ON deg.node = pn.node
+"""
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token-pair collocations by document-level PMI over the
+    top-100 vocabulary (quality.token_pmi) — the topic-coherence /
+    boilerplate-pair audit; exact integer counts, one ln per pair."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.token_pmi(d, vocab_n=100, min_pair=5, top_k=50)
+
+
+_Q_TOKEN_PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+  )
+),
+cx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+vocab AS (SELECT tok, c FROM cx ORDER BY c DESC, tok LIMIT 100),
+dtv AS (SELECT dt.doc_id, dt.tok FROM dt JOIN vocab ON dt.tok = vocab.tok),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT x.tok AS tok_a, y.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM dtv x JOIN dtv y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT tok_a, tok_b, n_pair,
+         round(ln(CAST(n_pair * n_docs AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi
+  FROM pairs
+  JOIN vocab ca ON pairs.tok_a = ca.tok
+  JOIN vocab cb ON pairs.tok_b = cb.tok
+  CROSS JOIN nd
+),
+top AS (SELECT * FROM scored ORDER BY pmi DESC, tok_a, tok_b LIMIT 50)
+SELECT tok_a, tok_b, n_pair, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS INT) AS rank
+FROM top
+"""
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language consistency per source: share of docs
+    whose declared lang and the stopword-heuristic prediction (q_lang_id's
+    expression) disagree about being English — the labeling-quality audit
+    run before trusting a corpus's own lang column for mixture math."""
+    from mine_database_spark.functions.text import stopword_token_count, token_count
+
+    (d,) = _t(spark, sf_dir, "documents")
+    ratio = stopword_token_count(F.col("text"), _STOPWORDS) / F.nullif(
+        token_count(F.col("text")), F.lit(0)
+    )
+    pred_en = ratio >= 0.2
+    flagged = (F.col("lang") == "en") != F.coalesce(pred_en, F.lit(False))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(flagged.cast("bigint")).alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_docs"), 6).alias("flag_share"),
+        )
+    )
+
+
+_Q_LANG_MISMATCH_SQL = """
+WITH t AS (
+  SELECT source, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT source, lang,
+         len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x)))
+           / CAST(nullif(len(toks), 0) AS DOUBLE) AS ratio
+  FROM t
+),
+f AS (
+  SELECT source,
+         CASE WHEN (lang = 'en') <> coalesce(ratio >= 0.2, false) THEN 1 ELSE 0 END AS flagged
+  FROM r
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(flagged) AS BIGINT) AS n_flagged
+  FROM f GROUP BY 1
+)
+SELECT source, n_docs, n_flagged,
+       round(CAST(n_flagged AS DOUBLE) / n_docs, 6) AS flag_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 # Dict ORDER matters: the driver's correctness gate hashes only the first 50
@@ -4069,73 +4404,30 @@ FROM m
 # tail — those keep local DuckDB parity (tests/test_oracle_parity.py) and
 # bench coverage, and rotate back through the gate in later rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- rotated back INTO the 50-row gate this round (34): last
-    # driver-checked r8, untouched in r9 — per the standing rotation rule,
-    # the whole r9-era tail re-enters while the r9-checked-and-untouched
-    # rows rotate out ---
-    "minhash_lsh": q_minhash_lsh,
-    "dup_clusters": q_dup_clusters,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_capped": q_ngram_jaccard_capped,
-    "repetition_stats": q_repetition_stats,
-    "quality_rules": q_quality_rules,
-    "pii_scan": q_pii_scan,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_neardup": q_embed_neardup,
-    "embed_neardup_lsh": q_embed_neardup_lsh,
-    "semantic_dedup": q_semantic_dedup,
-    "doc_chunks": q_doc_chunks,
-    "pack_sequences": q_pack_sequences,
-    "domain_mixture_sample": q_domain_mixture_sample,
-    "incremental_dedup": q_incremental_dedup,
-    "quality_classifier": q_quality_classifier,
-    "corpus_stats": q_corpus_stats,
-    "dataset_split": q_dataset_split,
-    "packed_texts": q_packed_texts,
-    "dedup_exact": q_dedup_exact,
-    "simhash": q_simhash,
-    "text_quality": q_text_quality,
-    "token_stats": q_token_stats,
-    "lang_id": q_lang_id,
-    "vocab_oov": q_vocab_oov,
-    "url_stats": q_url_stats,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    # --- NEW in round 10 (12): must sit inside the gate ---
-    "pagerank": q_pagerank,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "cms_token_freq": q_cms_token_freq,
-    "hll_vocab": q_hll_vocab,
-    "degree_distribution": q_degree_distribution,
-    "blocklist_filter": q_blocklist_filter,
-    "key_skew": q_key_skew,
-    "funnel": q_funnel,
-    "retention": q_retention,
-    "bm25_topk": q_bm25_topk,
+    # --- NEW in round 11 (9): must sit inside the gate ---
+    "zipf_audit": q_zipf_audit,
+    "ngram_diversity": q_ngram_diversity,
+    "rate_anomaly": q_rate_anomaly,
+    "event_transitions": q_event_transitions,
+    "embedding_outliers": q_embedding_outliers,
+    "hist_quantiles": q_hist_quantiles,
+    "triangle_count": q_triangle_count,
+    "token_pmi": q_token_pmi,
+    "lang_mismatch": q_lang_mismatch,
+    # --- code paths touched in round 11 (2): inverted_index postings
+    # stringified + max_postings pre-limit; hll bucket via shiftright ---
     "inverted_index": q_inverted_index,
-    "ngram_containment": q_ngram_containment,
-    "simhash_hamming": q_simhash_hamming,
-    "dedup_report": q_dedup_report,
-    "char_entropy": q_char_entropy,
-    "pii_pseudonymize": q_pii_pseudonymize,
-    "stratified_sample": q_stratified_sample,
-    # --- code paths touched in round 10 (5): url canonicalizer tracking
-    # regex; winnow persisted-handle exposure; knn family NULL-element
-    # vector guard ---
-    "url_dedup": q_url_dedup,
-    "winnow_pairs": q_winnow_pairs,
-    "knn_graph": q_knn_graph,
-    "knn_graph_lsh": q_knn_graph_lsh,
-    "knn_graph_ivf": q_knn_graph_ivf,
-    # --- rotated out of the 50-row gate this round: driver-green in r9
-    # and untouched in r10 (operator_census: r8-green x2, displaced by the
-    # batch-2 queries; segment_dedup/span_scrub: r9-green, displaced) ---
+    "hll_vocab": q_hll_vocab,
+    # --- the six r8-stale rows displaced from the r10 gate, FIRST per the
+    # r10 exit-state note (3 rounds stale by r12 otherwise) ---
     "operator_census": q_operator_census,
     "ann_cosine_topk": q_ann_cosine_topk,
     "contamination_check": q_contamination_check,
     "model_jaccard": q_model_jaccard,
     "orphan_gc": q_orphan_gc,
     "regex_filter": q_regex_filter,
+    # --- rotated back INTO the gate (36): last driver-checked r9,
+    # untouched since — the oldest remaining tail rows ---
     "token_shards": q_token_shards,
     "segment_dedup": q_segment_dedup,
     "span_scrub": q_span_scrub,
@@ -4169,6 +4461,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "normalized_dedup": q_normalized_dedup,
     "ms2_search": q_ms2_search,
+    # ------------- gate boundary: entries below are the tail -------------
+    # 12 r9-green rows that didn't fit this round (first in line for r12):
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rescored": q_ann_pq_rescored,
@@ -4181,9 +4475,67 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_of_native": q_product_of_native,
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
+    # r10-driver-green rows, untouched in r11 — rotated out:
+    "minhash_lsh": q_minhash_lsh,
+    "dup_clusters": q_dup_clusters,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
+    "repetition_stats": q_repetition_stats,
+    "quality_rules": q_quality_rules,
+    "pii_scan": q_pii_scan,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
+    "semantic_dedup": q_semantic_dedup,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "domain_mixture_sample": q_domain_mixture_sample,
+    "incremental_dedup": q_incremental_dedup,
+    "quality_classifier": q_quality_classifier,
+    "corpus_stats": q_corpus_stats,
+    "dataset_split": q_dataset_split,
+    "packed_texts": q_packed_texts,
+    "dedup_exact": q_dedup_exact,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "vocab_oov": q_vocab_oov,
+    "url_stats": q_url_stats,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "pagerank": q_pagerank,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "cms_token_freq": q_cms_token_freq,
+    "degree_distribution": q_degree_distribution,
+    "blocklist_filter": q_blocklist_filter,
+    "key_skew": q_key_skew,
+    "funnel": q_funnel,
+    "retention": q_retention,
+    "bm25_topk": q_bm25_topk,
+    "ngram_containment": q_ngram_containment,
+    "simhash_hamming": q_simhash_hamming,
+    "dedup_report": q_dedup_report,
+    "char_entropy": q_char_entropy,
+    "pii_pseudonymize": q_pii_pseudonymize,
+    "stratified_sample": q_stratified_sample,
+    "url_dedup": q_url_dedup,
+    "winnow_pairs": q_winnow_pairs,
+    "knn_graph": q_knn_graph,
+    "knn_graph_lsh": q_knn_graph_lsh,
+    "knn_graph_ivf": q_knn_graph_ivf,
 }
 
 ORACLES: dict[str, str] = {
+    "zipf_audit": _Q_ZIPF_SQL,
+    "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
+    "rate_anomaly": _Q_RATE_ANOMALY_SQL,
+    "event_transitions": _Q_EVENT_TRANSITIONS_SQL,
+    "embedding_outliers": _Q_EMBED_OUTLIERS_SQL,
+    "hist_quantiles": _Q_HIST_QUANTILES_SQL,
+    "triangle_count": _Q_TRIANGLE_SQL,
+    "token_pmi": _Q_TOKEN_PMI_SQL,
+    "lang_mismatch": _Q_LANG_MISMATCH_SQL,
     "bloom_decontaminate": _Q_BLOOM_DECON_SQL,
     "cms_token_freq": _Q_CMS_SQL,
     "degree_distribution": _Q_DEGREE_SQL,

@@ -3009,3 +3009,161 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     est_b = hll_estimate(hll_registers(batch_df, "x")).collect()[0]["est_distinct"]
     assert est == est_b
     assert abs(est - 300) / 300 < 0.15
+
+
+def test_zipf_audit_perfect_zipf_corpus(spark):
+    """Counts 12/6/4/3 = 12/rank give an EXACT ln-ln line: slope -1, r2 1."""
+    from mine_database_spark.operators.quality import zipf_audit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame(
+        [(1, "s1", text)], "doc_id long, source string, text string"
+    )
+    row = zipf_audit(docs, top_n=4).collect()[0]
+    assert row["n_terms"] == 4
+    assert row["zipf_slope"] == -1.0
+    assert row["zipf_r2"] == 1.0
+    assert row["top_share"] == round(12 / 25, 6)
+
+
+def test_ngram_diversity_counts_across_documents(spark):
+    from mine_database_spark.operators.quality import ngram_diversity
+
+    rows = [
+        (1, "s1", "a b c a b c a b c"),  # 7 trigrams, 3 distinct
+        (2, "s2", "x y z w"),            # 2 trigrams, 2 distinct
+        (3, "s2", "x y z"),              # 1 trigram, duplicates doc 2's
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in ngram_diversity(docs, k=3).collect()}
+    assert got["s1"]["total_ngrams"] == 7 and got["s1"]["distinct_ngrams"] == 3
+    assert got["s1"]["diversity"] == round(3 / 7, 6)
+    # the repeated trigram across s2's two docs collapses in distinct
+    assert got["s2"]["total_ngrams"] == 3 and got["s2"]["distinct_ngrams"] == 2
+
+
+def test_rate_anomaly_planted_spike(spark):
+    """Daily counts [5,5,5,5,20]: mean 8, exact integer variance 36, so the
+    spike day scores z = 2.0 exactly and quiet days -0.5."""
+    import datetime
+
+    from mine_database_spark.operators.sessionize import rate_anomaly
+
+    rows = []
+    for day in range(4):
+        for i in range(5):
+            rows.append((datetime.datetime(2024, 3, 1 + day, 10, 0, i), "x"))
+    for i in range(20):
+        rows.append((datetime.datetime(2024, 3, 5, 10, 0, i), "x"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = sorted(
+        rate_anomaly(ev, z_threshold=2.0).collect(), key=lambda r: r["period"]
+    )
+    assert [r["n"] for r in got] == [5, 5, 5, 5, 20]
+    assert [r["z"] for r in got] == [-0.5, -0.5, -0.5, -0.5, 2.0]
+    assert [r["is_anomaly"] for r in got] == [False] * 4 + [True]
+    # zero-variance key: constant counts give z = 0, never NaN
+    ev2 = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, d, 1, 0, 0), "c") for d in (1, 2)],
+        "ts timestamp, event_type string",
+    )
+    assert [r["z"] for r in rate_anomaly(ev2).collect()] == [0.0, 0.0]
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    import datetime
+
+    from mine_database_spark.operators.sessionize import event_transitions
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t.replace(hour=1), 10, "A"), (2, t.replace(hour=2), 10, "B"),
+        (3, t.replace(hour=3), 10, "A"),
+        (4, t.replace(hour=1), 20, "A"), (5, t.replace(hour=2), 20, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = event_transitions(ev, top_k=5).collect()
+    assert [(r["from_type"], r["to_type"], r["n"], r["p"], r["rank"]) for r in got] == [
+        ("A", "B", 2, 1.0, 1),
+        ("B", "A", 1, 1.0, 2),
+    ]
+    # simultaneous events break ties by event_id: 100 then 101
+    ev2 = spark.createDataFrame(
+        [(100, t, 1, "X"), (101, t, 1, "Y")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got2 = event_transitions(ev2, top_k=5).collect()
+    assert [(r["from_type"], r["to_type"]) for r in got2] == [("X", "Y")]
+
+
+def test_embedding_outliers_flags_flipped_vector(spark):
+    from mine_database_spark.operators.similarity import embedding_outliers
+
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.1]), (3, 0, [-1.0, 0.0]),
+        (4, 1, [0.0, 1.0]), (5, 1, [0.0, 0.9]),
+        (6, 1, None),          # NULL vector: excluded, never crashes
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {(r["label"], r["rank"]): r for r in embedding_outliers(e, bottom_k=1).collect()}
+    # the flipped vector is label 0's worst match to its own centroid
+    assert got[(0, 1)]["vec_id"] == 3 and got[(0, 1)]["score"] < 0
+    assert got[(1, 1)]["vec_id"] in (4, 5) and got[(1, 1)]["score"] > 0.99
+
+
+def test_hist_quantiles_exact_boundary_and_guard(spark):
+    """Nine 1s + one 100: p50/p90 land on bin 1 (p90 hits cum*100 == pct*tot
+    EXACTLY — the integer comparison must include the boundary), p99 on the
+    spike's bin 6; negative input raises."""
+    import pytest as _pytest
+
+    from mine_database_spark.operators.sketches import hist_quantiles
+
+    df = spark.createDataFrame([(1,)] * 9 + [(100,)], "v long")
+    got = {r["pct"]: r for r in hist_quantiles(df, "v").collect()}
+    assert (got[50]["bin"], got[50]["est_hi"]) == (1, 3)
+    assert (got[90]["bin"], got[90]["est_hi"]) == (1, 3)
+    assert (got[99]["bin"], got[99]["est_hi"]) == (6, 127)
+    neg = spark.createDataFrame([(-1,)], "v long")
+    with _pytest.raises(Exception, match="negative"):
+        hist_quantiles(neg, "v").collect()
+
+
+def test_triangle_count_planted_graph(spark):
+    """K3 {1,2,3} + pendant 4-1, edges fed in MIXED directions: the
+    canonicalization must not double-count, and coefficients follow
+    2t/(d(d-1))."""
+    from mine_database_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (1, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in triangle_count(edges).collect()}
+    assert (got[1]["degree"], got[1]["triangles"], got[1]["clustering_coeff"]) == (3, 1, 0.333333)
+    assert (got[2]["degree"], got[2]["triangles"], got[2]["clustering_coeff"]) == (2, 1, 1.0)
+    assert (got[3]["degree"], got[3]["triangles"], got[3]["clustering_coeff"]) == (2, 1, 1.0)
+    assert (got[4]["degree"], got[4]["triangles"], got[4]["clustering_coeff"]) == (1, 0, 0.0)
+
+
+def test_token_pmi_planted_collocation(spark):
+    import math
+
+    from mine_database_spark.operators.quality import token_pmi
+
+    rows = (
+        [(i, "a b") for i in range(4)]
+        + [(10, "a"), (11, "b")]
+        + [(20 + i, "c d") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]): r
+           for r in token_pmi(docs, vocab_n=10, min_pair=2, top_k=10).collect()}
+    n = len(rows)
+    assert got[("a", "b")]["n_pair"] == 4
+    assert got[("a", "b")]["pmi"] == round(math.log(4 * n / (5 * 5)), 6)
+    assert got[("c", "d")]["n_pair"] == 5
+    assert got[("c", "d")]["pmi"] == round(math.log(5 * n / (5 * 5)), 6)
+    # the perfect collocation (c,d always together) outranks the partial one
+    assert got[("c", "d")]["rank"] < got[("a", "b")]["rank"]

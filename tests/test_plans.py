@@ -725,3 +725,84 @@ def test_blocklist_filter_zero_shuffle_no_python(spark, sf_smoke):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_zipf_audit_group_limit_no_cartesian(spark, sf_smoke):
+    """The per-group top-N filter must carry WindowGroupLimit (partial
+    limits map-side over the vocab histogram); regression is a plain
+    aggregate; no Python, no cartesian."""
+    plan = plan_str(QUERIES["zipf_audit"](spark, sf_smoke), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_rate_anomaly_broadcast_stats_no_window(spark, sf_smoke):
+    """Per-key stats are an O(#keys) aggregate joined BROADCAST back onto
+    the bucket counts — never a window over the corpus, never a shuffle
+    join for the tiny stats side."""
+    plan = plan_str(QUERIES["rate_anomaly"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_event_transitions_sort_limit_not_full_sort(spark, sf_smoke):
+    """Global top-k must be TakeOrderedAndProject (sort-limit), the
+    transition count at most |types|^2 rows; the per-from totals join
+    broadcast."""
+    plan = plan_str(QUERIES["event_transitions"](spark, sf_smoke), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_outliers_broadcast_centroids_group_limit(spark, sf_smoke):
+    """The centroid table joins BROADCAST onto a stateless scoring scan
+    (zip_with/aggregate are row-local), the bottom-k is WindowGroupLimit,
+    and nothing corpus-sized cross-joins or enters Python."""
+    plan = plan_str(QUERIES["embedding_outliers"](spark, sf_smoke), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_hist_quantiles_map_side_bin_counts(spark, sf_smoke):
+    """The (group, bin) count must partial-aggregate map-side (shuffled
+    rows <= maps * groups * n_bins); the cumulative walk runs over the
+    tiny histogram, never the corpus."""
+    plan = plan_str(QUERIES["hist_quantiles"](spark, sf_smoke), mode="simple")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post, plan
+
+
+def test_triangle_count_equi_joins_only(spark, sf_smoke):
+    """Triangle enumeration is three node-keyed equi-joins over the
+    id-oriented edge list — never a cartesian, never Python."""
+    plan = plan_str(QUERIES["triangle_count"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_token_pmi_broadcast_vocab_sort_limit(spark, sf_smoke):
+    """The top-100 vocabulary broadcasts into the pair fan-out (semi-join)
+    and the final top-k is a sort-limit — the corpus never sort-merges
+    against the vocab."""
+    plan = plan_str(QUERIES["token_pmi"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lang_mismatch_scan_single_agg(spark, sf_smoke):
+    """Metadata-consistency audit is a pure scan + ONE source-keyed
+    aggregate: no joins, partial agg below the exchange."""
+    plan = plan_str(QUERIES["lang_mismatch"](spark, sf_smoke), mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post
