@@ -291,3 +291,76 @@ def stream_hll_registers(
     # the batch operator is scan + groupBy(max) — a shape Structured
     # Streaming supports verbatim, so the twin IS the batch expression
     return hll_registers(item_stream, col, group_cols=group_cols, salt=salt)
+
+
+def stream_rate_anomaly(
+    event_stream: DataFrame,
+    baseline_stats: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Stream-static twin of sessionize.rate_anomaly: live windowed counts
+    per key z-scored against a STATIC per-key baseline — the alerting form
+    of the batch audit (the batch job publishes the baseline nightly; the
+    stream flags a retry storm while it is happening, not in tomorrow's
+    report).
+
+    `baseline_stats` is the batch operator's integer stats shape:
+    (key, cnt, s1, s2) — counts of/sum of/sum of squares of the
+    historical per-bucket counts (exactly rate_anomaly's internals, so
+    the z arithmetic is the identical exact-integer expression; pinned
+    stream-vs-batch in pytest when the baseline derives from the same
+    buckets). Returns (key, window, n, z, is_anomaly) in update mode.
+
+    Scale: a native windowed streaming count (state = one bigint per
+    (key, open window)) joined to a broadcast static table — no
+    stream-stream join, no custom state.
+    """
+    counts = (
+        event_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    mean = F.col("s1") / F.col("cnt")
+    var = (
+        (F.col("cnt") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.col("cnt") * F.col("cnt"))
+    ).cast("double")
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return counts.join(F.broadcast(baseline_stats), "key").select(
+        "key",
+        "window",
+        "n",
+        F.round(z, 4).alias("z"),
+        (F.abs(F.round(z, 4)) >= z_threshold).alias("is_anomaly"),
+    )
+
+
+def rate_baseline_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_days: int = 1,
+) -> DataFrame:
+    """The (key, cnt, s1, s2) baseline table stream_rate_anomaly consumes,
+    computed from a historical batch — the publishing half of the
+    stream-static pair (same bucket grid and integer internals as
+    sessionize.rate_anomaly)."""
+    from mine_database_spark.operators.sessionize import _micros
+
+    us = _micros(events, ts_col)
+    bucket_us = bucket_days * 86_400_000_000
+    per = (
+        events.select(F.col(key_col).alias("key"), us.alias("__us"))
+        .select("key", F.expr(f"__us div {bucket_us}").alias("period"))
+        .groupBy("key", "period")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return per.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )

@@ -3167,3 +3167,47 @@ def test_token_pmi_planted_collocation(spark):
     assert got[("c", "d")]["pmi"] == round(math.log(5 * n / (5 * 5)), 6)
     # the perfect collocation (c,d always together) outranks the partial one
     assert got[("c", "d")]["rank"] < got[("a", "b")]["rank"]
+
+
+def test_stream_rate_anomaly_matches_batch(spark, tmp_path):
+    """Stream-static rate anomaly: windowed live counts z-scored against
+    the batch-published baseline must reproduce the batch operator's z
+    values when the baseline derives from the same buckets."""
+    import datetime
+
+    from mine_database_spark.operators.sessionize import rate_anomaly
+    from mine_database_spark.streaming.windows import (
+        rate_baseline_stats,
+        stream_rate_anomaly,
+    )
+
+    rows = []
+    for day in range(4):
+        for i in range(5):
+            rows.append((datetime.datetime(2024, 3, 1 + day, 10, 0, i), "x"))
+    for i in range(20):
+        rows.append((datetime.datetime(2024, 3, 5, 10, 0, i), "x"))
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    baseline = rate_baseline_stats(batch)
+
+    src = tmp_path / "rate_src"
+    src.mkdir()
+    (src / "d.csv").write_text(
+        "".join(f"{ts.isoformat()},{et}\n" for ts, et in rows)
+    )
+    stream = spark.readStream.schema("ts timestamp, event_type string").csv(str(src))
+    q = (
+        stream_rate_anomaly(stream, baseline, z_threshold=2.0)
+        .writeStream.format("memory")
+        .queryName("rate_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    got = {r["window"]["start"].day: (r["n"], r["z"], r["is_anomaly"])
+           for r in spark.sql("select * from rate_stream_test").collect()}
+    want = {p - 19783 + 1: (r["n"], r["z"], r["is_anomaly"])
+            for p, r in ((r["period"], r) for r in
+                         rate_anomaly(batch, z_threshold=2.0).collect())}
+    assert got == want and got[5] == (20, 2.0, True)
