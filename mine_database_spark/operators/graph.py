@@ -329,6 +329,7 @@ def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    storage_level=None,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected edge set — the community-structure audit of any
@@ -349,6 +350,16 @@ def triangle_count(
     (degree, id) instead of raw id — it provably minimizes Σ wedge counts
     (Chiba–Nishizeki) — and pre-bucket the edge table on the join keys.
     The id orientation here keeps the SQL oracle a three-line replay.
+
+    The canonical edge set feeds FOUR branches (three triangle joins +
+    the degree count) and AQE does not reuse its exchange across them
+    (measured 0 ReusedExchange at sf0.1 — the edge build re-ran 4x, 2.24s
+    steady); `storage_level` (e.g. StorageLevel.MEMORY_AND_DISK) persists
+    it across the branches — measured 0.85s steady at sf0.1, 2.6x. The
+    persisted handle is exposed on the result as `out.persisted_edges`
+    so callers can `.unpersist()` (the winnow_pairs convention); None
+    (default) keeps the pure recompute form for one-shot batch jobs where
+    the edge set dwarfs executor storage.
     """
     canon = (
         edges.select(
@@ -358,6 +369,8 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    if storage_level is not None:
+        canon = canon.persist(storage_level)
     # wedge (a<b<c) closed by the (a,c) edge
     e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = canon.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
@@ -382,6 +395,9 @@ def triangle_count(
         F.col("degree") >= 2,
         F.round(2.0 * t / (F.col("degree") * (F.col("degree") - 1)), 6),
     ).otherwise(F.lit(0.0))
-    return deg.join(per_node, "node", "left").select(
+    out = deg.join(per_node, "node", "left").select(
         "node", "degree", t.alias("triangles"), coeff.alias("clustering_coeff")
     )
+    if storage_level is not None:
+        out.persisted_edges = canon
+    return out
