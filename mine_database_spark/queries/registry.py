@@ -1540,14 +1540,19 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("event_id") % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
+    # NULL-canonical filter AFTER the aggregate: a pre-agg filter gets
+    # pushed below the projection, so the whole canonical_url regex chain
+    # evaluates twice per row (once for the predicate, once for the key) —
+    # post-agg it drops ONE group row instead (measured 3.26s -> 2.70s
+    # median at sf0.1, identical rows)
     return (
         e.select(F.col("event_id"), canonical_url(url).alias("canonical"))
-        .where(F.col("canonical").isNotNull())
         .groupBy("canonical")
         .agg(
             F.min("event_id").alias("survivor_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+        .where(F.col("canonical").isNotNull())
     )
 
 
@@ -4416,10 +4421,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "token_pmi": q_token_pmi,
     "lang_mismatch": q_lang_mismatch,
-    # --- code paths touched in round 11 (2): inverted_index postings
-    # stringified + max_postings pre-limit; hll bucket via shiftright ---
+    # --- code paths touched in round 11 (3): inverted_index postings
+    # stringified + max_postings pre-limit; hll bucket via shiftright;
+    # url_dedup null-filter moved post-agg (regex chain evaluated once) ---
     "inverted_index": q_inverted_index,
     "hll_vocab": q_hll_vocab,
+    "url_dedup": q_url_dedup,
     # --- the six r8-stale rows displaced from the r10 gate, FIRST per the
     # r10 exit-state note (3 rounds stale by r12 otherwise) ---
     "operator_census": q_operator_census,
@@ -4462,9 +4469,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_contamination": q_semantic_contamination,
     "html_extract": q_html_extract,
     "normalized_dedup": q_normalized_dedup,
-    "ms2_search": q_ms2_search,
     # ------------- gate boundary: entries below are the tail -------------
-    # 12 r9-green rows that didn't fit this round (first in line for r12):
+    # 13 r9-green rows that didn't fit this round (first in line for r12):
+    "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rescored": q_ann_pq_rescored,
@@ -4521,7 +4528,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "pii_pseudonymize": q_pii_pseudonymize,
     "stratified_sample": q_stratified_sample,
-    "url_dedup": q_url_dedup,
     "winnow_pairs": q_winnow_pairs,
     "knn_graph": q_knn_graph,
     "knn_graph_lsh": q_knn_graph_lsh,
