@@ -108,11 +108,13 @@ def _assert_type_parity(name, scols, sdtypes, dcols, dtypes):
     listy = {
         c: k
         for c, k in list(skinds.items()) + list(dkinds.items())
-        if k.startswith("list<")
+        if k.startswith(("list<", "map<", "struct<"))
+        or k.startswith(("MAP(", "STRUCT("))
     }
     assert not listy, (
-        f"{name}: list-typed FINAL projection {listy} — the driver's pandas "
-        "canonicalizer cannot hash list cells; render as a joined string"
+        f"{name}: non-scalar FINAL projection {listy} — the driver's pandas "
+        "canonicalizer cannot hash list/map/struct cells; render as a "
+        "joined string"
     )
     diffs = {c: (skinds[c], dkinds[c]) for c in skinds if skinds[c] != dkinds.get(c)}
     assert not diffs, f"{name}: spark/duck type-kind mismatch {diffs}"
