@@ -14,7 +14,7 @@ At 100 TB the edge table is the big side and stays shuffle-partitioned on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -401,3 +401,89 @@ def triangle_count(
     if storage_level is not None:
         out.persisted_edges = canon
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int | None = None,
+    iters: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peel: repeatedly drop nodes whose CURRENT degree is below k
+    until (up to `iters` rounds of) fixpoint; returns the surviving
+    (node, core_degree) — the dense backbone of a graph. For a dedup-pair
+    graph the core IS the template family worth human review; for a link
+    graph it is the citation ring; for the co-purchase graph the staple
+    basket set.
+
+    `k=None` derives k as the LOWER-MEDIAN initial degree via a scalar
+    subquery (degree-histogram cum·2 >= total — the hist_quantiles
+    integer rule, no float, no collect), making the query meaningful at
+    any scale factor without a hand-tuned constant. Fixed `iters` rounds
+    keep the plan deterministic and SQL-replayable (the pagerank recipe);
+    a pytest pins convergence (round iters == iters+1) on the bench graph.
+
+    Scale: each round is one degree aggregate + two node semi-joins over
+    the shrinking edge set — O(edges) per round, keep-lists are O(nodes)
+    and broadcast; at 100 TB bucket the edge table on src/dst and let the
+    semi-joins sort-merge co-located. Input edges may carry either or
+    both directions; they are symmetrized internally.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if k is not None and k < 1:
+        raise ValueError(f"k must be >= 1 (or None), got {k}")
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg0 = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    if k is None:
+        hist = deg0.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wtot = Window.partitionBy()
+        kdf = (
+            hist.select(
+                "d",
+                F.sum("n").over(wcum).alias("cum"),
+                F.sum("n").over(wtot).alias("tot"),
+            )
+            .where(F.col("cum") * 2 >= F.col("tot"))
+            .agg(F.min("d").alias("k"))
+        )
+    else:
+        # literal threshold: a 1-row range, never a pass over the graph
+        kdf = edges.sparkSession.range(1).select(
+            F.lit(int(k)).cast("bigint").alias("k")
+        )
+    # kdf is consumed every round: checkpoint it once (derived path only —
+    # it replays the degree-histogram branch otherwise). Each round's
+    # filtered edge set is eagerly localCheckpointed (the
+    # connected_components pattern): e feeds its OWN next-round keep-list
+    # twice plus the degree rebuild, so a lazy chain multiplies the logical
+    # plan per round (the round-9 plan-growth explosion — an uncheckpointed
+    # 6-round build did not finish analysis at sf0.001).
+    if k is None:
+        kdf = kdf.localCheckpoint(eager=True)
+    e = sym
+    deg = deg0
+    for _ in range(iters):
+        keep = (
+            deg.crossJoin(F.broadcast(kdf))
+            .where(F.col("d") >= F.col("k"))
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(F.broadcast(keep), e["src"] == keep["node"], "left_semi")
+            .join(F.broadcast(keep), e["dst"] == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    return deg.select(F.col("src").alias("node"), F.col("d").alias("core_degree"))

@@ -4401,6 +4401,58 @@ FROM agg
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the REPEAT co-purchase graph (pairs sharing >= 2 orders,
+    graph.k_core, 6 peel rounds): dropping the tree-like periphery —
+    nodes that no cycle passes through — is the standard cleanup before
+    community detection, and on a dedup-pair graph the 2-core is exactly
+    the multi-way template families (pendant one-off pairs peel away).
+    All arithmetic is integer; the peel is 6 fixed rounds (converged on
+    this graph at every sf, pinned in pytest)."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    li = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id")).distinct()
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e2 = pairs.where(F.col("w") >= 2).select("src", "dst")
+    return gr.k_core(e2, k=2, iters=6)
+
+
+def _kcore_sql(iters: int = 6, k: int = 2, min_w: int = 2) -> str:
+    # every e{i} is referenced twice (its degree table + the next round's
+    # filter) — AS MATERIALIZED forces DuckDB to evaluate each round once;
+    # inlined, the 6-round chain re-expands exponentially (measured 179s
+    # vs ~1s at sf0.01)
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),",
+        "p AS MATERIALIZED (SELECT a.id AS src, b.id AS dst FROM li a JOIN li b ON a.g = b.g"
+        f" AND a.id < b.id GROUP BY 1, 2 HAVING COUNT(*) >= {min_w}),",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM p UNION SELECT dst, src FROM p),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i-1} AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e{i-1} GROUP BY src),"
+        )
+        parts.append(f"n{i} AS MATERIALIZED (SELECT src AS node FROM d{i-1} WHERE d >= {k}),")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e"
+            f" JOIN n{i} a ON e.src = a.node JOIN n{i} b ON e.dst = b.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree"
+        f" FROM e{iters} GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
+_Q_KCORE_SQL = _kcore_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4411,7 +4463,7 @@ FROM agg
 # tail — those keep local DuckDB parity (tests/test_oracle_parity.py) and
 # bench coverage, and rotate back through the gate in later rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- NEW in round 11 (9): must sit inside the gate ---
+    # --- NEW in round 11 (10): must sit inside the gate ---
     "zipf_audit": q_zipf_audit,
     "ngram_diversity": q_ngram_diversity,
     "rate_anomaly": q_rate_anomaly,
@@ -4421,6 +4473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "token_pmi": q_token_pmi,
     "lang_mismatch": q_lang_mismatch,
+    "k_core": q_k_core,
     # --- code paths touched in round 11 (3): inverted_index postings
     # stringified + max_postings pre-limit; hll bucket via shiftright;
     # url_dedup null-filter moved post-agg (regex chain evaluated once) ---
@@ -4468,9 +4521,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_upsample": q_mixture_upsample,
     "semantic_contamination": q_semantic_contamination,
     "html_extract": q_html_extract,
-    "normalized_dedup": q_normalized_dedup,
     # ------------- gate boundary: entries below are the tail -------------
-    # 13 r9-green rows that didn't fit this round (first in line for r12):
+    # 14 r9-green rows that didn't fit this round (first in line for r12):
+    "normalized_dedup": q_normalized_dedup,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
     "ann_pq_topk": q_ann_pq_topk,
@@ -4542,6 +4595,7 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": _Q_EMBED_OUTLIERS_SQL,
     "hist_quantiles": _Q_HIST_QUANTILES_SQL,
     "triangle_count": _Q_TRIANGLE_SQL,
+    "k_core": _Q_KCORE_SQL,
     "token_pmi": _Q_TOKEN_PMI_SQL,
     "lang_mismatch": _Q_LANG_MISMATCH_SQL,
     "bloom_decontaminate": _Q_BLOOM_DECON_SQL,

@@ -3211,3 +3211,41 @@ def test_stream_rate_anomaly_matches_batch(spark, tmp_path):
             for p, r in ((r["period"], r) for r in
                          rate_anomaly(batch, z_threshold=2.0).collect())}
     assert got == want and got[5] == (20, 2.0, True)
+
+
+def test_k_core_planted_and_converged(spark):
+    """K4 {1,2,3,4} + chain 4-5-6-7: the 3-core is exactly the K4 (the
+    chain peels in cascading rounds); the derived-median threshold lands
+    on the same core here; iters beyond fixpoint change nothing."""
+    from mine_database_spark.operators.graph import k_core
+
+    rows = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)]
+    pe = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(map(tuple, k_core(pe, k=3, iters=6).collect()))
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    assert sorted(map(tuple, k_core(pe, iters=6).collect())) == got  # median path
+    assert sorted(map(tuple, k_core(pe, k=3, iters=8).collect())) == got
+    # k above the max core empties cleanly
+    assert k_core(pe, k=4, iters=6).count() == 0
+
+
+def test_k_core_registry_fixpoint(spark, sf_smoke):
+    """The registered 6-round peel has CONVERGED on the bench graph: a
+    seventh round returns the identical node set (the fixed-iteration
+    count is a ceiling, not a truncation)."""
+    from mine_database_spark.operators.graph import k_core
+    from mine_database_spark.queries.registry import QUERIES, _t
+    from pyspark.sql import functions as F
+
+    r6 = sorted(map(tuple, QUERIES["k_core"](spark, sf_smoke).collect()))
+    (l,) = _t(spark, sf_smoke, "lineitem")
+    li = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id")).distinct()
+    pairs = (
+        li.alias("a").join(li.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e2 = pairs.where(F.col("w") >= 2).select("src", "dst")
+    r7 = sorted(map(tuple, k_core(e2, k=2, iters=7).collect()))
+    assert r6 == r7 and len(r6) > 0

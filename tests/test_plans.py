@@ -806,3 +806,18 @@ def test_lang_mismatch_scan_single_agg(spark, sf_smoke):
     assert plan.count("Exchange") == 1, plan
     pre, _, post = plan.partition("Exchange hashpartitioning")
     assert "HashAggregate" in pre and "partial" in post
+
+
+def test_k_core_broadcast_keeps_no_cartesian(spark, sf_smoke):
+    """The per-round eager checkpoints execute the peel joins at build
+    time, so the VISIBLE plan is the final degree rebuild over the last
+    checkpoint: one map-side-combined aggregate, no joins, no Python —
+    which is itself the load-bearing assertion (a lazy chain here was the
+    round-9 plan-growth explosion; the checkpoint collapsing the plan to
+    this shape is the fix working)."""
+    plan = plan_str(QUERIES["k_core"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post, plan
