@@ -146,11 +146,11 @@ def test_type_gate_rejects_list_projection():
     """The gate must fail wherever the driver's pandas canonicalizer would:
     a list-typed column in the final projection on either side is an error
     even when names/values agree (inverted_index r10 regression class)."""
-    with pytest.raises(AssertionError, match="list-typed FINAL projection"):
+    with pytest.raises(AssertionError, match="non-scalar FINAL projection"):
         _assert_type_parity(
             "demo", ["postings"], ["array<bigint>"], ["postings"], ["BIGINT[]"]
         )
-    with pytest.raises(AssertionError, match="list-typed FINAL projection"):
+    with pytest.raises(AssertionError, match="non-scalar FINAL projection"):
         _assert_type_parity(
             "demo", ["postings"], ["string"], ["postings"], ["BIGINT[]"]
         )

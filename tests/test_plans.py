@@ -199,7 +199,10 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     (m*ks tiny centroids) is deliberately collected once at build so
     encode + LUT compile to literal-inlined codegen scans — index
     CONSTRUCTION, the step a production deployment runs offline and
-    materializes (similarity.collect_pq_codebook)."""
+    materializes (similarity.collect_pq_codebook) — and k_core, whose
+    per-round eager checkpoints ARE the peel (a lazy 6-round chain
+    multiplies the logical plan, the round-9 explosion; like
+    dup_clusters, the iteration must run to define the result)."""
     from mine_database_spark.session import load_tables
     from mine_database_spark.queries.registry import QUERIES
 
@@ -207,7 +210,7 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     st = spark.sparkContext.statusTracker()
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
-        if name in ("dup_clusters", "ann_pq_topk", "ann_pq_rescored", "ann_ivf_pq"):
+        if name in ("dup_clusters", "ann_pq_topk", "ann_pq_rescored", "ann_ivf_pq", "k_core"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
