@@ -15,6 +15,8 @@ production pretraining pipeline runs them:
    7. Context-window chunking
    8. Token-budget output shards (distributed prefix sum), written
       partitioned by shard
+   9. Corpus-health report over the shipped survivors (Zipf slope,
+      trigram diversity, length quantiles) — the closing audit gate
 
 Every stage is a DataFrame -> DataFrame transform, so Catalyst sees whole
 stage chains (filters push into the scan). One deliberate materialization:
@@ -220,6 +222,35 @@ def run(
     final = shard_docs.join(shards.select("doc_id", "shard_id"), "doc_id")
     final.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     counts["shards"] = spark.read.parquet(out_dir).select("shard_id").distinct().count()
+
+    # 9. corpus-health report over the SHIPPED corpus ----------------------
+    #    the audit tier as a closing gate: distributional health (Zipf
+    #    slope / top-token share), across-document repetition (trigram
+    #    diversity), and length quantiles per source — the numbers a data
+    #    lead reads before signing the snapshot; each is one extra pass
+    #    over the survivor set, nothing corpus-sized collects (the report
+    #    is O(#sources) rows folded to floats here)
+    from mine_database_spark.operators.quality import ngram_diversity, zipf_audit
+    from mine_database_spark.operators.sketches import hist_quantiles
+
+    audit_src = docs.withColumn("n_chars", F.length("text"))
+    za = zipf_audit(audit_src, top_n=50).agg(
+        F.round(F.avg("zipf_slope"), 4).alias("s"),
+        F.round(F.max("top_share"), 4).alias("t"),
+    ).collect()[0]
+    counts["audit_mean_zipf_slope"] = za["s"]
+    counts["audit_max_top_share"] = za["t"]
+    nd = ngram_diversity(audit_src).agg(
+        F.round(F.min("diversity"), 4).alias("d")
+    ).collect()[0]
+    counts["audit_min_trigram_diversity"] = nd["d"]
+    hq = {
+        (r["source"], r["pct"]): r["est_hi"]
+        for r in hist_quantiles(
+            audit_src, "n_chars", pcts=(99,), group_cols=["source"]
+        ).collect()
+    }
+    counts["audit_max_p99_chars_bin_hi"] = max(hq.values()) if hq else 0
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["out_dir"] = out_dir
     # localCheckpoint blocks are dropped when their RDDs are GC'd; no

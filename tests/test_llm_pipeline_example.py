@@ -39,3 +39,10 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
     out = spark.read.parquet(counts["out_dir"])
     assert {"doc_id", "text", "shard_id"} <= set(out.columns)
     assert out.count() == counts["chunks"]
+    # the closing corpus-health report ran and its signals are sane:
+    # Zipf slope negative (frequencies decay with rank), diversity in
+    # (0, 1], the p99 length estimate a positive power-of-two bound
+    assert counts["audit_mean_zipf_slope"] < 0
+    assert 0 < counts["audit_min_trigram_diversity"] <= 1.0
+    assert counts["audit_max_top_share"] > 0
+    assert counts["audit_max_p99_chars_bin_hi"] > 0
