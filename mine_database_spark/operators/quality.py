@@ -449,3 +449,78 @@ def token_pmi(
     ).limit(top_k)
     w = Window.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def token_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    vocab_n: int = 200,
+    top_k: int = 30,
+) -> DataFrame:
+    """Cross-snapshot token-distribution drift: the top-k tokens by
+    |per-token KL contribution| between two corpora's add-1-smoothed
+    unigram distributions — the distribution-shift monitor run between
+    crawl snapshots (a new boilerplate flood, a source going dark, or a
+    language-mix change all surface as named tokens, which a single
+    scalar KL cannot explain).
+
+    Vocabulary = the top `vocab_n` tokens by COMBINED count (ties by
+    token); P = (c_a+1)/(N_a+V), Q = (c_b+1)/(N_b+V) with N_* the
+    snapshot's vocab-token totals and V = vocab_n; kl_term = P·ln(P/Q).
+    All counts are exact integers, each float derives from them in one
+    fixed expression, rounded 6 — deterministic across engines; no global
+    float sum is reported (it would be partition-order-sensitive), only
+    the per-token terms, ranked by |kl_term| (then token).
+
+    Returns (tok, c_a, c_b, p, q, kl_term, rank).
+
+    Scale: one token-count aggregate per snapshot, a vocab_n sort-limit,
+    two 1-row totals — everything after the two corpus scans is
+    O(vocab_n) rows, broadcast. Final order is a sort-limit.
+    """
+    if vocab_n < 2:
+        raise ValueError(f"vocab_n must be >= 2, got {vocab_n}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def counts(df, out):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    ca = counts(docs_a, "c_a")
+    cb = counts(docs_b, "c_b")
+    zero = F.lit(0).cast("bigint")
+    both = (
+        ca.join(cb, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("c_a", zero).alias("c_a"),
+            F.coalesce("c_b", zero).alias("c_b"),
+        )
+    )
+    vocab = both.orderBy(
+        F.desc(F.col("c_a") + F.col("c_b")), F.asc("tok")
+    ).limit(vocab_n)
+    totals = vocab.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    v = F.lit(vocab_n).cast("bigint")
+    p = (F.col("c_a") + 1) / (F.col("n_a") + v)
+    q = (F.col("c_b") + 1) / (F.col("n_b") + v)
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "c_a",
+        "c_b",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(p * F.log(p / q), 6).alias("kl_term"),
+    )
+    top = scored.orderBy(
+        F.abs(F.col("kl_term")).desc(), F.asc("tok")
+    ).limit(top_k)
+    w = Window.orderBy(F.abs(F.col("kl_term")).desc(), F.asc("tok"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -4401,6 +4401,48 @@ FROM agg
 """
 
 
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 tokens by |KL contribution| between the English and
+    non-English document snapshots (quality.token_drift, vocab 200) —
+    the distribution-shift monitor between crawls, with named tokens
+    instead of one unexplainable scalar."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.token_drift(
+        d.where(F.col("lang") == "en"), d.where(F.col("lang") != "en"),
+        vocab_n=200, top_k=30,
+    )
+
+
+_Q_TOKEN_DRIFT_SQL = f"""
+WITH ta AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents WHERE lang = 'en'),
+ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_a FROM ta GROUP BY 1),
+tb AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents WHERE lang <> 'en'),
+cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_b FROM tb GROUP BY 1),
+merged AS (
+  SELECT coalesce(ca.tok, cb.tok) AS tok,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+),
+vocab AS (SELECT * FROM merged ORDER BY c_a + c_b DESC, tok LIMIT 200),
+t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b FROM vocab),
+s AS (
+  SELECT tok, c_a, c_b,
+         round((c_a + 1) / CAST(n_a + 200 AS DOUBLE), 6) AS p,
+         round((c_b + 1) / CAST(n_b + 200 AS DOUBLE), 6) AS q,
+         round(((c_a + 1) / CAST(n_a + 200 AS DOUBLE))
+               * ln(((c_a + 1) / CAST(n_a + 200 AS DOUBLE))
+                    / ((c_b + 1) / CAST(n_b + 200 AS DOUBLE))), 6) AS kl_term
+  FROM vocab CROSS JOIN t
+),
+top AS (SELECT * FROM s ORDER BY abs(kl_term) DESC, tok LIMIT 30)
+SELECT tok, c_a, c_b, p, q, kl_term,
+       CAST(row_number() OVER (ORDER BY abs(kl_term) DESC, tok) AS INT) AS rank
+FROM top
+"""
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the REPEAT co-purchase graph (pairs sharing >= 2 orders,
     graph.k_core, 6 peel rounds): dropping the tree-like periphery —
@@ -4463,7 +4505,7 @@ _Q_KCORE_SQL = _kcore_sql()
 # tail — those keep local DuckDB parity (tests/test_oracle_parity.py) and
 # bench coverage, and rotate back through the gate in later rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- NEW in round 11 (10): must sit inside the gate ---
+    # --- NEW in round 11 (11): must sit inside the gate ---
     "zipf_audit": q_zipf_audit,
     "ngram_diversity": q_ngram_diversity,
     "rate_anomaly": q_rate_anomaly,
@@ -4474,6 +4516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_pmi": q_token_pmi,
     "lang_mismatch": q_lang_mismatch,
     "k_core": q_k_core,
+    "token_drift": q_token_drift,
     # --- code paths touched in round 11 (3): inverted_index postings
     # stringified + max_postings pre-limit; hll bucket via shiftright;
     # url_dedup null-filter moved post-agg (regex chain evaluated once) ---
@@ -4520,9 +4563,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "mixture_upsample": q_mixture_upsample,
     "semantic_contamination": q_semantic_contamination,
-    "html_extract": q_html_extract,
     # ------------- gate boundary: entries below are the tail -------------
-    # 14 r9-green rows that didn't fit this round (first in line for r12):
+    # 15 r9-green rows that didn't fit this round (first in line for r12):
+    "html_extract": q_html_extract,
     "normalized_dedup": q_normalized_dedup,
     "ms2_search": q_ms2_search,
     "spectral_cosine": q_spectral_cosine,
@@ -4596,6 +4639,7 @@ ORACLES: dict[str, str] = {
     "hist_quantiles": _Q_HIST_QUANTILES_SQL,
     "triangle_count": _Q_TRIANGLE_SQL,
     "k_core": _Q_KCORE_SQL,
+    "token_drift": _Q_TOKEN_DRIFT_SQL,
     "token_pmi": _Q_TOKEN_PMI_SQL,
     "lang_mismatch": _Q_LANG_MISMATCH_SQL,
     "bloom_decontaminate": _Q_BLOOM_DECON_SQL,

@@ -3249,3 +3249,29 @@ def test_k_core_registry_fixpoint(spark, sf_smoke):
     e2 = pairs.where(F.col("w") >= 2).select("src", "dst")
     r7 = sorted(map(tuple, k_core(e2, k=2, iters=7).collect()))
     assert r6 == r7 and len(r6) > 0
+
+
+def test_token_drift_planted_shift(spark):
+    """Snapshot A floods 'spamword'; the drift report must rank it first
+    with the exact add-1 KL term, and report the symmetric-ish values for
+    a stable token."""
+    import math
+
+    from mine_database_spark.operators.quality import token_drift
+
+    a = spark.createDataFrame(
+        [(i, "common spamword spamword spamword") for i in range(5)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "common steady") for i in range(5)], "doc_id long, text string"
+    )
+    got = {r["tok"]: r for r in token_drift(a, b, vocab_n=4, top_k=4).collect()}
+    # vocab totals: A holds 5 common + 15 spamword; B 5 common + 5 steady
+    na, nb, v = 20, 10, 4
+    p_spam = (15 + 1) / (na + v)
+    q_spam = (0 + 1) / (nb + v)
+    assert got["spamword"]["rank"] == 1
+    assert got["spamword"]["c_a"] == 15 and got["spamword"]["c_b"] == 0
+    assert got["spamword"]["kl_term"] == round(p_spam * math.log(p_spam / q_spam), 6)
+    assert got["common"]["c_a"] == 5 and got["common"]["c_b"] == 5

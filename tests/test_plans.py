@@ -824,3 +824,14 @@ def test_k_core_broadcast_keeps_no_cartesian(spark, sf_smoke):
     assert "Join" not in plan, plan
     pre, _, post = plan.partition("Exchange hashpartitioning")
     assert "HashAggregate" in pre and "partial" in post, plan
+
+
+def test_token_drift_sort_limits_no_corpus_join(spark, sf_smoke):
+    """Both snapshot scans fold to token-count aggregates; the vocab pick
+    and the final ranking are sort-limits; the only join is the O(vocab)
+    full-outer count merge plus the 1-row totals broadcast — the corpus
+    never joins anything."""
+    plan = plan_str(QUERIES["token_drift"](spark, sf_smoke), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
