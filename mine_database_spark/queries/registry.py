@@ -4272,8 +4272,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph (graph.triangle_count) — the community-structure
     audit: clustered duplication (template families) closes triangles,
     pairwise noise does not. The 2.4M-edge canon set persists across the
-    four consuming branches (AQE reused 0 of its exchanges; measured
-    2.6x, see the operator docstring)."""
+    four consuming branches (AQE reused 0 of its exchanges; build runs
+    once per execution — measured basis in the operator docstring)."""
     (l,) = _t(spark, sf_dir, "lineitem")
     e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
     return gr.triangle_count(e, storage_level=StorageLevel.MEMORY_AND_DISK)
