@@ -407,12 +407,24 @@ def triangle_count(
     return out
 
 
+def _peel_round(e: DataFrame, keep: DataFrame, broadcast_keep: bool) -> DataFrame:
+    """One k-core peel round: restrict the edge set to endpoints in `keep`
+    via two left-semi joins. Split out so plan tests can .explain() the
+    per-round join shape directly (inside k_core every round is eagerly
+    localCheckpointed, which hides the joins from the final plan)."""
+    side = F.broadcast(keep) if broadcast_keep else keep
+    return e.join(side, e["src"] == keep["node"], "left_semi").join(
+        side, e["dst"] == keep["node"], "left_semi"
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int | None = None,
     iters: int = 6,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_keep: bool = False,
 ) -> DataFrame:
     """k-core peel: repeatedly drop nodes whose CURRENT degree is below k
     until (up to `iters` rounds of) fixpoint; returns the surviving
@@ -429,10 +441,17 @@ def k_core(
     a pytest pins convergence (round iters == iters+1) on the bench graph.
 
     Scale: each round is one degree aggregate + two node semi-joins over
-    the shrinking edge set — O(edges) per round, keep-lists are O(nodes)
-    and broadcast; at 100 TB bucket the edge table on src/dst and let the
-    semi-joins sort-merge co-located. Input edges may carry either or
-    both directions; they are symmetrized internally.
+    the shrinking edge set — O(edges) per round. The keep-list is
+    O(nodes), so by default (`broadcast_keep=False`) the semi-joins carry
+    NO broadcast hint: Catalyst/AQE picks broadcast at runtime when the
+    surviving node set is actually small (each round executes eagerly via
+    localCheckpoint, so AQE sees real sizes), and falls back to
+    shuffle/sort-merge when it is not — at 100 TB bucket the edge table
+    on src/dst and the semi-joins sort-merge co-located as documented.
+    `broadcast_keep=True` pins the hint for callers who KNOW the core is
+    tiny (a hint-pinned O(nodes) build side would otherwise OOM the
+    driver on a billion-node graph long before any fallback). Input edges
+    may carry either or both directions; they are symmetrized internally.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -484,10 +503,6 @@ def k_core(
             .where(F.col("d") >= F.col("k"))
             .select(F.col("src").alias("node"))
         )
-        e = (
-            e.join(F.broadcast(keep), e["src"] == keep["node"], "left_semi")
-            .join(F.broadcast(keep), e["dst"] == keep["node"], "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        e = _peel_round(e, keep, broadcast_keep).localCheckpoint(eager=True)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     return deg.select(F.col("src").alias("node"), F.col("d").alias("core_degree"))

@@ -400,8 +400,12 @@ def token_pmi(
 
     Restricted to the top `vocab_n` tokens by document frequency (ties by
     token string) so the pair space is bounded; pairs below `min_pair`
-    co-occurrences are noise and dropped. All counts are exact integers;
-    ln happens once per surviving pair, rounded 6 — deterministic.
+    co-occurrences are noise and dropped. All COUNTS are exact integers;
+    the PMI ratio is computed in double domain — each count is cast to
+    double BEFORE multiplying, so n_pair·n_docs and c_a·c_b never touch
+    bigint multiplication (which wraps silently past 2^63 under non-ANSI
+    Spark; double products of exact counts are themselves exact up to
+    2^53 and merely rounded above — harmless inside ln, rounded 6).
     Returns (tok_a, tok_b, n_pair, pmi, rank), top_k by (pmi desc, toks).
 
     Scale: one (doc, tok) distinct scan; the vocabulary is a top-N
@@ -431,10 +435,11 @@ def token_pmi(
     )
     ca = vocab.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
     cb = vocab.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    # cast-then-multiply: bigint·bigint wraps silently past 2^63 (non-ANSI)
     pmi = F.round(
         F.log(
-            (F.col("n_pair") * F.col("n_docs"))
-            / (F.col("ca") * F.col("cb")).cast("double")
+            (F.col("n_pair").cast("double") * F.col("n_docs").cast("double"))
+            / (F.col("ca").cast("double") * F.col("cb").cast("double"))
         ),
         6,
     )

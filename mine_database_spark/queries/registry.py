@@ -4332,7 +4332,8 @@ pairs AS (
 ),
 scored AS (
   SELECT tok_a, tok_b, n_pair,
-         round(ln(CAST(n_pair * n_docs AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi
+         round(ln((CAST(n_pair AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                  / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS pmi
   FROM pairs
   JOIN vocab ca ON pairs.tok_a = ca.tok
   JOIN vocab cb ON pairs.tok_b = cb.tok

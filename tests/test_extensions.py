@@ -3227,6 +3227,8 @@ def test_k_core_planted_and_converged(spark):
     assert sorted(map(tuple, k_core(pe, k=3, iters=8).collect())) == got
     # k above the max core empties cleanly
     assert k_core(pe, k=4, iters=6).count() == 0
+    # the hint-pinned small-core path returns the identical core
+    assert sorted(map(tuple, k_core(pe, k=3, iters=6, broadcast_keep=True).collect())) == got
 
 
 def test_k_core_registry_fixpoint(spark, sf_smoke):

@@ -826,6 +826,33 @@ def test_k_core_broadcast_keeps_no_cartesian(spark, sf_smoke):
     assert "HashAggregate" in pre and "partial" in post, plan
 
 
+def test_k_core_peel_round_broadcast_both_ways(spark):
+    """`broadcast_keep=True` pins BroadcastHashJoin on the keep-list;
+    the DEFAULT (False) carries no hint, so with auto-broadcast disabled
+    the same round plans as a shuffled semi-join — the documented 100 TB
+    sort-merge path is reachable (r11 verdict #2: an O(nodes) keep-list
+    must never be hint-pinned to the driver)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.graph import _peel_round
+
+    e = spark.range(1000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 1000).alias("dst")
+    )
+    keep = spark.range(500).select(F.col("id").alias("node"))
+    hinted = plan_str(_peel_round(e, keep, True), mode="simple")
+    assert "BroadcastHashJoin" in hinted, hinted
+    assert "SortMergeJoin" not in hinted, hinted
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        free = plan_str(_peel_round(e, keep, False), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in free, free
+    assert ("SortMergeJoin" in free) or ("ShuffledHashJoin" in free), free
+
+
 def test_token_drift_sort_limits_no_corpus_join(spark, sf_smoke):
     """Both snapshot scans fold to token-count aggregates; the vocab pick
     and the final ranking are sort-limits; the only join is the O(vocab)
