@@ -346,10 +346,13 @@ def triangle_count(
     from the id-ordered edge list (a<b joined to b<c), so each triangle
     is generated exactly once and the wedge volume is Σ_b deg_lo(b)·
     deg_hi(b), never the all-pairs square. All three joins are equi-joins
-    Catalyst shuffles on node keys; at production scale orient by
-    (degree, id) instead of raw id — it provably minimizes Σ wedge counts
-    (Chiba–Nishizeki) — and pre-bucket the edge table on the join keys.
-    The id orientation here keeps the SQL oracle a three-line replay.
+    Catalyst shuffles on node keys. The id orientation keeps the SQL
+    oracle a three-line replay but is SKEW-EXPOSED: a low-id hub emits
+    O(deg²) wedges from one node. `triangle_count_deg` is the
+    (degree, id)-oriented twin (Chiba–Nishizeki — provably minimum wedge
+    volume, identical output) — use it whenever the degree distribution
+    is heavy-tailed; `wedge_volume(e, by_degree=...)` measures the trade
+    on a sample before committing either way.
 
     The canonical edge set feeds FOUR branches (three triangle joins +
     the degree count) and AQE does not reuse its exchange across them
@@ -365,14 +368,7 @@ def triangle_count(
     (default) keeps the pure recompute form for one-shot batch jobs where
     the edge set dwarfs executor storage.
     """
-    canon = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    canon = _canon_edges(edges, src_col, dst_col)
     if storage_level is not None:
         canon = canon.persist(storage_level)
     # wedge (a<b<c) closed by the (a,c) edge
@@ -416,6 +412,139 @@ def _peel_round(e: DataFrame, keep: DataFrame, broadcast_keep: bool) -> DataFram
     return e.join(side, e["src"] == keep["node"], "left_semi").join(
         side, e["dst"] == keep["node"], "left_semi"
     )
+
+
+def _canon_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge set canonicalized to (a < b), self-loops dropped,
+    deduplicated — the shared input of both triangle orientations."""
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _degree_oriented(canon: DataFrame) -> DataFrame:
+    """Orient each canonical edge from the (degree, id)-smaller endpoint
+    to the larger (Chiba–Nishizeki order). Returns (s, t, dt) with dt the
+    degree of t, carried so the wedge join can compare (degree, id)
+    without re-joining the degree table."""
+    both = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    e = canon.join(da, "a").join(db, "b")
+    # canon already has a < b, so a degree tie orients a -> b
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+    )
+
+
+def triangle_count_deg(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    storage_level=None,
+) -> DataFrame:
+    """Degree-oriented twin of `triangle_count` — identical output
+    (triangles are orientation-invariant), different wedge volume.
+
+    Edges orient from the (degree, id)-smaller endpoint to the larger
+    (Chiba–Nishizeki); wedges enumerate only between out-neighbors, so a
+    node's wedge contribution is C(outdeg, 2) and every out-degree is
+    bounded by the node's CORENESS-ish rank, not its raw degree: a hub
+    that id-orientation would hand O(deg²) wedges (triangle_count's
+    documented skew exposure) has NO out-edges here — all its edges point
+    at it. Σ C(outdeg, 2) is provably the minimum over edge orientations
+    by total order, which is what caps the skewed-key wedge blow-up at
+    100× scale. Costs two extra O(nodes) degree equi-joins onto the edge
+    set relative to the id form — the right trade whenever the degree
+    distribution is heavy-tailed (every real co-occurrence graph).
+
+    Returns (node, degree, triangles, clustering_coeff) exactly as
+    `triangle_count`. `storage_level` persists the ORIENTED edge set
+    (feeds the two wedge sides + the closing join); handle exposed as
+    `out.persisted_edges`.
+    """
+    canon = _canon_edges(edges, src_col, dst_col)
+    o = _degree_oriented(canon)
+    if storage_level is not None:
+        o = o.persist(storage_level)
+    w1 = o.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("dt1"))
+    w2 = o.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = (
+        w1.join(w2, "s")
+        .where(
+            (F.col("dt1") < F.col("dt2"))
+            | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
+        )
+        .join(closing, ["t1", "t2"])
+        .select("s", "t1", "t2")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    both = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("bigint"))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * t / (F.col("degree") * (F.col("degree") - 1)), 6),
+    ).otherwise(F.lit(0.0))
+    out = deg.join(per_node, "node", "left").select(
+        "node", "degree", t.alias("triangles"), coeff.alias("clustering_coeff")
+    )
+    if storage_level is not None:
+        out.persisted_edges = o
+    return out
+
+
+def wedge_volume(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    by_degree: bool = False,
+) -> int:
+    """Σ_u C(outdeg(u), 2) of the oriented edge set — the exact row count
+    entering the wedge self-join, i.e. the cost model both triangle
+    orientations compete on. An AUDIT scalar (one aggregate, collected);
+    run it at a sampled SF to decide orientation before the real job."""
+    canon = _canon_edges(edges, src_col, dst_col)
+    o = (
+        _degree_oriented(canon)
+        if by_degree
+        else canon.select(F.col("a").alias("s"))
+    )
+    row = (
+        o.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(
+            F.sum((F.col("n") * (F.col("n") - 1)) / F.lit(2))
+            .cast("bigint")
+            .alias("w")
+        )
+        .collect()[0]
+    )
+    return int(row["w"] or 0)
 
 
 def k_core(

@@ -4305,6 +4305,54 @@ FROM deg LEFT JOIN pn ON deg.node = pn.node
 """
 
 
+def q_triangle_count_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle twin (graph.triangle_count_deg) over the
+    same co-purchase graph — identical output to triangle_count, but
+    wedges enumerate in Chiba–Nishizeki (degree, id) order so a hub
+    cannot emit O(deg²) wedges: the skew-safe production form (r11
+    verdict #3). The oriented edge set persists across its three
+    consuming joins."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    return gr.triangle_count_deg(e, storage_level=StorageLevel.MEMORY_AND_DISK)
+
+
+# AS MATERIALIZED: c/deg/o are each referenced 2-3x — DuckDB re-inlines
+# multi-referenced CTEs exponentially otherwise (the k_core oracle note).
+_Q_TRIANGLE_DEG_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),
+e0 AS (SELECT DISTINCT a.id AS src, b.id AS dst FROM li a JOIN li b ON a.g = b.g AND a.id <> b.id),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM c UNION ALL SELECT b FROM c
+  ) GROUP BY node
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b) THEN a ELSE b END AS s,
+         CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b) THEN b ELSE a END AS t,
+         CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b) THEN db.degree ELSE da.degree END AS dt
+  FROM c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+),
+tri AS (
+  SELECT w1.s, w1.t AS t1, w2.t AS t2
+  FROM o w1
+  JOIN o w2 ON w1.s = w2.s AND (w1.dt < w2.dt OR (w1.dt = w2.dt AND w1.t < w2.t))
+  JOIN o w3 ON w3.s = w1.t AND w3.t = w2.t
+),
+pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT s AS node FROM tri UNION ALL SELECT t1 FROM tri UNION ALL SELECT t2 FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node, degree, coalesce(triangles, CAST(0 AS BIGINT)) AS triangles,
+       CASE WHEN degree >= 2
+            THEN round(2.0 * coalesce(triangles, 0) / (degree * (degree - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN pn ON deg.node = pn.node
+"""
+
+
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token-pair collocations by document-level PMI over the
     top-100 vocabulary (quality.token_pmi) — the topic-coherence /
@@ -4506,6 +4554,8 @@ _Q_KCORE_SQL = _kcore_sql()
 # tail — those keep local DuckDB parity (tests/test_oracle_parity.py) and
 # bench coverage, and rotate back through the gate in later rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- NEW in round 12: must sit inside the gate ---
+    "triangle_count_deg": q_triangle_count_deg,
     # --- NEW in round 11 (11): must sit inside the gate ---
     "zipf_audit": q_zipf_audit,
     "ngram_diversity": q_ngram_diversity,
@@ -4632,6 +4682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

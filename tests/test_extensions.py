@@ -3147,6 +3147,36 @@ def test_triangle_count_planted_graph(spark):
     assert (got[4]["degree"], got[4]["triangles"], got[4]["clustering_coeff"]) == (1, 0, 0.0)
 
 
+def test_triangle_count_deg_matches_id_and_caps_hub_wedges(spark):
+    """Degree orientation must (a) return the identical per-node result
+    on the planted mixed-direction graph, and (b) collapse the wedge
+    volume on a planted LOW-ID HUB: node 0 connected to 50 leaves plus a
+    K3 elsewhere. Id-orientation enumerates C(50,2)=1225 wedges at the
+    hub; (degree, id)-orientation points every star edge AT the hub
+    (leaves have out-degree 1) so only the K3's single wedge remains —
+    the Chiba–Nishizeki skew cap (r11 verdict #3), measured, not
+    asserted from theory."""
+    from mine_database_spark.operators.graph import (
+        triangle_count,
+        triangle_count_deg,
+        wedge_volume,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (3, 2), (1, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    want = sorted(map(tuple, triangle_count(mixed).collect()))
+    assert sorted(map(tuple, triangle_count_deg(mixed).collect())) == want
+
+    star = [(0, i) for i in range(10, 60)] + [(100, 101), (101, 102), (100, 102)]
+    hub = spark.createDataFrame(star, "src long, dst long")
+    assert wedge_volume(hub, by_degree=False) == 1225 + 1
+    assert wedge_volume(hub, by_degree=True) == 1
+    got = {r["node"]: r for r in triangle_count_deg(hub).collect()}
+    assert got[0]["triangles"] == 0 and got[0]["degree"] == 50
+    assert got[100]["triangles"] == 1 and got[100]["clustering_coeff"] == 1.0
+
+
 def test_token_pmi_planted_collocation(spark):
     import math
 

@@ -791,6 +791,17 @@ def test_triangle_count_equi_joins_only(spark, sf_smoke):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_triangle_count_deg_equi_joins_only(spark, sf_smoke):
+    """The degree-oriented twin adds two degree equi-joins for the
+    orientation but the wedge join itself stays a node-keyed equi-join
+    with the (degree, id) order as a post-join FILTER — never a
+    cartesian or a range join, never Python."""
+    plan = plan_str(QUERIES["triangle_count_deg"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_token_pmi_broadcast_vocab_sort_limit(spark, sf_smoke):
     """The top-100 vocabulary broadcasts into the pair fan-out (semi-join)
     and the final top-k is a sort-limit — the corpus never sort-merges
