@@ -360,9 +360,9 @@ def ngram_diversity(
 
     Scale: one explode scan + per-group count / count_distinct sharing a
     shuffle. count_distinct state is O(group vocab) — the exact audit
-    form; hll_registers over the same shingle column is the registered
-    constant-memory twin when group vocabularies blow past executor
-    memory.
+    form; `ngram_diversity_hll` is the registered constant-memory twin
+    (HLL registers over the same shingle column) when group vocabularies
+    blow past executor memory.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -381,6 +381,65 @@ def ngram_diversity(
         F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6).alias(
             "diversity"
         ),
+    )
+
+
+def ngram_diversity_hll(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Constant-memory twin of `ngram_diversity`: the distinct k-gram
+    count is a HyperLogLog estimate (sketches.hll_registers/hll_estimate,
+    ≤1024 integer registers per group, map-side combinable) instead of
+    countDistinct's O(group vocab) aggregation state — the form to run
+    when a group's shingle vocabulary blows past executor memory.
+
+    `with_exact=True` (the registered audit form, the hll_vocab recipe)
+    also computes the exact countDistinct and reports rel_err so the
+    estimate is accuracy-gated in the same result; `with_exact=False` is
+    the production constant-memory form: (group, total_ngrams,
+    est_distinct, diversity_est) only, nothing O(vocab) anywhere.
+    Determinism: the HLL harmonic sum stays integer (see hll_estimate),
+    so est_distinct is bit-reproducible across engines and partitionings.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from mine_database_spark.operators.sketches import hll_estimate, hll_registers
+
+    grams = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("g"),
+    )
+    est = hll_estimate(hll_registers(grams, "g", ["grp"]), ["grp"])
+    div_est = F.round(F.col("est_distinct") / F.col("total_ngrams"), 6).alias(
+        "diversity_est"
+    )
+    if not with_exact:
+        total = grams.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams")
+        )
+        return total.join(est, "grp").select(
+            F.col("grp").alias(group_col), "total_ngrams", "est_distinct", div_est
+        )
+    agg = grams.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+        F.countDistinct("g").cast("bigint").alias("distinct_ngrams"),
+    )
+    rel_err = F.round(
+        F.abs(F.col("est_distinct") - F.col("distinct_ngrams"))
+        / F.col("distinct_ngrams"),
+        4,
+    ).alias("rel_err")
+    return agg.join(est, "grp").select(
+        F.col("grp").alias(group_col),
+        "total_ngrams",
+        "distinct_ngrams",
+        "est_distinct",
+        rel_err,
+        div_est,
     )
 
 

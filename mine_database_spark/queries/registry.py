@@ -4129,6 +4129,69 @@ FROM agg
 """
 
 
+def q_ngram_diversity_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-memory twin of ngram_diversity (quality.
+    ngram_diversity_hll): distinct trigrams via HLL (≤1024 integer
+    registers/group) with the exact count and rel_err in the same result
+    — the accuracy-gated form pinning the twin claim (r11 verdict #5);
+    a pytest additionally gates rel_err ≤ 0.10 vs the exact form."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.ngram_diversity_hll(d, k=3)
+
+
+# g feeds both the exact aggregate and the HLL replay — AS MATERIALIZED
+# against DuckDB's exponential CTE re-inlining (the k_core oracle note).
+_Q_NGRAM_DIVERSITY_HLL_SQL = f"""
+WITH tok AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM tok WHERE len(toks) >= 3
+),
+g AS MATERIALIZED (SELECT source, array_to_string(toks[i:i + 2], ' ') AS g FROM pos),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams
+  FROM g GROUP BY 1
+),
+v AS (
+  SELECT source, ('0x' || substr(md5(g || 'hll'), 1, 15))::BIGINT AS v FROM g
+),
+r AS (
+  SELECT source,
+         v // 1125899906842624 AS bucket,
+         CASE WHEN v % 1125899906842624 = 0 THEN 51
+              ELSE 51 - length(bin(v % 1125899906842624)) END AS rho
+  FROM v
+),
+reg AS (SELECT source, bucket, MAX(rho) AS m_j FROM r GROUP BY source, bucket),
+a AS (
+  SELECT source,
+         CAST(SUM(1::BIGINT << CAST(51 - m_j AS INT)) AS BIGINT) AS np,
+         COUNT(*) AS vp
+  FROM reg GROUP BY source
+),
+e AS (
+  SELECT source,
+         np + (1024 - vp) * 2251799813685248 AS num,
+         CAST(1024 - vp AS DOUBLE) AS v0
+  FROM a
+),
+est AS (
+  SELECT source,
+         round(CASE WHEN (CAST({_HLL_ALPHA_REPR} AS DOUBLE) * CAST(2251799813685248.0 AS DOUBLE) / num) <= 2560.0 AND v0 > 0
+                    THEN 1024.0 * ln(1024.0 / v0)
+                    ELSE CAST({_HLL_ALPHA_REPR} AS DOUBLE) * CAST(2251799813685248.0 AS DOUBLE) / num END, 2) AS est_distinct
+  FROM e
+)
+SELECT agg.source, total_ngrams, distinct_ngrams, est.est_distinct,
+       round(abs(est.est_distinct - distinct_ngrams) / distinct_ngrams, 4) AS rel_err,
+       round(est.est_distinct / total_ngrams, 6) AS diversity_est
+FROM agg JOIN est ON agg.source = est.source
+"""
+
+
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type daily-rate anomaly flags (sessionize.rate_anomaly):
     z-score of each day's count against the type's own day distribution,
@@ -4556,6 +4619,7 @@ _Q_KCORE_SQL = _kcore_sql()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW in round 12: must sit inside the gate ---
     "triangle_count_deg": q_triangle_count_deg,
+    "ngram_diversity_hll": q_ngram_diversity_hll,
     # --- NEW in round 11 (11): must sit inside the gate ---
     "zipf_audit": q_zipf_audit,
     "ngram_diversity": q_ngram_diversity,
@@ -4683,6 +4747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
+    "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

@@ -3177,6 +3177,38 @@ def test_triangle_count_deg_matches_id_and_caps_hub_wedges(spark):
     assert got[100]["triangles"] == 1 and got[100]["clustering_coeff"] == 1.0
 
 
+def test_ngram_diversity_hll_accuracy_and_grouping(spark, sf_smoke):
+    """The HLL twin must (a) produce exactly the groups + total_ngrams of
+    the exact form, (b) estimate within ±10% of the exact distinct count
+    at 1024 registers (the hll_vocab accuracy recipe), and (c) agree with
+    its own est-only production form (with_exact=False) on the estimate
+    columns."""
+    from mine_database_spark.operators.quality import (
+        ngram_diversity,
+        ngram_diversity_hll,
+    )
+    from mine_database_spark.queries.registry import _t
+
+    (d,) = _t(spark, sf_smoke, "documents")
+    exact = {r["source"]: r for r in ngram_diversity(d, k=3).collect()}
+    audit = {r["source"]: r for r in ngram_diversity_hll(d, k=3).collect()}
+    assert set(audit) == set(exact)
+    for src, r in audit.items():
+        assert r["total_ngrams"] == exact[src]["total_ngrams"]
+        assert r["distinct_ngrams"] == exact[src]["distinct_ngrams"]
+        assert r["rel_err"] <= 0.10, (src, r["rel_err"])
+    prod = {r["source"]: r for r in
+            ngram_diversity_hll(d, k=3, with_exact=False).collect()}
+    assert set(prod) == set(audit)
+    for src, r in prod.items():
+        assert r["est_distinct"] == audit[src]["est_distinct"]
+        assert r["diversity_est"] == audit[src]["diversity_est"]
+        assert r["total_ngrams"] == audit[src]["total_ngrams"]
+    assert set(prod[next(iter(prod))].asDict()) == {
+        "source", "total_ngrams", "est_distinct", "diversity_est"
+    }
+
+
 def test_token_pmi_planted_collocation(spark):
     import math
 
