@@ -313,7 +313,9 @@ def stream_rate_anomaly(
     historical per-bucket counts (exactly rate_anomaly's internals, so
     the z arithmetic is the identical exact-integer expression; pinned
     stream-vs-batch in pytest when the baseline derives from the same
-    buckets). Returns (key, window, n, z, is_anomaly) in update mode.
+    buckets). Returns (key, window, n, z, is_anomaly); both update mode
+    (production — only changed windows re-emit) and complete mode are
+    supported and pytest-pinned to the batch z values.
 
     Scale: a native windowed streaming count (state = one bigint per
     (key, open window)) joined to a broadcast static table — no

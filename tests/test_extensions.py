@@ -3274,6 +3274,22 @@ def test_stream_rate_anomaly_matches_batch(spark, tmp_path):
                          rate_anomaly(batch, z_threshold=2.0).collect())}
     assert got == want and got[5] == (20, 2.0, True)
 
+    # update mode (the docstring's claimed production mode — only changed
+    # windows re-emit) must yield the same final rows on a single
+    # availableNow pass
+    qu = (
+        stream_rate_anomaly(stream, baseline, z_threshold=2.0)
+        .writeStream.format("memory")
+        .queryName("rate_stream_test_upd")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert qu.awaitTermination(120), "update-mode stream did not finish in 120s"
+    got_upd = {r["window"]["start"].day: (r["n"], r["z"], r["is_anomaly"])
+               for r in spark.sql("select * from rate_stream_test_upd").collect()}
+    assert got_upd == want
+
 
 def test_k_core_planted_and_converged(spark):
     """K4 {1,2,3,4} + chain 4-5-6-7: the 3-core is exactly the K4 (the
