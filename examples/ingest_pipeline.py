@@ -13,6 +13,11 @@ content-deduplicated plain-document table the shaping pipeline starts from.
       byte-exact dedup cannot
    4. Skew-aware source-stats enrichment (operators.skew) — the key-skew
       audit on the join key decides, per batch, whether the join salts
+   5. Duplicate-cluster STRUCTURE audit (dedup.minhash_lsh_dedup +
+      graph.triangle_count_deg) — LSH near-dup pairs over the survivors
+      form a graph whose triangles are CLUSTERED duplication (template
+      families); high-clustering-coefficient docs route to review while
+      triangle-free pairwise hits are left as noise
 
 The synthetic corpus is already plain text, so step 0 derives a messy fetch
 record (HTML wrapper + noisy URL, plus a reformatted duplicate fetch for
@@ -35,13 +40,21 @@ def run(
     docs_path: str | None = None,
     app_name: str = "mine-spark-ingest",
     skew_share_threshold_pct: float = 20.0,
+    family_coeff_threshold: float = 0.5,
 ) -> dict:
     """Execute the ingest pipeline; returns per-stage survivor counts plus
-    the final DataFrame under the 'docs' key.
+    the final DataFrame under the 'docs' key and the stage-5 template-
+    family audit under the 'review' key.
 
     `skew_share_threshold_pct`: if the key-skew audit shows the hottest
     source holding at least this share of surviving rows, the enrichment
-    join (stage 4) salts; otherwise it runs plain."""
+    join (stage 4) salts; otherwise it runs plain.
+
+    `family_coeff_threshold`: stage 5 routes a surviving doc to review
+    when its clustering coefficient in the near-dup pair graph reaches
+    this value (and degree >= 2) — triangles mean a template FAMILY the
+    content dedups could not collapse; a coefficient of 0 on a positive
+    degree is an isolated pairwise hit, left alone."""
     from pyspark.sql import functions as F
 
     from mine_database_spark.functions.text import strip_html
@@ -167,6 +180,28 @@ def run(
     else:
         docs = docs.join(source_stats, "source")
         counts["enrich_join"] = "plain"
+    # 5. duplicate-cluster structure audit: stages 2-3 collapsed exact and
+    #    reformatted copies; what survives can still share a TEMPLATE. LSH
+    #    candidate pairs over the survivors form a graph — triangles are
+    #    clustered duplication (a template family worth a human look),
+    #    where a triangle-free pair is isolated noise. Wedges enumerate in
+    #    degree order (triangle_count_deg), the skew-safe form: a template
+    #    hub must not emit O(deg²) wedges. Docs with clustering coeff >=
+    #    threshold and degree >= 2 route to review; the docs table itself
+    #    is NOT filtered — routing is a curation decision downstream.
+    from mine_database_spark.operators.dedup import minhash_lsh_dedup
+    from mine_database_spark.operators.graph import triangle_count_deg
+
+    pairs = minhash_lsh_dedup(docs.select("doc_id", "text"))
+    tri = triangle_count_deg(pairs, src_col="a_id", dst_col="b_id")
+    review = tri.where(
+        (F.col("clustering_coeff") >= family_coeff_threshold)
+        & (F.col("degree") >= 2)
+    ).withColumnRenamed("node", "doc_id")
+    counts["dup_candidate_pairs"] = pairs.count()
+    counts["template_family_docs"] = review.count()
+    counts["review"] = review
+
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["docs"] = docs
     return counts
@@ -175,6 +210,8 @@ def run(
 if __name__ == "__main__":
     out = run()
     df = out.pop("docs")
+    review = out.pop("review")
     for k, v in out.items():
         print(f"{k:24s} {v}")
     df.show(3, truncate=60)
+    review.show(5, truncate=False)

@@ -4616,70 +4616,23 @@ _Q_KCORE_SQL = _kcore_sql()
 # untouched rows (driver-green two or three consecutive rounds) rotate to the
 # tail — those keep local DuckDB parity (tests/test_oracle_parity.py) and
 # bench coverage, and rotate back through the gate in later rounds.
+# Queries whose implementation changed this round — forced into the gate
+# by rotation.gate_order regardless of their last green round. UPDATE THIS
+# EVERY ROUND alongside code changes; tests/test_oracle_parity.py asserts
+# the dict order below matches gate_order(list(QUERIES), history, GATE_TOUCHED).
+GATE_TOUCHED: tuple[str, ...] = ("k_core", "token_pmi", "triangle_count")
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- NEW in round 12: must sit inside the gate ---
+    # --- gate (positions 0-49; the driver hashes these) ---
+    # NEW in round 12 (never driver-checked):
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
-    # --- NEW in round 11 (11): must sit inside the gate ---
-    "zipf_audit": q_zipf_audit,
-    "ngram_diversity": q_ngram_diversity,
-    "rate_anomaly": q_rate_anomaly,
-    "event_transitions": q_event_transitions,
-    "embedding_outliers": q_embedding_outliers,
-    "hist_quantiles": q_hist_quantiles,
+    # code paths touched in round 12 (k_core hint-free peel;
+    # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
     "triangle_count": q_triangle_count,
     "token_pmi": q_token_pmi,
-    "lang_mismatch": q_lang_mismatch,
     "k_core": q_k_core,
-    "token_drift": q_token_drift,
-    # --- code paths touched in round 11 (3): inverted_index postings
-    # stringified + max_postings pre-limit; hll bucket via shiftright;
-    # url_dedup null-filter moved post-agg (regex chain evaluated once) ---
-    "inverted_index": q_inverted_index,
-    "hll_vocab": q_hll_vocab,
-    "url_dedup": q_url_dedup,
-    # --- the six r8-stale rows displaced from the r10 gate, FIRST per the
-    # r10 exit-state note (3 rounds stale by r12 otherwise) ---
-    "operator_census": q_operator_census,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "contamination_check": q_contamination_check,
-    "model_jaccard": q_model_jaccard,
-    "orphan_gc": q_orphan_gc,
-    "regex_filter": q_regex_filter,
-    # --- rotated back INTO the gate (36): last driver-checked r9,
-    # untouched since — the oldest remaining tail rows ---
-    "token_shards": q_token_shards,
-    "segment_dedup": q_segment_dedup,
-    "span_scrub": q_span_scrub,
-    "assign_ids": q_assign_ids,
-    "multimodal_features": q_multimodal_features,
-    "bpe_token_stats": q_bpe_token_stats,
-    "asof_enrich": q_asof_enrich,
-    "tumbling_window": q_tumbling_window,
-    "sessionize": q_sessionize,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "region_revenue": q_region_revenue,
-    "frontier_select": q_frontier_select,
-    "first_wins_dedup": q_first_wins_dedup,
-    "content_hash_ids": q_content_hash_ids,
-    "collect_set_union": q_collect_set_union,
-    "rule_coverage_cdf": q_rule_coverage_cdf,
-    "intermediate_rules": q_intermediate_rules,
-    "mass_range_join": q_mass_range_join,
-    "provenance_score": q_provenance_score,
-    "weighted_sample": q_weighted_sample,
-    "topk_per_group": q_topk_per_group,
-    "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
-    "snapshot_diff": q_snapshot_diff,
-    "priority_dedup": q_priority_dedup,
-    "length_percentile_filter": q_length_percentile_filter,
-    "source_overlap": q_source_overlap,
-    "mixture_upsample": q_mixture_upsample,
-    "semantic_contamination": q_semantic_contamination,
-    # ------------- gate boundary: entries below are the tail -------------
-    # 15 r9-green rows that didn't fit this round (first in line for r12):
+    # last driver-checked r9 (3 rounds stale — the r11 verdict's #1):
     "html_extract": q_html_extract,
     "normalized_dedup": q_normalized_dedup,
     "ms2_search": q_ms2_search,
@@ -4695,7 +4648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_of_native": q_product_of_native,
     "quiet_customers": q_quiet_customers,
     "bit_prevalence": q_bit_prevalence,
-    # r10-driver-green rows, untouched in r11 — rotated out:
+    # oldest r10-green rows, rotated back into the gate:
     "minhash_lsh": q_minhash_lsh,
     "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4726,6 +4679,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "pagerank": q_pagerank,
     "bloom_decontaminate": q_bloom_decontaminate,
+    # ------------- gate boundary: entries below are the tail -------------
+    # r10-green rows that didn't fit (first in line for r13):
     "cms_token_freq": q_cms_token_freq,
     "degree_distribution": q_degree_distribution,
     "blocklist_filter": q_blocklist_filter,
@@ -4743,6 +4698,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "knn_graph_lsh": q_knn_graph_lsh,
     "knn_graph_ivf": q_knn_graph_ivf,
+    # r11-driver-green rows, untouched in r12 — rotated out:
+    "zipf_audit": q_zipf_audit,
+    "ngram_diversity": q_ngram_diversity,
+    "rate_anomaly": q_rate_anomaly,
+    "event_transitions": q_event_transitions,
+    "embedding_outliers": q_embedding_outliers,
+    "hist_quantiles": q_hist_quantiles,
+    "lang_mismatch": q_lang_mismatch,
+    "token_drift": q_token_drift,
+    "inverted_index": q_inverted_index,
+    "hll_vocab": q_hll_vocab,
+    "url_dedup": q_url_dedup,
+    "operator_census": q_operator_census,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "contamination_check": q_contamination_check,
+    "model_jaccard": q_model_jaccard,
+    "orphan_gc": q_orphan_gc,
+    "regex_filter": q_regex_filter,
+    "token_shards": q_token_shards,
+    "segment_dedup": q_segment_dedup,
+    "span_scrub": q_span_scrub,
+    "assign_ids": q_assign_ids,
+    "multimodal_features": q_multimodal_features,
+    "bpe_token_stats": q_bpe_token_stats,
+    "asof_enrich": q_asof_enrich,
+    "tumbling_window": q_tumbling_window,
+    "sessionize": q_sessionize,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "frontier_select": q_frontier_select,
+    "first_wins_dedup": q_first_wins_dedup,
+    "content_hash_ids": q_content_hash_ids,
+    "collect_set_union": q_collect_set_union,
+    "rule_coverage_cdf": q_rule_coverage_cdf,
+    "intermediate_rules": q_intermediate_rules,
+    "mass_range_join": q_mass_range_join,
+    "provenance_score": q_provenance_score,
+    "weighted_sample": q_weighted_sample,
+    "topk_per_group": q_topk_per_group,
+    "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "snapshot_diff": q_snapshot_diff,
+    "priority_dedup": q_priority_dedup,
+    "length_percentile_filter": q_length_percentile_filter,
+    "source_overlap": q_source_overlap,
+    "mixture_upsample": q_mixture_upsample,
+    "semantic_contamination": q_semantic_contamination,
 }
 
 ORACLES: dict[str, str] = {

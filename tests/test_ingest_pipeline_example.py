@@ -47,6 +47,62 @@ def test_ingest_pipeline_end_to_end(spark):
     assert docs.where("source_docs IS NULL").count() == 0
 
 
+def test_ingest_pipeline_routes_template_family_to_review(spark, tmp_path):
+    """Stage 5: plant a TEMPLATE FAMILY (8 docs sharing one long template,
+    each with a unique slug so the content dedups pass them through), one
+    isolated near-dup PAIR, and solo filler. The LSH pair graph closes
+    triangles only inside the family, so exactly the family routes to
+    review — the pair (degree 1, coefficient 0) and the solos do not."""
+    from ingest_pipeline import run
+
+    # long template (~190 tokens): the per-doc slug perturbs only ~5 of
+    # ~190 shingles, so every family pair's Jaccard is ~0.95 and all four
+    # LSH bands collide deterministically (md5 is fixed) — a short
+    # template left the clique incomplete when some band sigs diverged
+    template = " ".join(
+        f"section {w} of the syndicated quarterly template body repeats "
+        f"verbatim across mirror sites with fixed boilerplate copy"
+        for w in (
+            "markets", "weather", "sports", "culture", "travel", "finance",
+            "science", "politics", "health", "technology", "energy",
+        )
+    )
+    rows = [
+        (i, f"fam{i}.example", "en", f"{template} slug{i}") for i in range(8)
+    ]
+    pair_story = (
+        "entirely different pairwise story about gardening tools and the "
+        "seasonal catalogue of rakes shovels hoses and trowels for spring"
+    )
+    rows.append((20, "pairA.example", "en", f"{pair_story} variant one"))
+    rows.append((21, "pairB.example", "en", f"{pair_story} variant two"))
+    rows += [
+        (i, f"solo{i}.example", "en",
+         f"unique solitary document number {i} "
+         + " ".join(f"tok{i}x{j}" for j in range(30)))
+        for i in range(30, 40)
+    ]
+    src = str(tmp_path / "famdocs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(src)
+
+    out = run(docs_path=src)
+    docs = out.pop("docs")
+    review = out.pop("review")
+    assert out["after_normalized_dedup"] == len(rows)
+    flagged = {r["doc_id"]: r for r in review.collect()}
+    assert set(flagged) == set(range(8)), sorted(flagged)
+    # the family is a full clique: every member saw all 7 others and
+    # closed every wedge
+    for r in flagged.values():
+        assert r["degree"] == 7 and r["clustering_coeff"] == 1.0, r
+    # LSH found the family clique (28 pairs) plus the isolated pair — which
+    # closes no triangle and so never reaches review
+    assert out["dup_candidate_pairs"] >= 28 + 1
+    assert docs.count() == len(rows)
+
+
 def test_ingest_pipeline_salts_on_planted_hot_key(spark, tmp_path):
     """Plant a corpus where one source dominates: the stage-4 audit must
     cross the threshold and pick the salted join, with row multiplicity

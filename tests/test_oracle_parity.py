@@ -158,6 +158,37 @@ def test_type_gate_rejects_list_projection():
     _assert_type_parity("demo", ["postings"], ["string"], ["postings"], ["VARCHAR"])
 
 
+def test_queries_dict_order_matches_staleness_rotation():
+    """The driver gate hashes QUERIES positions 0-49, so dict order IS the
+    rotation. This pins the literal order to the mechanical rule derived
+    from the CORRECTNESS_r*.json history (rotation.gate_order): never-
+    checked queries first, then GATE_TOUCHED (code changed this round),
+    then stalest last-green round first — a mis-rotation (fresh rows
+    hogging the gate while stale rows age out) cannot land green. Rounds
+    9-11 maintained this by hand from a prose exit note; r11 verdict #6
+    asked for exactly this gate."""
+    from mine_database_spark.queries.registry import GATE_TOUCHED
+    from mine_database_spark.queries.rotation import (
+        gate_order,
+        load_green_history,
+        repo_root,
+    )
+
+    hist = load_green_history(repo_root())
+    if not hist:
+        pytest.skip("no CORRECTNESS_r*.json artifacts in this checkout")
+    names = list(QUERIES)
+    want = gate_order(names, hist, GATE_TOUCHED)
+    assert names == want, (
+        "QUERIES dict order violates the staleness rotation; regenerate with "
+        "`python -m mine_database_spark.queries.rotation` "
+        f"(first divergence at index "
+        f"{next(i for i, (a, b) in enumerate(zip(names, want)) if a != b)})"
+    )
+    # every GATE_TOUCHED name must exist (catches typos going stale)
+    assert set(GATE_TOUCHED) <= set(QUERIES)
+
+
 def test_readme_query_count_in_sync():
     """README's front-door registry line must track len(QUERIES) — it
     drifted 96 vs 101 in round 10; this pins it mechanically."""
