@@ -384,6 +384,43 @@ def ngram_diversity(
     )
 
 
+def collapse_repeats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse runs of consecutively repeated whitespace tokens in
+    `text_col` ("the the the cat" -> "the cat") — the intra-document
+    stutter scrub (OCR hiccups, copy-paste doubling, broken templating)
+    run before token counting or packing so repeated filler never reaches
+    the training mix. The cross-document measurement twin is
+    repetition_stats; this is the TRANSFORM.
+
+    Replaces `text_col` with the scrubbed text (whitespace normalized to
+    single spaces — token identity is what matters downstream) and
+    appends n_tokens (pre-scrub) + n_collapsed. All other columns pass
+    through. Idempotent: a second pass collapses nothing.
+
+    Scale: pure per-row JVM array expressions (split + indexed filter +
+    join) — zero shuffle, zero Python; the token array is hoisted into a
+    materialized column once so the interpreted HOF lambda never
+    re-evaluates the split per reference (the element_at/HOF note in the
+    verify ledger).
+    """
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: (i == F.lit(0)) | (x != F.get(F.col("__toks"), i - 1)),
+    )
+    t = docs.withColumn("__toks", tokens(F.col(text_col))).withColumn(
+        "__kept", kept
+    )
+    return (
+        t.withColumn("n_tokens", F.size("__toks").cast("bigint"))
+        .withColumn(text_col, F.array_join("__kept", " "))
+        .withColumn(
+            "n_collapsed",
+            (F.size("__toks") - F.size("__kept")).cast("bigint"),
+        )
+        .drop("__toks", "__kept")
+    )
+
+
 def ngram_diversity_hll(
     docs: DataFrame,
     group_col: str = "source",

@@ -4416,6 +4416,85 @@ FROM deg LEFT JOIN pn ON deg.node = pn.node
 """
 
 
+def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-stutter scrub report (quality.collapse_repeats):
+    how many docs carried consecutive repeated tokens and how many tokens
+    the scrub removed — the transform's audit aggregate (zero-shuffle
+    scan + one source-keyed aggregate)."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    s = ql.collapse_repeats(d)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_collapsed") > 0).cast("bigint")).alias("docs_with_repeats"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum("n_collapsed").alias("tokens_collapsed"),
+        F.round(F.sum("n_collapsed") / F.sum("n_tokens"), 6).alias("collapse_share"),
+    )
+
+
+_Q_COLLAPSE_REPEATS_SQL = f"""
+WITH t AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+k AS (
+  SELECT source, len(toks) AS n,
+         len(list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1])) AS nk
+  FROM t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > nk THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_repeats,
+       CAST(SUM(n) AS BIGINT) AS tokens_total,
+       CAST(SUM(n - nk) AS BIGINT) AS tokens_collapsed,
+       round(CAST(SUM(n - nk) AS DOUBLE) / SUM(n), 6) AS collapse_share
+FROM k GROUP BY source
+"""
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 Adamic–Adar link predictions over the co-purchase graph
+    (graph.adamic_adar): NOT-yet-connected part pairs ranked by
+    Σ 1/ln(deg) over common neighbors — the bundle-candidate / missing-
+    edge audit. Hub centers above degree 64 are excluded (their weight is
+    the graph's smallest and their wedge fan-out its largest — the
+    documented production cap); the score sum is integer-ppm exact."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    return gr.adamic_adar(e, top_k=100, max_degree=64)
+
+
+# c/deg/adj each feed 2+ branches — AS MATERIALIZED (k_core oracle note).
+_Q_ADAMIC_ADAR_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),
+e0 AS (SELECT DISTINCT a.id AS src, b.id AS dst FROM li a JOIN li b ON a.g = b.g AND a.id <> b.id),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+both_dir AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM both_dir GROUP BY 1),
+centers AS (
+  SELECT node, CAST(floor(1000000.0 / ln(CAST(degree AS DOUBLE))) AS BIGINT) AS w_ppm
+  FROM deg WHERE degree >= 2 AND degree <= 64
+),
+adj AS MATERIALIZED (
+  SELECT b.a AS center, b.b AS nbr, centers.w_ppm
+  FROM both_dir b JOIN centers ON b.a = centers.node
+),
+scored AS (
+  SELECT x.nbr AS u, y.nbr AS v,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(x.w_ppm) AS BIGINT) AS aa_ppm
+  FROM adj x JOIN adj y ON x.center = y.center AND x.nbr < y.nbr
+  GROUP BY 1, 2
+),
+missing AS (
+  SELECT s.* FROM scored s ANTI JOIN c ON s.u = c.a AND s.v = c.b
+),
+top AS (SELECT * FROM missing ORDER BY aa_ppm DESC, u, v LIMIT 100)
+SELECT u AS src, v AS dst, common_neighbors,
+       round(aa_ppm / 1000000.0, 6) AS score,
+       CAST(row_number() OVER (ORDER BY aa_ppm DESC, u, v) AS INT) AS rank
+FROM top
+"""
+
+
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token-pair collocations by document-level PMI over the
     top-100 vocabulary (quality.token_pmi) — the topic-coherence /
@@ -4627,6 +4706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NEW in round 12 (never driver-checked):
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
+    "adamic_adar": q_adamic_adar,
+    "collapse_repeats": q_collapse_repeats,
     # code paths touched in round 12 (k_core hint-free peel;
     # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
     "triangle_count": q_triangle_count,
@@ -4751,6 +4832,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
+    "adamic_adar": _Q_ADAMIC_ADAR_SQL,
+    "collapse_repeats": _Q_COLLAPSE_REPEATS_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

@@ -3177,6 +3177,75 @@ def test_triangle_count_deg_matches_id_and_caps_hub_wedges(spark):
     assert got[100]["triangles"] == 1 and got[100]["clustering_coeff"] == 1.0
 
 
+def test_collapse_repeats_planted_and_idempotent(spark):
+    """Runs collapse to one survivor; non-adjacent repeats stay; empty
+    and repeat-free docs pass through; a second pass is a no-op; other
+    columns survive."""
+    from mine_database_spark.operators.quality import collapse_repeats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "the the the cat sat sat on the mat"),
+            (2, "s1", "alpha beta alpha beta"),
+            (3, "s2", ""),
+            (4, "s2", "clean text here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in collapse_repeats(docs).collect()}
+    assert got[1]["text"] == "the cat sat on the mat"
+    assert (got[1]["n_tokens"], got[1]["n_collapsed"]) == (9, 3)
+    assert got[2]["text"] == "alpha beta alpha beta"  # non-adjacent kept
+    assert got[2]["n_collapsed"] == 0
+    assert got[3]["text"] == "" and got[3]["n_tokens"] == 0
+    assert got[4]["text"] == "clean text here" and got[4]["n_collapsed"] == 0
+    assert got[1]["source"] == "s1"  # passthrough columns survive
+    # idempotent: scrubbing the scrubbed text collapses nothing
+    again = collapse_repeats(
+        collapse_repeats(docs).select("doc_id", "source", "text")
+    )
+    assert {r["doc_id"]: r["n_collapsed"] for r in again.collect()} == {
+        1: 0, 2: 0, 3: 0, 4: 0
+    }
+
+
+def test_adamic_adar_planted_graph(spark):
+    """Square 1-2-3-4-1: the two missing diagonals each have two degree-2
+    common neighbors, so score = 2·floor(1e6/ln2)/1e6 exactly; existing
+    edges are excluded; the hub cap drops wedges from high-degree
+    centers."""
+    from mine_database_spark.operators.graph import adamic_adar
+
+    sq = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = [tuple(r) for r in adamic_adar(sq, top_k=10).collect()]
+    import math
+
+    s = 2 * math.floor(1_000_000.0 / math.log(2.0)) / 1_000_000.0
+    assert got == [(1, 3, 2, round(s, 6), 1), (2, 4, 2, round(s, 6), 2)]
+
+    # hub cap: star 0-{1..5} plus edge (1,2); with max_degree=4 the hub
+    # center (deg 5) is excluded, so only centers 1 and 2 (deg 2) emit
+    # wedges — no (3,4)/(3,5)/(4,5) pairs from the hub survive
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], "src long, dst long"
+    )
+    pairs = {
+        (r["src"], r["dst"])
+        for r in adamic_adar(
+            star, top_k=20, max_degree=4, exclude_existing=False
+        ).collect()
+    }
+    assert pairs == {(0, 1), (0, 2)}
+    # uncapped, the hub emits all C(5,2) leaf pairs
+    pairs_all = {
+        (r["src"], r["dst"])
+        for r in adamic_adar(star, top_k=20, exclude_existing=False).collect()
+    }
+    assert {(3, 4), (3, 5), (4, 5)} <= pairs_all
+
+
 def test_ngram_diversity_hll_accuracy_and_grouping(spark, sf_smoke):
     """The HLL twin must (a) produce exactly the groups + total_ngrams of
     the exact form, (b) estimate within ±10% of the exact distinct count

@@ -864,6 +864,29 @@ def test_k_core_peel_round_broadcast_both_ways(spark):
     assert ("SortMergeJoin" in free) or ("ShuffledHashJoin" in free), free
 
 
+def test_collapse_repeats_single_scan_no_python(spark, sf_smoke):
+    """The stutter scrub is per-row JVM array expressions: one corpus
+    scan, ONE exchange (the report aggregate), partial agg below it,
+    never Python."""
+    plan = plan_str(QUERIES["collapse_repeats"](spark, sf_smoke), mode="simple")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post, plan
+
+
+def test_adamic_adar_sort_limit_no_cartesian(spark, sf_smoke):
+    """Common-neighbor enumeration is the wedge equi-join on the center
+    key; the final top-k is a sort-limit — never a cartesian, never
+    Python."""
+    plan = plan_str(QUERIES["adamic_adar"](spark, sf_smoke), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_token_drift_sort_limits_no_corpus_join(spark, sf_smoke):
     """Both snapshot scans fold to token-count aggregates; the vocab pick
     and the final ranking are sort-limits; the only join is the O(vocab)
