@@ -904,6 +904,54 @@ def incremental_dedup(
     )
 
 
+def text_knn(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    top_k: int = 3,
+    threshold: float = 0.1,
+    df_cap: int | None = 50,
+    storage_level: StorageLevel | None = None,
+) -> DataFrame:
+    """Top-`top_k` most similar documents per document by capped k-gram
+    Jaccard — the text-side kNN graph (the embedding-side twins are
+    knn_graph/_lsh/_ivf): per-doc nearest neighbors drive cluster
+    browsing, "more like this" retrieval audits, and duplicate-family
+    exploration where no embedding column exists.
+
+    Built on ngram_jaccard_pairs (shared-shingle inverted-index join,
+    `df_cap` drops stop-shingles so the pair join never goes quadratic
+    in posting-list length; `threshold` floors the candidate set); the
+    symmetric pair list then takes a per-doc group-limit. Returns
+    (doc_id, rank, nbr_id, jaccard), rank by (jaccard desc, nbr_id).
+
+    Scale: pair volume is governed by df_cap/threshold exactly as the
+    dedup family documents; the top-k is a rank<=k filter Spark rewrites
+    to WindowGroupLimit (partial limits map-side) — no per-doc collect,
+    no global sort.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col, text_col, k, threshold,
+        df_cap=df_cap, storage_level=storage_level,
+    )
+    sym = pairs.select(
+        F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("b_id").alias("doc_id"), F.col("a_id").alias("nbr_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("nbr_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "nbr_id", "jaccard")
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

@@ -369,6 +369,42 @@ def token_budget_shards(
     )
 
 
+def shard_balance(sharded: DataFrame, budget: int) -> DataFrame:
+    """Balance audit over a `token_budget_shards` assignment: per shard,
+    doc count, token sum, fill ratio vs the budget, and an over-budget
+    flag — the data-loader throughput check (one oversized shard is the
+    straggler that idles every other reader in the epoch; systematic
+    under-fill means the budget is mis-sized vs the document length
+    distribution).
+
+    A shard legitimately exceeds `budget` when a single document does —
+    the assignment never splits documents — so `over_budget` marks
+    shards to route through a doc-splitting pass, not errors. Returns
+    (shard_id, n_docs, shard_tokens, fill_ratio rounded 6, over_budget).
+
+    Scale: ONE map-side-combinable aggregate over the assignment — the
+    audit costs a single shuffle of O(shards) rows.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").alias("shard_tokens"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "shard_tokens",
+            F.round(F.col("shard_tokens") / F.lit(float(budget)), 6).alias(
+                "fill_ratio"
+            ),
+            (F.col("shard_tokens") > budget).alias("over_budget"),
+        )
+    )
+
+
 def temperature_sample(
     docs: DataFrame,
     alpha: float = 0.5,

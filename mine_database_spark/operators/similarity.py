@@ -1801,3 +1801,78 @@ def embedding_outliers(
         .where(F.col("rank") <= bottom_k)
         .select(F.col("grp").alias(group_col), "rank", "vec_id", "score")
     )
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant_scale: float = 1.0e5,
+) -> DataFrame:
+    """Cross-snapshot per-group embedding drift: the cosine between the
+    two snapshots' centroid DIRECTIONS plus the count shift — the
+    embedding-space counterpart of token_drift (a topic cluster whose
+    centroid swings between crawls changed its CONTENT, not just its
+    size; a stable centroid with a count collapse is a coverage story).
+
+    Centroid direction = the component-wise integer SUM of the group's
+    round(x·quant_scale)-quantized vectors (the embedding_outliers
+    recipe — same direction as the mean, skips the division), so both
+    norms and the cross dot product are exact integer arithmetic and the
+    rounded cosine hash-matches any engine. Returns (group, n_a, n_b,
+    centroid_cos, drift = round(1 − centroid_cos, 4)) for groups with a
+    nonzero centroid in BOTH snapshots — a group missing from one side
+    is a count/coverage finding (token_drift's job), not a direction.
+
+    Scale: one map-side-combinable (group, dim) sum per snapshot
+    (shuffled rows ≤ maps·groups·dim), an O(groups·dim) equi-join
+    between the two sum tables, and an O(groups) count join — nothing
+    corpus-sized shuffles twice. Overflow bound (bigint): per (group,
+    dim), Σ|q| < ~3·10⁹ at the default scale for unit-normalized inputs
+    (the embedding_outliers bound), and the cross product Σ sa·sb over
+    dims must stay < 2^63 — drop quant_scale one decade per 100× group
+    size, same as the outliers knob.
+    """
+
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        e = df.where(_valid_vec(vec_col)).select(
+            F.col(group_col).alias("grp"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * quant_scale).cast("bigint"),
+            ).alias("v"),
+        )
+        sums = e.select("grp", F.posexplode("v").alias("i", "q")).groupBy(
+            "grp", "i"
+        ).agg(F.sum("q").alias("s"))
+        counts = e.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        return sums, counts
+
+    sa, ca = prep(emb_a)
+    sb, cb = prep(emb_b)
+    joined = sa.withColumnRenamed("s", "sa").join(
+        sb.withColumnRenamed("s", "sb"), ["grp", "i"]
+    )
+    agg = joined.groupBy("grp").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("na"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+    )
+    cos = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        4,
+    )
+    return (
+        agg.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .join(ca.withColumnRenamed("n", "n_a"), "grp")
+        .join(cb.withColumnRenamed("n", "n_b"), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_a",
+            "n_b",
+            cos.alias("centroid_cos"),
+            F.round(F.lit(1.0) - cos, 4).alias("drift"),
+        )
+    )

@@ -1058,6 +1058,50 @@ WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.2
 )
 
 
+def q_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest text neighbors per doc by capped bigram Jaccard
+    (dedup.text_knn) — the text-side kNN graph over the shared-shingle
+    inverted index; WindowGroupLimit bounds the per-doc output, df_cap 50
+    bounds the pair join (the ngram_jaccard_capped scale recipe)."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.text_knn(
+        d, k=2, top_k=3, threshold=0.2, df_cap=50,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
+
+
+_Q_TEXT_KNN_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=2, km1=1) + """,
+capped AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id, round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+  FROM inter JOIN sizes na ON inter.a_id = na.doc_id JOIN sizes nb ON inter.b_id = nb.doc_id
+  WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.2
+),
+sym AS (
+  SELECT a_id AS doc_id, b_id AS nbr_id, jaccard FROM pairs
+  UNION ALL
+  SELECT b_id, a_id, jaccard FROM pairs
+),
+r AS (
+  SELECT doc_id, nbr_id, jaccard,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS INT) AS rank
+  FROM sym
+)
+SELECT doc_id, rank, nbr_id, jaccard FROM r WHERE rank <= 3
+"""
+)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     return dd.simhash60(d)
@@ -3030,6 +3074,35 @@ FROM c
 """
 
 
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-fill audit over the token_budget_shards assignment
+    (packing.shard_balance): per-shard doc count, token sum, fill ratio
+    vs the 4096 budget, over-budget flag — the data-loader straggler
+    check, one O(shards) aggregate on top of the assignment."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return pk.shard_balance(pk.token_budget_shards(d, budget=4096), budget=4096)
+
+
+_Q_SHARD_BALANCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks FROM documents
+),
+c AS (
+  SELECT doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (ORDER BY n_toks DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_toks
+  FROM t
+),
+s AS (SELECT CAST((cum_toks - n_toks) // 4096 AS BIGINT) AS shard_id, n_toks FROM c)
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS shard_tokens,
+       round(CAST(SUM(n_toks) AS DOUBLE) / 4096.0, 6) AS fill_ratio,
+       SUM(n_toks) > 4096 AS over_budget
+FROM s GROUP BY shard_id
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (operators/quality.py): logistic score
     over five scan-only features with the pinned default weights — the
@@ -4297,6 +4370,50 @@ SELECT label, rank, vec_id, score FROM r WHERE rank <= 3
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even-vec_id and odd-vec_id
+    snapshot halves (similarity.embedding_drift) — the embedding-space
+    twin of token_drift: integer-quantized centroid sums per half,
+    exact-integer cross dot, rounded cosine + count shift."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_drift(
+        e.where(F.col("vec_id") % 2 == 0), e.where(F.col("vec_id") % 2 == 1)
+    )
+
+
+_Q_EMBEDDING_DRIFT_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 100000.0) AS BIGINT)) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+comp AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS q FROM e
+),
+sa AS (SELECT label, i, CAST(SUM(q) AS BIGINT) AS s FROM comp WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+sb AS (SELECT label, i, CAST(SUM(q) AS BIGINT) AS s FROM comp WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+ca AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_a FROM e WHERE vec_id % 2 = 0 GROUP BY 1),
+cb AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_b FROM e WHERE vec_id % 2 = 1 GROUP BY 1),
+agg AS (
+  SELECT sa.label,
+         CAST(SUM(sa.s * sb.s) AS BIGINT) AS dot,
+         CAST(SUM(sa.s * sa.s) AS BIGINT) AS na,
+         CAST(SUM(sb.s * sb.s) AS BIGINT) AS nb
+  FROM sa JOIN sb ON sa.label = sb.label AND sa.i = sb.i
+  GROUP BY 1
+)
+SELECT agg.label, n_a, n_b,
+       round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS centroid_cos,
+       round(1.0 - round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4), 4) AS drift
+FROM agg
+JOIN ca ON agg.label = ca.label
+JOIN cb ON agg.label = cb.label
+WHERE na > 0 AND nb > 0
+"""
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of document length per source from a log2-bucketed
     histogram (sketches.hist_quantiles) — the constant-memory quantile
@@ -4708,6 +4825,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
     "collapse_repeats": q_collapse_repeats,
+    "embedding_drift": q_embedding_drift,
+    "shard_balance": q_shard_balance,
+    "text_knn": q_text_knn,
     # code paths touched in round 12 (k_core hint-free peel;
     # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
     "triangle_count": q_triangle_count,
@@ -4834,6 +4954,9 @@ ORACLES: dict[str, str] = {
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,
     "collapse_repeats": _Q_COLLAPSE_REPEATS_SQL,
+    "embedding_drift": _Q_EMBEDDING_DRIFT_SQL,
+    "shard_balance": _Q_SHARD_BALANCE_SQL,
+    "text_knn": _Q_TEXT_KNN_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

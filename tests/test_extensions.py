@@ -3177,6 +3177,93 @@ def test_triangle_count_deg_matches_id_and_caps_hub_wedges(spark):
     assert got[100]["triangles"] == 1 and got[100]["clustering_coeff"] == 1.0
 
 
+def test_text_knn_planted_neighbors(spark):
+    """A/B share most bigrams, A/C share fewer; D is disjoint: A's rank-1
+    neighbor is B (symmetric from B's side), C appears at rank 2, D never
+    appears; top_k truncates."""
+    from mine_database_spark.operators.dedup import text_knn
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy cat tonight"),
+            (3, "the quick brown fox sleeps all day long quietly here"),
+            (4, "completely unrelated text about submarine cable repairs"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text_knn(docs, k=2, top_k=3, threshold=0.05, df_cap=None).collect()
+    got = {(r["doc_id"], r["rank"]): (r["nbr_id"], r["jaccard"]) for r in rows}
+    assert got[(1, 1)][0] == 2 and got[(2, 1)][0] == 1
+    assert got[(1, 1)][1] == got[(2, 1)][1]  # symmetric score
+    assert got[(1, 2)][0] == 3
+    assert got[(1, 1)][1] > got[(1, 2)][1]
+    assert 4 not in {r["doc_id"] for r in rows}
+    assert 4 not in {r["nbr_id"] for r in rows}
+    one = text_knn(docs, k=2, top_k=1, threshold=0.05, df_cap=None).collect()
+    assert {r["doc_id"]: r["rank"] for r in one} == {1: 1, 2: 1, 3: 1}
+
+
+def test_shard_balance_planted_budget(spark):
+    """Docs of 6,5,4,3 tokens at budget 8, longest-first: cum 6,11,15,18
+    -> shards (6-6)//8=0, (11-5)//8=0, (15-4)//8=1, (18-3)//8=1. Shard 0
+    holds 11 tokens (over budget — a doc straddles the boundary), shard 1
+    holds 7 (under)."""
+    from mine_database_spark.operators.packing import (
+        shard_balance,
+        token_budget_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e"),
+            (3, "a b c d"),
+            (4, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["shard_id"]: r for r in
+           shard_balance(token_budget_shards(docs, budget=8), budget=8).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0]["n_docs"], got[0]["shard_tokens"], got[0]["over_budget"]) == (2, 11, True)
+    assert got[0]["fill_ratio"] == round(11 / 8.0, 6)
+    assert (got[1]["n_docs"], got[1]["shard_tokens"], got[1]["over_budget"]) == (2, 7, False)
+
+
+def test_embedding_drift_planted_directions(spark):
+    """Identical / orthogonal / opposite planted centroid directions give
+    cosine exactly 1, 0, −1 (drift 0, 1, 2); a label present in only one
+    snapshot is excluded; counts reflect valid vectors."""
+    from mine_database_spark.operators.similarity import embedding_drift
+
+    schema = "vec_id long, label int, embedding array<float>"
+    a = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+            (4, 1, [1.0, 0.0]),
+            (6, 2, [0.5, 0.5]),
+            (8, 3, [1.0, 1.0]),  # label 3 only in snapshot A
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 0, [2.0, 0.0]),            # same direction, scaled
+            (3, 1, [0.0, 1.0]),            # orthogonal
+            (5, 2, [-0.5, -0.5]), (7, 2, [-0.5, -0.5]),  # opposite
+        ],
+        schema,
+    )
+    got = {r["label"]: r for r in embedding_drift(a, b).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["n_a"], got[0]["n_b"]) == (2, 1)
+    assert (got[0]["centroid_cos"], got[0]["drift"]) == (1.0, 0.0)
+    assert (got[1]["centroid_cos"], got[1]["drift"]) == (0.0, 1.0)
+    assert (got[2]["centroid_cos"], got[2]["drift"]) == (-1.0, 2.0)
+    assert (got[2]["n_a"], got[2]["n_b"]) == (1, 2)
+
+
 def test_collapse_repeats_planted_and_idempotent(spark):
     """Runs collapse to one survivor; non-adjacent repeats stay; empty
     and repeat-free docs pass through; a second pass is a no-op; other

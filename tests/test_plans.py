@@ -864,6 +864,16 @@ def test_k_core_peel_round_broadcast_both_ways(spark):
     assert ("SortMergeJoin" in free) or ("ShuffledHashJoin" in free), free
 
 
+def test_text_knn_group_limit_no_cartesian(spark, sf_smoke):
+    """The per-doc top-k is a WindowGroupLimit (partial limits map-side),
+    pair generation stays the shingle equi-join — never a cartesian,
+    never Python."""
+    plan = plan_str(QUERIES["text_knn"](spark, sf_smoke), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_collapse_repeats_single_scan_no_python(spark, sf_smoke):
     """The stutter scrub is per-row JVM array expressions: one corpus
     scan, ONE exchange (the report aggregate), partial agg below it,
