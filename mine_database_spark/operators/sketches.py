@@ -202,8 +202,21 @@ def hist_quantiles(
     walk runs over O(groups · n_bins) rows. Negative values raise (the
     bin function is undefined there); clamp or shift upstream.
     """
-    if not pcts or any(not 1 <= p <= 100 for p in pcts):
-        raise ValueError(f"pcts must be ints in [1, 100], got {pcts}")
+    counts = hist_bin_counts(df, col, group_cols=group_cols, n_bins=n_bins)
+    return hist_quantiles_from_counts(counts, pcts=pcts, group_cols=group_cols)
+
+
+def hist_bin_counts(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 62,
+) -> DataFrame:
+    """The (group..., bin, n) register half of hist_quantiles: one
+    map-side-combinable count per log2 bucket, <= n_bins counters per
+    group forever. Split out because this SAME shape is the streaming
+    twin (streaming.windows.stream_hist_counts) — a native streaming
+    count aggregation; hist_quantiles_from_counts serves either form."""
     if not 1 <= n_bins <= 62:
         raise ValueError(f"n_bins must be in [1, 62], got {n_bins}")
     g = group_cols or []
@@ -218,9 +231,22 @@ def hist_quantiles(
         .cast("int")
         .alias("bin"),
     )
-    counts = binned.groupBy(*g, "bin").agg(
+    return binned.groupBy(*g, "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+def hist_quantiles_from_counts(
+    counts: DataFrame,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile selection over a (group..., bin, n) register table (batch
+    OR materialized streaming registers): integer cum·100 >= pct·total
+    walk over O(groups · n_bins) rows."""
+    if not pcts or any(not 1 <= p <= 100 for p in pcts):
+        raise ValueError(f"pcts must be ints in [1, 100], got {pcts}")
+    g = group_cols or []
     wcum = Window.partitionBy(*g).orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -4816,7 +4816,9 @@ _Q_KCORE_SQL = _kcore_sql()
 # by rotation.gate_order regardless of their last green round. UPDATE THIS
 # EVERY ROUND alongside code changes; tests/test_oracle_parity.py asserts
 # the dict order below matches gate_order(list(QUERIES), history, GATE_TOUCHED).
-GATE_TOUCHED: tuple[str, ...] = ("k_core", "token_pmi", "triangle_count")
+GATE_TOUCHED: tuple[str, ...] = (
+    "k_core", "token_pmi", "triangle_count", "hist_quantiles",
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
@@ -4833,6 +4835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "token_pmi": q_token_pmi,
     "k_core": q_k_core,
+    "hist_quantiles": q_hist_quantiles,
     # last driver-checked r9 (3 rounds stale — the r11 verdict's #1):
     "html_extract": q_html_extract,
     "normalized_dedup": q_normalized_dedup,
@@ -4905,7 +4908,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_anomaly": q_rate_anomaly,
     "event_transitions": q_event_transitions,
     "embedding_outliers": q_embedding_outliers,
-    "hist_quantiles": q_hist_quantiles,
     "lang_mismatch": q_lang_mismatch,
     "token_drift": q_token_drift,
     "inverted_index": q_inverted_index,

@@ -293,6 +293,32 @@ def stream_hll_registers(
     return hll_registers(item_stream, col, group_cols=group_cols, salt=salt)
 
 
+def stream_hist_counts(
+    item_stream: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 62,
+) -> DataFrame:
+    """Streaming twin of sketches.hist_bin_counts: the log2-bucket count
+    registers as a NATIVE streaming aggregation (groupBy(group, bin).
+    count in update/complete mode). State is <= n_bins counters per group
+    FOREVER — the constant-memory streaming quantile sketch (an exact
+    streaming percentile would buffer every value). count() is
+    order-insensitive and the bin derivation is the same exact-integer
+    expression as the batch build, so the registers are bit-identical to
+    batch on the same data (pinned in pytest) and
+    hist_quantiles_from_counts serves either form. Completes the sketch
+    twin set: bloom (membership), CMS (frequency), HLL (cardinality),
+    histogram (quantiles).
+    """
+    from mine_database_spark.operators.sketches import hist_bin_counts
+
+    # the batch register build is scan + groupBy(count) — a shape
+    # Structured Streaming supports verbatim, so the twin IS the batch
+    # expression
+    return hist_bin_counts(item_stream, col, group_cols=group_cols, n_bins=n_bins)
+
+
 def stream_rate_anomaly(
     event_stream: DataFrame,
     baseline_stats: DataFrame,

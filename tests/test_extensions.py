@@ -3011,6 +3011,44 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     assert abs(est - 300) / 300 < 0.15
 
 
+def test_stream_hist_counts_matches_batch(spark, tmp_path):
+    """Streaming histogram sketch: complete-mode log2-bucket registers
+    equal the batch build on the same values, and the shared selection
+    half returns the same quantiles from either register table."""
+    from mine_database_spark.operators.sketches import (
+        hist_bin_counts,
+        hist_quantiles,
+        hist_quantiles_from_counts,
+    )
+    from mine_database_spark.streaming.windows import stream_hist_counts
+
+    vals = list(range(200)) + [10_000, 20_000, 40_000]
+    src = tmp_path / "hist_src"
+    src.mkdir()
+    (src / "d.csv").write_text("".join(f"{v}\n" for v in vals))
+    stream = spark.readStream.schema("v long").csv(str(src))
+    q = (
+        stream_hist_counts(stream, "v")
+        .writeStream.format("memory")
+        .queryName("hist_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish in 120s"
+    stream_regs = spark.sql("select * from hist_stream_test")
+    got = {r["bin"]: r["n"] for r in stream_regs.collect()}
+    batch_df = spark.createDataFrame([(v,) for v in vals], "v long")
+    batch = {r["bin"]: r["n"] for r in hist_bin_counts(batch_df, "v").collect()}
+    assert got == batch and len(got) > 2
+    # the selection half accepts the streamed registers verbatim
+    from_stream = sorted(
+        tuple(r) for r in hist_quantiles_from_counts(stream_regs).collect()
+    )
+    from_batch = sorted(tuple(r) for r in hist_quantiles(batch_df, "v").collect())
+    assert from_stream == from_batch
+
+
 def test_zipf_audit_perfect_zipf_corpus(spark):
     """Counts 12/6/4/3 = 12/rank give an EXACT ln-ln line: slope -1, r2 1."""
     from mine_database_spark.operators.quality import zipf_audit

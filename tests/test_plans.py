@@ -335,6 +335,7 @@ def test_plan_shape_queries_invariant_under_aqe_stress(spark, sf_smoke):
         "span_scrub",
         "segment_dedup",
         "mass_range_join_bucketed",
+        "shard_balance",  # rides token_shards' prefix-sum exchange reuse
     ]
     stress = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
