@@ -904,6 +904,53 @@ def incremental_dedup(
     )
 
 
+def keep_best_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection over a near-dup pair graph: docs
+    connected by `pairs` (a_id, b_id) collapse to components
+    (graph.connected_components) and each component keeps its HIGHEST-
+    `score_col` member (ties by min id) — "keep the most complete copy",
+    the production replacement for min-id survivorship (the min-id rule
+    keeps whatever happened to be crawled first; the best-copy rule keeps
+    the longest/cleanest/highest-classifier-score variant). Docs in no
+    pair survive as their own singleton component.
+
+    Returns (id_col, component, score, is_survivor) for EVERY input doc —
+    the keep-list is `where(is_survivor)`, the drop audit is the rest.
+
+    Scale: components come from the fixed-round CC peel; survivor pick is
+    one row_number window per component (shuffle on component, the same
+    key the CC output already carries); score stays whatever scan-only
+    signal the caller computed — no second corpus pass.
+    """
+    from mine_database_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs)
+    scored = docs.select(
+        F.col(id_col).alias("__id"), F.col(score_col).alias("score")
+    )
+    joined = scored.join(
+        cc, scored["__id"] == cc["id"], "left"
+    ).select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("component"), F.col("__id")).alias("component"),
+        "score",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return joined.select(
+        id_col,
+        "component",
+        "score",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
 def text_knn(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1010,6 +1010,44 @@ SELECT src AS doc_id, least(src, MIN(dst)) AS component FROM reach GROUP BY src
 )
 
 
+def q_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship (dedup.keep_best_dedup): minhash
+    LSH pairs → connected components → each cluster keeps its LONGEST
+    member (n_chars score, ties by min id) instead of the min id — 'keep
+    the most complete copy'. Singletons survive as themselves. Oracle =
+    the dup_clusters recursive-CTE closure + the same window pick."""
+    from mine_database_spark.operators.dedup import keep_best_dedup
+
+    (d,) = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(d, k=5, num_hashes=16, rows_per_band=4)
+    return keep_best_dedup(d, pairs, score_col="n_chars")
+
+
+_Q_KEEP_BEST_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_SQL.format(k=5, km1=4) + "," + _MINHASH_CTES_SQL + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sym AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+cc AS (SELECT src AS doc_id, least(src, MIN(dst)) AS component FROM reach GROUP BY src),
+joined AS (
+  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
+         d.n_chars AS score
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+)
+SELECT doc_id, component, score,
+       row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id) = 1 AS is_survivor
+FROM joined
+"""
+)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(d, k=2, threshold=0.2, storage_level=StorageLevel.MEMORY_AND_DISK)
@@ -4830,6 +4868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift": q_embedding_drift,
     "shard_balance": q_shard_balance,
     "text_knn": q_text_knn,
+    "keep_best_dedup": q_keep_best_dedup,
     # code paths touched in round 12 (k_core hint-free peel;
     # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
     "triangle_count": q_triangle_count,
@@ -4959,6 +4998,7 @@ ORACLES: dict[str, str] = {
     "embedding_drift": _Q_EMBEDDING_DRIFT_SQL,
     "shard_balance": _Q_SHARD_BALANCE_SQL,
     "text_knn": _Q_TEXT_KNN_SQL,
+    "keep_best_dedup": _Q_KEEP_BEST_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

@@ -3215,6 +3215,28 @@ def test_triangle_count_deg_matches_id_and_caps_hub_wedges(spark):
     assert got[100]["triangles"] == 1 and got[100]["clustering_coeff"] == 1.0
 
 
+def test_keep_best_dedup_planted_clusters(spark):
+    """Cluster {1,2,3} keeps the longest member (2), NOT the min id; the
+    score tie in cluster {10,11} breaks to the min id; singleton 20
+    survives as its own component."""
+    from mine_database_spark.operators.dedup import keep_best_dedup
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 40), (11, 40), (20, 10)],
+        "doc_id long, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    got = {r["doc_id"]: r for r in
+           keep_best_dedup(docs, pairs, score_col="n_chars").collect()}
+    assert len(got) == 6
+    assert {d for d, r in got.items() if r["is_survivor"]} == {2, 10, 20}
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"] == 1
+    assert got[10]["component"] == got[11]["component"] == 10
+    assert got[20]["component"] == 20 and got[20]["is_survivor"]
+
+
 def test_text_knn_planted_neighbors(spark):
     """A/B share most bigrams, A/C share fewer; D is disjoint: A's rank-1
     neighbor is B (symmetric from B's side), C appears at rank 2, D never
