@@ -477,6 +477,13 @@ def triangle_count_deg(
     `triangle_count`. `storage_level` persists the ORIENTED edge set
     (feeds the two wedge sides + the closing join); handle exposed as
     `out.persisted_edges`.
+
+    Measured at sf0.1 (co-purchase graph, isolated steady-state, quiet
+    machine): 7.3s median vs the id form's 6.9s — the bench graph's
+    degree distribution is near-uniform (~90 everywhere), so the two
+    orientation joins cost more than the wedge reduction saves there;
+    the planted-hub pytest shows the 1226→1 wedge collapse this form
+    exists for. Pick by `wedge_volume` on a sample, as documented.
     """
     canon = _canon_edges(edges, src_col, dst_col)
     o = _degree_oriented(canon)
