@@ -499,9 +499,10 @@ def token_pmi(
     co-occurrences are noise and dropped. All COUNTS are exact integers;
     the PMI ratio is computed in double domain — each count is cast to
     double BEFORE multiplying, so n_pair·n_docs and c_a·c_b never touch
-    bigint multiplication (which wraps silently past 2^63 under non-ANSI
-    Spark; double products of exact counts are themselves exact up to
-    2^53 and merely rounded above — harmless inside ln, rounded 6).
+    bigint multiplication (which fails the job under ANSI mode — Spark
+    4's default — and wraps silently under legacy non-ANSI; double
+    products of exact counts are themselves exact up to 2^53 and merely
+    rounded above — harmless inside ln, rounded 6).
     Returns (tok_a, tok_b, n_pair, pmi, rank), top_k by (pmi desc, toks).
 
     Scale: one (doc, tok) distinct scan; the vocabulary is a top-N
@@ -531,7 +532,8 @@ def token_pmi(
     )
     ca = vocab.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
     cb = vocab.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
-    # cast-then-multiply: bigint·bigint wraps silently past 2^63 (non-ANSI)
+    # cast-then-multiply: bigint·bigint past 2^63 errors under ANSI
+    # (Spark 4 default) and wraps silently under legacy mode
     pmi = F.round(
         F.log(
             (F.col("n_pair").cast("double") * F.col("n_docs").cast("double"))
