@@ -202,7 +202,9 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     materializes (similarity.collect_pq_codebook) — and k_core, whose
     per-round eager checkpoints ARE the peel (a lazy 6-round chain
     multiplies the logical plan, the round-9 explosion; like
-    dup_clusters, the iteration must run to define the result)."""
+    dup_clusters, the iteration must run to define the result).
+    keep_best_dedup composes dup_clusters' CC iteration and inherits its
+    exemption for the same reason."""
     from mine_database_spark.session import load_tables
     from mine_database_spark.queries.registry import QUERIES
 
@@ -210,7 +212,8 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     st = spark.sparkContext.statusTracker()
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
-        if name in ("dup_clusters", "ann_pq_topk", "ann_pq_rescored", "ann_ivf_pq", "k_core"):
+        if name in ("dup_clusters", "keep_best_dedup", "ann_pq_topk",
+                    "ann_pq_rescored", "ann_ivf_pq", "k_core"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
