@@ -554,6 +554,73 @@ def token_pmi(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    snapshots of an integer metric (doc length, token count, …):
+    D = max over values v of |F_a(v) − F_b(v)| — the distribution-shape
+    shift monitor that complements token_drift (vocabulary) and
+    embedding_drift (topic geometry): a crawl that suddenly returns
+    truncated pages moves D long before any mean does.
+
+    Exactness: the maximization runs entirely in integers — the
+    candidate at each value is |cum_a·n_b − cum_b·n_a| (cross-multiplied
+    empirical CDFs share the denominator n_a·n_b), so the argmax is
+    order-independent and engine-exact; the single float division
+    happens once on the winning numerator, rounded 6. Ties on D break to
+    the SMALLEST value. Returns ONE row (n_a, n_b, d_stat, at_value).
+
+    Scale: one value-histogram aggregate per snapshot, then a cumulative
+    window over the O(distinct values) merged histogram — for bounded
+    integer metrics (lengths, counts) that is thousands of rows at any
+    corpus size, so the global window is a post-aggregation walk, never
+    a corpus sort. Overflow bound: cum·n < 2^63 ⇒ fine to ~3·10⁹ rows
+    per snapshot; past that, pre-divide the counts.
+    """
+    v = F.col(col).cast("bigint")
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(v.alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    zero = F.lit(0).cast("bigint")
+    merged = (
+        hist(df_a, "ca").join(hist(df_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", zero).alias("ca"),
+            F.coalesce("cb", zero).alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wtot).alias("n_a"),
+        F.sum("cb").over(wtot).alias("n_b"),
+    )
+    num = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    scored = cum.select("v", "n_a", "n_b", num.alias("num"))
+    best = scored.orderBy(F.desc("num"), F.asc("v")).limit(1)
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("num") / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("d_stat"),
+        F.col("v").alias("at_value"),
+    )
+
+
 def token_drift(
     docs_a: DataFrame,
     docs_b: DataFrame,

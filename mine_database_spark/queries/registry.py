@@ -4408,6 +4408,54 @@ SELECT label, rank, vec_id, score FROM r WHERE rank <= 3
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic on document length between the even- and
+    odd-doc_id snapshot halves (quality.ks_drift) — the distribution-
+    shape drift monitor; the argmax runs in exact cross-multiplied
+    integers, one float division on the winner."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.ks_drift(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    )
+
+
+_Q_KS_DRIFT_SQL = """
+WITH ha AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS ca
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+hb AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+m AS (
+  SELECT coalesce(ha.v, hb.v) AS v,
+         coalesce(ca, CAST(0 AS BIGINT)) AS ca,
+         coalesce(cb, CAST(0 AS BIGINT)) AS cb
+  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v
+),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(ca) OVER () AS n_a,
+         SUM(cb) OVER () AS n_b
+  FROM m
+),
+best AS (
+  SELECT v, n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS num
+  FROM cum ORDER BY num DESC, v LIMIT 1
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(num / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat,
+       v AS at_value
+FROM best
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid drift between the even-vec_id and odd-vec_id
     snapshot halves (similarity.embedding_drift) — the embedding-space
@@ -4869,6 +4917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_balance": q_shard_balance,
     "text_knn": q_text_knn,
     "keep_best_dedup": q_keep_best_dedup,
+    "ks_drift": q_ks_drift,
     # code paths touched in round 12 (k_core hint-free peel;
     # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
     "triangle_count": q_triangle_count,
@@ -4999,6 +5048,7 @@ ORACLES: dict[str, str] = {
     "shard_balance": _Q_SHARD_BALANCE_SQL,
     "text_knn": _Q_TEXT_KNN_SQL,
     "keep_best_dedup": _Q_KEEP_BEST_SQL,
+    "ks_drift": _Q_KS_DRIFT_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

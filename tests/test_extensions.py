@@ -3215,6 +3215,22 @@ def test_triangle_count_deg_matches_id_and_caps_hub_wedges(spark):
     assert got[100]["triangles"] == 1 and got[100]["clustering_coeff"] == 1.0
 
 
+def test_ks_drift_planted_samples(spark):
+    """Hand-computed two-sample KS: shifted samples give D=0.5 with the
+    tie broken to the smallest value; identical samples give D=0;
+    duplicate-heavy samples give the exact 2/3."""
+    from mine_database_spark.operators.quality import ks_drift
+
+    mk = lambda vals: spark.createDataFrame([(v,) for v in vals], "x long")
+    r = ks_drift(mk([1, 2, 3, 4]), mk([3, 4, 5, 6]), "x").collect()[0]
+    # |F_a-F_b| hits 0.5 at v=2, 3, and 4 — smallest value wins the tie
+    assert (r["n_a"], r["n_b"], r["d_stat"], r["at_value"]) == (4, 4, 0.5, 2)
+    r0 = ks_drift(mk([7, 8, 9]), mk([7, 8, 9]), "x").collect()[0]
+    assert r0["d_stat"] == 0.0
+    r3 = ks_drift(mk([1, 1, 2]), mk([2]), "x").collect()[0]
+    assert (r3["d_stat"], r3["at_value"]) == (round(2 / 3, 6), 1)
+
+
 def test_keep_best_dedup_planted_clusters(spark):
     """Cluster {1,2,3} keeps the longest member (2), NOT the min id; the
     score tie in cluster {10,11} breaks to the min id; singleton 20
