@@ -251,6 +251,18 @@ def run(
         ).collect()
     }
     counts["audit_max_p99_chars_bin_hi"] = max(hq.values()) if hq else 0
+    # distribution-SHAPE shift the pipeline itself introduced: two-sample
+    # KS between the raw input's and the shipped survivors' length
+    # distributions — a D near 1 means shaping gutted a length band
+    # (e.g. a quality threshold silently dropping everything short),
+    # which the per-source quantiles above can mask
+    from mine_database_spark.operators.quality import ks_drift
+
+    raw_lens = spark.read.parquet(docs_path).select(
+        F.length("text").alias("n_chars")
+    )
+    ks = ks_drift(raw_lens, audit_src.select("n_chars"), "n_chars").collect()[0]
+    counts["audit_length_ks_vs_input"] = ks["d_stat"]
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["out_dir"] = out_dir
     # localCheckpoint blocks are dropped when their RDDs are GC'd; no

@@ -46,3 +46,7 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
     assert 0 < counts["audit_min_trigram_diversity"] <= 1.0
     assert counts["audit_max_top_share"] > 0
     assert counts["audit_max_p99_chars_bin_hi"] > 0
+    # the KS length-shift gate ran: chunking rewrites every length, so
+    # the shipped distribution must differ from the input (D > 0), and D
+    # is a valid statistic (<= 1)
+    assert 0 < counts["audit_length_ks_vs_input"] <= 1.0
