@@ -4963,6 +4963,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_texts": q_packed_texts,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
+    # ------------- gate boundary: entries below are the tail -------------
+    # r10-green rows that didn't fit (first in line for r13):
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -4971,8 +4973,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "pagerank": q_pagerank,
     "bloom_decontaminate": q_bloom_decontaminate,
-    # ------------- gate boundary: entries below are the tail -------------
-    # r10-green rows that didn't fit (first in line for r13):
     "cms_token_freq": q_cms_token_freq,
     "degree_distribution": q_degree_distribution,
     "blocklist_filter": q_blocklist_filter,
