@@ -438,7 +438,10 @@ def ngram_diversity_hll(
     also computes the exact countDistinct and reports rel_err so the
     estimate is accuracy-gated in the same result; `with_exact=False` is
     the production constant-memory form: (group, total_ngrams,
-    est_distinct, diversity_est) only, nothing O(vocab) anywhere.
+    est_distinct, diversity_est) only, nothing O(vocab) anywhere, and
+    ONE corpus scan — the register aggregation carries a per-bucket
+    count, so the total is Σ bucket counts from the same pass (pinned
+    equal to the audit form's columns in pytest).
     Determinism: the HLL harmonic sum stays integer (see hll_estimate),
     so est_distinct is bit-reproducible across engines and partitionings.
     """
@@ -455,10 +458,25 @@ def ngram_diversity_hll(
         "diversity_est"
     )
     if not with_exact:
-        total = grams.groupBy("grp").agg(
-            F.count(F.lit(1)).cast("bigint").alias("total_ngrams")
+        # single-scan production form: fold the register derivation into
+        # ONE (grp, bucket) aggregation carrying a per-bucket count, so
+        # total_ngrams = Σ bucket counts and the estimate both come from
+        # the same corpus pass (the audit form below necessarily pays a
+        # second pass for the exact countDistinct)
+        from mine_database_spark.operators.sketches import hll_bucket_rho
+
+        b, r = hll_bucket_rho(F.col("g"))
+        regs = (
+            grams.select("grp", b.alias("bucket"), r.alias("rho"))
+            .groupBy("grp", "bucket")
+            .agg(
+                F.max("rho").alias("m_j"),
+                F.count(F.lit(1)).cast("bigint").alias("__bn"),
+            )
         )
-        return total.join(est, "grp").select(
+        total = regs.groupBy("grp").agg(F.sum("__bn").alias("total_ngrams"))
+        est1 = hll_estimate(regs.select("grp", "bucket", "m_j"), ["grp"])
+        return total.join(est1, "grp").select(
             F.col("grp").alias(group_col), "total_ngrams", "est_distinct", div_est
         )
     agg = grams.groupBy("grp").agg(

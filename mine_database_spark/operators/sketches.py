@@ -121,7 +121,19 @@ def hll_registers(
     whose exact state is O(distinct values).
     """
     g = group_cols or []
-    v = F.conv(F.substring(F.md5(F.concat(F.col(col), F.lit(salt))), 1, 15), 16, 10).cast(
+    bucket, rho = hll_bucket_rho(F.col(col), salt)
+    return (
+        items.select(*g, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_bucket_rho(col, salt: str = "hll"):
+    """The (bucket, rho) expression pair behind hll_registers, exposed so
+    composed operators (ngram_diversity_hll's single-scan production
+    form) can fold the register derivation into their own aggregation."""
+    v = F.conv(F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15), 16, 10).cast(
         "bigint"
     )
     # integer shift, not double division: v is up to 2^60-1, which a
@@ -133,11 +145,7 @@ def hll_registers(
     rho = F.when(rest == 0, F.lit(51)).otherwise(
         F.lit(51) - F.length(F.bin(rest))
     ).cast("int")
-    return (
-        items.select(*g, bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy(*g, "bucket")
-        .agg(F.max("rho").alias("m_j"))
-    )
+    return bucket, rho
 
 
 def hll_estimate(
