@@ -476,7 +476,12 @@ def triangle_count_deg(
     Returns (node, degree, triangles, clustering_coeff) exactly as
     `triangle_count`. `storage_level` persists the ORIENTED edge set
     (feeds the two wedge sides + the closing join); handle exposed as
-    `out.persisted_edges`.
+    `out.persisted_edges`. The canonical set appears ~7× in the plan
+    TEXT (the orientation's degree build embeds it twice per endpoint
+    join) but is NOT persisted: measured at sf0.1, also persisting it
+    changed nothing (7.31s vs 7.27s median isolated) — AQE's
+    ReusedExchange already dedupes the canon build's exchanges within
+    one execution, and an extra pinned table is pure storage pressure.
 
     Measured at sf0.1 (co-purchase graph, isolated steady-state, quiet
     machine): 7.3s median vs the id form's 6.9s — the bench graph's
