@@ -3215,6 +3215,121 @@ def test_triangle_count_deg_matches_id_and_caps_hub_wedges(spark):
     assert got[100]["triangles"] == 1 and got[100]["clustering_coeff"] == 1.0
 
 
+def test_ks_drift_matches_python_twin_random_sweep(spark):
+    """20 seeded random sample pairs: the Spark KS must equal a
+    pure-python exact-integer twin (same cross-multiplied argmax, same
+    smallest-value tie-break), and D must be symmetric in the inputs."""
+    import random
+
+    from mine_database_spark.operators.quality import ks_drift
+
+    def ks_py(a, b):
+        import collections
+        ca, cb = collections.Counter(a), collections.Counter(b)
+        na, nb = len(a), len(b)
+        cum_a = cum_b = 0
+        best = (-1, None)
+        for v in sorted(set(a) | set(b)):
+            cum_a += ca.get(v, 0)
+            cum_b += cb.get(v, 0)
+            num = abs(cum_a * nb - cum_b * na)
+            if num > best[0]:
+                best = (num, v)
+        return round(best[0] / (na * nb), 6), best[1]
+
+    rnd = random.Random(12)
+    for _ in range(20):
+        a = [rnd.randrange(0, 40) for _ in range(rnd.randrange(1, 60))]
+        b = [rnd.randrange(0, 40) for _ in range(rnd.randrange(1, 60))]
+        da = spark.createDataFrame([(v,) for v in a], "x long")
+        db = spark.createDataFrame([(v,) for v in b], "x long")
+        r = ks_drift(da, db, "x").collect()[0]
+        want_d, want_v = ks_py(a, b)
+        assert (r["d_stat"], r["at_value"]) == (want_d, want_v), (a, b)
+        assert 0.0 <= r["d_stat"] <= 1.0
+        # symmetry: |F_a - F_b| is symmetric, so D and the argmax agree
+        s = ks_drift(db, da, "x").collect()[0]
+        assert (s["d_stat"], s["at_value"]) == (want_d, want_v)
+
+
+def test_collapse_repeats_matches_python_twin_random_sweep(spark):
+    """200 seeded random token rows in ONE DataFrame: the Spark scrub
+    must equal the pure-python take-first-of-each-run twin."""
+    import itertools
+    import random
+
+    from mine_database_spark.operators.quality import collapse_repeats
+
+    rnd = random.Random(34)
+    rows = []
+    for i in range(200):
+        toks = [rnd.choice("abcde") for _ in range(rnd.randrange(0, 25))]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in collapse_repeats(docs).collect()}
+    for i, text in rows:
+        toks = text.split()
+        kept = [k for k, _ in itertools.groupby(toks)]
+        r = got[i]
+        assert r["text"] == " ".join(kept), (i, text)
+        assert r["n_tokens"] == len(toks)
+        assert r["n_collapsed"] == len(toks) - len(kept)
+
+
+def test_adamic_adar_matches_python_twin_random_graphs(spark):
+    """8 seeded random graphs: Spark Adamic–Adar (integer-ppm sums, hub
+    cap, existing-edge exclusion) must equal a pure-python twin."""
+    import math
+    import random
+
+    from mine_database_spark.operators.graph import adamic_adar
+
+    def aa_py(edges, max_degree, exclude_existing):
+        import collections
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        scores = collections.Counter()
+        common = collections.Counter()
+        for w, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2 or (max_degree is not None and d > max_degree):
+                continue
+            ppm = math.floor(1_000_000.0 / math.log(d))
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    scores[(ns[i], ns[j])] += ppm
+                    common[(ns[i], ns[j])] += 1
+        out = {}
+        for p, ppm in scores.items():
+            if exclude_existing and p in canon:
+                continue
+            out[p] = (common[p], round(ppm / 1_000_000.0, 6))
+        return out
+
+    rnd = random.Random(56)
+    for case in range(8):
+        n = rnd.randrange(5, 14)
+        edges = list({
+            tuple(sorted(rnd.sample(range(n), 2)))
+            for _ in range(rnd.randrange(4, 22))
+        })
+        cap = rnd.choice([None, 4, 6])
+        excl = rnd.choice([True, False])
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["src"], r["dst"]): (r["common_neighbors"], r["score"])
+            for r in adamic_adar(
+                df, top_k=1000, max_degree=cap, exclude_existing=excl
+            ).collect()
+        }
+        assert got == aa_py(edges, cap, excl), (case, edges, cap, excl)
+
+
 def test_ks_drift_planted_samples(spark):
     """Hand-computed two-sample KS: shifted samples give D=0.5 with the
     tie broken to the smallest value; identical samples give D=0;
