@@ -868,6 +868,28 @@ def test_k_core_peel_round_broadcast_both_ways(spark):
     assert ("SortMergeJoin" in free) or ("ShuffledHashJoin" in free), free
 
 
+def test_embedding_drift_broadcast_joins_no_python(spark, sf_smoke):
+    """Everything after the two (group, dim) sum aggregates is O(groups)
+    rows: the sum-table join and both count joins broadcast, nothing
+    sort-merges, and the whole query stays JVM-side."""
+    plan = plan_str(QUERIES["embedding_drift"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_drift_post_agg_walk_no_python(spark, sf_smoke):
+    """Both snapshot scans fold to value-histogram partial aggregates
+    BEFORE any join; the full-outer merge and cumulative window run over
+    the O(distinct values) post-agg rows; zero Python."""
+    plan = plan_str(QUERIES["ks_drift"](spark, sf_smoke), mode="simple")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post, plan
+
+
 def test_text_knn_group_limit_no_cartesian(spark, sf_smoke):
     """The per-doc top-k is a WindowGroupLimit (partial limits map-side),
     pair generation stays the shingle equi-join — never a cartesian,
