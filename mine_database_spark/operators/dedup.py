@@ -904,6 +904,93 @@ def incremental_dedup(
     )
 
 
+def cdc_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (CDC): split each document into variable-
+    length token segments whose boundaries come from the CONTENT — a cut
+    opens after token j+k-1 whenever the k-gram starting at j hashes to
+    0 mod `divisor` — so an insertion near the top of a page shifts only
+    the segment it lands in, and every later segment re-aligns and
+    re-hashes identically. Fixed windows (segment_dedup) miss shifted
+    boilerplate entirely: one added token re-frames every window after
+    it. Expected segment length ≈ `divisor` tokens.
+
+    Returns one row per non-empty segment: all input columns except
+    `text_col`, plus (seg_idx, seg_start, seg_tokens, seg_text,
+    seg_hash) — seg_hash = md5(seg_text) is the dedup key; group on it
+    to find cross-document repeated blocks at content-aligned
+    granularity (the registered q_cdc_dedup per-source report).
+
+    Scale: pure per-row JVM array expressions (one md5 per k-gram inside
+    a single transform, no re-evaluation; slices/joins row-local) — zero
+    shuffle; dedup/reporting on seg_hash is the only exchange, and it
+    carries one row per segment, not per token.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    from mine_database_spark.functions.text import word_shingles
+
+    t = docs.withColumn("__toks", tokens(F.col(text_col))).withColumn(
+        "__grams", word_shingles(F.col("__toks"), k)
+    )
+    x = (
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+    # 0-based segment start positions: 0, plus j+1 for every flagged gram j
+    cuts = F.filter(
+        F.transform(
+            F.col("__grams"),
+            lambda g, j: F.when(x(g) % divisor == 0, j + 1).otherwise(F.lit(-1)),
+        ),
+        lambda v: v >= 0,
+    )
+    t = t.withColumn(
+        "__starts", F.concat(F.array(F.lit(0).cast("int")), cuts.cast("array<int>"))
+    )
+    n = F.size("__toks")
+    m = F.size("__starts")
+    seg = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("seg_idx"),
+            F.get(F.col("__starts"), j).alias("seg_start"),
+            (
+                F.coalesce(F.get(F.col("__starts"), j + 1), n)
+                - F.get(F.col("__starts"), j)
+            ).cast("int").alias("seg_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.get(F.col("__starts"), j) + 1,
+                    F.coalesce(F.get(F.col("__starts"), j + 1), n)
+                    - F.get(F.col("__starts"), j),
+                ),
+                " ",
+            ).alias("seg_text"),
+        ),
+    )
+    keep = [c for c in docs.columns if c != text_col]
+    return (
+        t.withColumn("__seg", F.explode(seg))
+        .where(F.col("__seg.seg_tokens") > 0)
+        .select(
+            *keep,
+            F.col("__seg.seg_idx").alias("seg_idx"),
+            F.col("__seg.seg_start").alias("seg_start"),
+            F.col("__seg.seg_tokens").alias("seg_tokens"),
+            F.col("__seg.seg_text").alias("seg_text"),
+            F.md5(F.col("__seg.seg_text")).alias("seg_hash"),
+        )
+    )
+
+
 def keep_best_dedup(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1010,6 +1010,27 @@ SELECT src AS doc_id, least(src, MIN(dst)) AS component FROM reach GROUP BY src
 )
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report (dedup.cdc_segments, k=4
+    grams, divisor 16 ≈ 16-token segments): per-source segment counts,
+    distinct segment hashes, duplicate share, mean segment length —
+    boilerplate detection at content-ALIGNED granularity (an insertion
+    shifts one segment; every later one re-hashes identically, which
+    fixed windows cannot do)."""
+    (d,) = _t(spark, sf_dir, "documents")
+    s = dd.cdc_segments(d, k=4, divisor=16)
+    nseg = F.count(F.lit(1)).cast("bigint")
+    ndis = F.countDistinct("seg_hash").cast("bigint")
+    return s.groupBy("source").agg(
+        nseg.alias("n_segments"),
+        ndis.alias("distinct_segments"),
+        F.round(F.lit(1.0) - ndis / nseg, 6).alias("dup_share"),
+        F.round(F.avg("seg_tokens"), 2).alias("avg_seg_tokens"),
+    )
+
+
+
+
 def q_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup survivorship (dedup.keep_best_dedup): minhash
     LSH pairs → connected components → each cluster keeps its LONGEST
@@ -4653,6 +4674,37 @@ FROM k GROUP BY source
 """
 
 
+_Q_CDC_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+tt AS (SELECT doc_id, source, toks, len(toks) AS n FROM t),
+pos AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, toks, n, unnest(generate_series(1, n - 3)) AS i FROM tt WHERE n >= 4)
+  WHERE ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 8))::BIGINT % 16 = 0
+),
+starts AS (
+  SELECT doc_id, 1 AS s FROM tt WHERE n >= 1
+  UNION ALL
+  SELECT doc_id, i + 1 FROM pos
+),
+seg AS (
+  SELECT doc_id, s, lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS e
+  FROM starts
+),
+segtext AS (
+  SELECT tt.source,
+         array_to_string(toks[seg.s : coalesce(seg.e - 1, n)], ' ') AS seg_text,
+         coalesce(seg.e - 1, n) - seg.s + 1 AS seg_tokens
+  FROM seg JOIN tt ON seg.doc_id = tt.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(DISTINCT md5(seg_text)) AS BIGINT) AS distinct_segments,
+       round(1.0 - CAST(COUNT(DISTINCT md5(seg_text)) AS DOUBLE) / COUNT(*), 6) AS dup_share,
+       round(AVG(seg_tokens), 2) AS avg_seg_tokens
+FROM segtext GROUP BY source
+"""
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 Adamic–Adar link predictions over the co-purchase graph
     (graph.adamic_adar): NOT-yet-connected part pairs ranked by
@@ -4918,6 +4970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_knn": q_text_knn,
     "keep_best_dedup": q_keep_best_dedup,
     "ks_drift": q_ks_drift,
+    "cdc_dedup": q_cdc_dedup,
     # code paths touched in round 12 (k_core hint-free peel;
     # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
     "triangle_count": q_triangle_count,
@@ -5049,6 +5102,7 @@ ORACLES: dict[str, str] = {
     "text_knn": _Q_TEXT_KNN_SQL,
     "keep_best_dedup": _Q_KEEP_BEST_SQL,
     "ks_drift": _Q_KS_DRIFT_SQL,
+    "cdc_dedup": _Q_CDC_DEDUP_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

@@ -3346,6 +3346,46 @@ def test_ks_drift_planted_samples(spark):
     assert (r3["d_stat"], r3["at_value"]) == (round(2 / 3, 6), 1)
 
 
+def test_cdc_segments_realignment_and_reconstruction(spark):
+    """Content-defined boundaries must RE-ALIGN after an insertion: a
+    3-token prefix added to a 36-token doc leaves every original segment
+    hash intact (fixed windows would share none). Segments reconstruct
+    the normalized text exactly; empty docs emit nothing; sub-k docs
+    emit one whole-doc segment."""
+    from mine_database_spark.operators.dedup import cdc_segments
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zzz yyy xxx " + base), (3, ""), (4, "a b")],
+        "doc_id long, text string",
+    )
+    rows = cdc_segments(docs, k=3, divisor=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    h1 = {r["seg_hash"] for r in by_doc[1]}
+    h2 = {r["seg_hash"] for r in by_doc[2]}
+    assert h1 <= h2, "shifted doc must re-align to every original segment"
+    assert 3 not in by_doc  # empty doc emits nothing
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["seg_text"] == "a b"
+    segs1 = sorted(by_doc[1], key=lambda r: r["seg_idx"])
+    assert " ".join(s["seg_text"] for s in segs1) == base
+    assert sum(s["seg_tokens"] for s in segs1) == len(base.split())
+    # contiguous coverage: each segment starts where the previous ended
+    pos = 0
+    for s in segs1:
+        assert s["seg_start"] == pos
+        pos += s["seg_tokens"]
+    # determinism across invocations
+    again = {(r["doc_id"], r["seg_idx"]): r["seg_hash"]
+             for r in cdc_segments(docs, k=3, divisor=4).collect()}
+    assert again == {(r["doc_id"], r["seg_idx"]): r["seg_hash"] for r in rows}
+
+
 def test_keep_best_dedup_planted_clusters(spark):
     """Cluster {1,2,3} keeps the longest member (2), NOT the min id; the
     score tie in cluster {10,11} breaks to the min id; singleton 20
