@@ -89,14 +89,17 @@ def main() -> None:  # pragma: no cover - regeneration helper
 
     hist = load_green_history(repo_root())
     order = gate_order(list(QUERIES), hist, GATE_TOUCHED)
-    for i, n in enumerate(order):
-        tag = (
-            "NEW"
-            if n not in hist
-            else ("TOUCHED" if n in GATE_TOUCHED else f"r{hist[n]}")
-        )
-        gate = "gate" if i < 50 else "tail"
-        print(f"{i:3d} {gate} {tag:>8} \"{n}\": q_{n},")
+    try:
+        for i, n in enumerate(order):
+            tag = (
+                "NEW"
+                if n not in hist
+                else ("TOUCHED" if n in GATE_TOUCHED else f"r{hist[n]}")
+            )
+            gate = "gate" if i < 50 else "tail"
+            print(f"{i:3d} {gate} {tag:>8} \"{n}\": q_{n},")
+    except BrokenPipeError:  # `| head` closing the pipe is fine
+        pass
 
 
 if __name__ == "__main__":  # pragma: no cover
