@@ -981,6 +981,49 @@ FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc
 )
 
 
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimator audit (dedup.minhash_jaccard_estimate):
+    per LSH candidate pair, the 16-hash signature-agreement estimate
+    alongside the exact shingle Jaccard and abs_err — the measured
+    accuracy of the sketch the banding decision rides on."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.minhash_jaccard_estimate(d, k=5, num_hashes=16, rows_per_band=4)
+
+
+_Q_MINHASH_EST_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=5, km1=4) + "," + _MINHASH_CTES_SQL + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT p.a_id, p.b_id,
+         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS INT) AS n_agree
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.a_id
+  JOIN mh mb ON mb.doc_id = p.b_id AND mb.i = ma.i
+  GROUP BY 1, 2
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT a_id, b_id, round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+  FROM inter JOIN sizes na ON inter.a_id = na.doc_id JOIN sizes nb ON inter.b_id = nb.doc_id
+)
+SELECT agree.a_id, agree.b_id, n_agree,
+       round(n_agree / 16.0, 6) AS est_jaccard,
+       coalesce(ex.jaccard, 0.0) AS jaccard,
+       round(abs(round(n_agree / 16.0, 6) - coalesce(ex.jaccard, 0.0)), 6) AS abs_err
+FROM agree LEFT JOIN ex ON agree.a_id = ex.a_id AND agree.b_id = ex.b_id
+"""
+)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → dedup clusters: every doc in
     a cluster labeled with the cluster's min doc_id (the survivor). The
@@ -4971,6 +5014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keep_best_dedup": q_keep_best_dedup,
     "ks_drift": q_ks_drift,
     "cdc_dedup": q_cdc_dedup,
+    "minhash_estimate": q_minhash_estimate,
     # code paths touched in round 12 (k_core hint-free peel;
     # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
     "triangle_count": q_triangle_count,
@@ -5103,6 +5147,7 @@ ORACLES: dict[str, str] = {
     "keep_best_dedup": _Q_KEEP_BEST_SQL,
     "ks_drift": _Q_KS_DRIFT_SQL,
     "cdc_dedup": _Q_CDC_DEDUP_SQL,
+    "minhash_estimate": _Q_MINHASH_EST_SQL,
     "zipf_audit": _Q_ZIPF_SQL,
     "ngram_diversity": _Q_NGRAM_DIVERSITY_SQL,
     "rate_anomaly": _Q_RATE_ANOMALY_SQL,

@@ -3346,6 +3346,39 @@ def test_ks_drift_planted_samples(spark):
     assert (r3["d_stat"], r3["at_value"]) == (round(2 / 3, 6), 1)
 
 
+def test_minhash_estimate_planted_pairs(spark):
+    """Identical docs agree on all 16 positions (est 1.0 = exact 1.0,
+    abs_err 0); a near-dup pair's estimate is n_agree/16 with exact
+    Jaccard attached and |err| within the 16-hash bound; the est-only
+    form matches the audit form's shared columns."""
+    from mine_database_spark.operators.dedup import minhash_jaccard_estimate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew quartz elixirs beside the frozen river bank every morning"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra trailing words here")],
+        "doc_id long, text string",
+    )
+    rows = {(r["a_id"], r["b_id"]): r
+            for r in minhash_jaccard_estimate(docs).collect()}
+    ident = rows[(1, 2)]
+    assert (ident["n_agree"], ident["est_jaccard"]) == (16, 1.0)
+    assert ident["jaccard"] == 1.0 and ident["abs_err"] == 0.0
+    for r in rows.values():
+        assert r["est_jaccard"] == round(r["n_agree"] / 16.0, 6)
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["abs_err"] == round(abs(r["est_jaccard"] - r["jaccard"]), 6)
+    if (1, 3) in rows:  # near-dup: estimator within the 16-hash error bound
+        assert rows[(1, 3)]["abs_err"] <= 0.45
+    est_only = {(r["a_id"], r["b_id"]): r
+                for r in minhash_jaccard_estimate(docs, with_exact=False).collect()}
+    assert set(est_only) == set(rows)
+    for p, r in est_only.items():
+        assert (r["n_agree"], r["est_jaccard"]) == (rows[p]["n_agree"], rows[p]["est_jaccard"])
+
+
 def test_cdc_segments_realignment_and_reconstruction(spark):
     """Content-defined boundaries must RE-ALIGN after an insertion: a
     3-token prefix added to a 36-token doc leaves every original segment
