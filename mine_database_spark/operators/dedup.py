@@ -1468,3 +1468,169 @@ def bloom_decontaminate(
     return per_doc.select(
         id_col, "n_grams", "n_flagged", (F.col("n_flagged") > 0).alias("contaminated")
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 20,
+    prefix_len: int = 16,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """Character-level near-duplicate pairs by bounded Levenshtein
+    distance — the edit-distance member of the dedup family (MinHash /
+    SimHash / winnowing are token- or shingle-level; this one catches
+    the "same text, a handful of character edits" copy that token-set
+    similarity over-credits and byte-exact dedup misses entirely).
+
+    Blocking (never all-pairs): candidates share the lowercased first
+    `prefix_len` chars of the whitespace-collapsed text AND differ in
+    length by at most `max_dist` (|len(a)-len(b)| is a Levenshtein lower
+    bound, so the length prune is lossless GIVEN the block). The prefix
+    block is a declared recall heuristic exactly like LSH banding: an
+    edit inside the first `prefix_len` characters moves the doc to a
+    different block. `max_block` drops blocks larger than the cap — the
+    boilerplate-prefix guard (a shared header shared by f docs would
+    emit C(f,2) pairs), same convention as ngram_jaccard's df cap.
+
+    The distance itself is JVM-side bounded levenshtein(a, b, threshold)
+    — O(len*max_dist) per pair, not O(len^2); pairs above the bound are
+    discarded by the engine without completing the DP table.
+
+    Returns (id_a, id_b, dist) with id_a < id_b and 0 <= dist <=
+    max_dist (exact-dup pairs appear with dist 0).
+
+    Scale: one scan to normalize + key, one equi-join on the block key
+    (hash-partitioned; no broadcast of anything corpus-sized), per-pair
+    bounded DP. Block sizes are corpus-property-bounded by `max_block`,
+    so the join's per-key fan-out is capped at C(max_block, 2).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        norm.alias("t"),
+        F.substring(F.lower(norm), 1, prefix_len).alias("bk"),
+        F.length(norm).alias("n"),
+    )
+    if max_block is not None:
+        ok = (
+            keyed.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") <= max_block)
+            .select("bk")
+        )
+        keyed = keyed.join(ok, "bk")
+    a = keyed.select(
+        F.col("bk"),
+        F.col("id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = keyed.select(
+        F.col("bk"),
+        F.col("id").alias("id_b"),
+        F.col("t").alias("t_b"),
+        F.col("n").alias("n_b"),
+    )
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"), max_dist)
+    return (
+        a.join(b, "bk")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("n_a") - F.col("n_b")) <= max_dist)
+        )
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
+
+def snm_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood dedup candidates (Hernández–Stolfo SNM): sort
+    the corpus once by a normalized key, then compare each record only
+    to its `window - 1` successors in sort order — the classic record-
+    linkage blocking family, complementary to LSH (LSH blocks by CONTENT
+    collision, SNM by sort ADJACENCY, so it catches near-dups whose
+    shared prefix sorts them together even when no shingle band collides).
+
+    The sort key is the lowercased whitespace-collapsed text (ties broken
+    by id); the global order is materialized as distributed_rank — the
+    two-level prefix sum from packing.py, one RANGE shuffle, never a
+    single-partition row_number. Rank adjacency r2 - r1 in [1, window-1]
+    is turned into an equi-join: each row lands in bucket floor(rank /
+    window) and probes (bucket, bucket + 1), so a row meets at most
+    2*window candidates and nothing is ever all-pairs.
+
+    Candidate pairs are verified with exact distinct-token Jaccard
+    (array_intersect / union of token sets — integer set sizes, one
+    division) and kept at >= min_jaccard.
+
+    Returns (id_a, id_b, rank_gap, jaccard) with id_a/id_b in SORT-KEY
+    order (the pair is emitted as (lower rank, higher rank)).
+
+    Scale: one range shuffle for the rank, one equi-join on the window
+    bucket (fan-out <= 2 rows per record), token-set verify on the
+    candidate set only. Window w trades recall for cost linearly — the
+    production multi-pass variant re-runs with a second key (e.g.
+    reversed text) and unions pairs.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from mine_database_spark.operators.packing import distributed_rank
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        norm.alias("k"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    )
+    ranked = distributed_rank(keyed, ["k", "id"], rank_col="r")
+    # each rank probes its own bucket and the next: covers every gap in
+    # [1, window-1] exactly once (r2 in (b, b+1) buckets <=> r2 - r1 < 2w)
+    left = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("r").alias("r_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("r") / window),
+                F.floor(F.col("r") / window) + 1,
+            )
+        ).alias("bk"),
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("r").alias("r_b"),
+        F.floor(F.col("r") / window).alias("bk"),
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    uni = (
+        F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    )
+    return (
+        left.join(right, "bk")
+        .where(
+            (F.col("r_b") > F.col("r_a"))
+            & (F.col("r_b") - F.col("r_a") < window)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("r_b") - F.col("r_a")).cast("int").alias("rank_gap"),
+            F.when(uni > 0, F.round(inter / uni, 6))
+            .otherwise(F.lit(1.0))
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

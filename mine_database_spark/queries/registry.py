@@ -4984,6 +4984,64 @@ def _kcore_sql(iters: int = 6, k: int = 2, min_w: int = 2) -> str:
 _Q_KCORE_SQL = _kcore_sql()
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by bounded Levenshtein within
+    prefix blocks (dedup.edit_distance_pairs) — the edit-distance member
+    of the dedup family: same lowercased 16-char prefix of the
+    whitespace-collapsed text, |Δlen| <= 20 (a lossless Levenshtein
+    lower-bound prune), JVM bounded levenshtein(a, b, 20)."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.edit_distance_pairs(d, max_dist=20, prefix_len=16, max_block=1000)
+
+
+_Q_EDIT_DISTANCE_SQL = """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+k AS (
+  SELECT doc_id, t, substr(lower(t), 1, 16) AS bk, len(t) AS n FROM d
+),
+ok AS (SELECT bk FROM k GROUP BY bk HAVING COUNT(*) <= 1000),
+kk AS (SELECT k.* FROM k JOIN ok USING (bk))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+FROM kk a JOIN kk b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE abs(a.n - b.n) <= 20 AND levenshtein(a.t, b.t) <= 20
+"""
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup candidates (dedup.snm_pairs): global
+    sort by the normalized text (distributed_rank — a range shuffle,
+    never a single-partition window), window-5 adjacency pairs verified
+    at distinct-token Jaccard >= 0.8 — the record-linkage blocking
+    family, complementary to LSH's content-collision blocking."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.snm_pairs(d, window=5, min_jaccard=0.8)
+
+
+_Q_SNM_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS k,
+         list_distinct({_DUCK_TOKS}) AS toks
+  FROM documents
+),
+r AS (SELECT doc_id, toks, row_number() OVER (ORDER BY k, doc_id) AS rk FROM d),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(b.rk - a.rk AS INT) AS rank_gap,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u
+  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 5
+)
+SELECT id_a, id_b, rank_gap,
+       CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END AS jaccard
+FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5004,6 +5062,8 @@ GATE_TOUCHED: tuple[str, ...] = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
     # NEW in round 12 (never driver-checked):
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "snm_pairs": q_snm_pairs,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5137,6 +5197,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "edit_distance_pairs": _Q_EDIT_DISTANCE_SQL,
+    "snm_pairs": _Q_SNM_PAIRS_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

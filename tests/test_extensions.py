@@ -3775,3 +3775,170 @@ def test_token_drift_planted_shift(spark):
     assert got["spamword"]["c_a"] == 15 and got["spamword"]["c_b"] == 0
     assert got["spamword"]["kl_term"] == round(p_spam * math.log(p_spam / q_spam), 6)
     assert got["common"]["c_a"] == 5 and got["common"]["c_b"] == 5
+
+
+def test_edit_distance_pairs_planted(spark):
+    """Planted corpus: dist-0 (whitespace-only diff), dist-1, dist-2
+    pairs inside a shared prefix block; a near-dup whose edit falls in
+    the first 16 chars lands in a DIFFERENT block and is missed (the
+    documented recall heuristic); the block cap drops oversized blocks."""
+    from mine_database_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "the quick  brown fox jumps over the lazy dog"),  # ws-only
+            (3, base[:-1]),  # one deletion at the end
+            (4, base + " xx"),  # +3 chars
+            (5, "THE quick brown fox jumps over the lazy dog"),  # prefix edit
+            (6, "zz unrelated text entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(docs, max_dist=5).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 1
+    assert got[(1, 4)] == 3
+    # doc 5 differs only by case in the first word, but the distance is
+    # case-sensitive (3 edits) and ALSO it shares the lowercased block —
+    # so it IS compared: lower('THE q...') == lower('the q...')
+    assert got[(1, 5)] == 3
+    assert not any(6 in p for p in got)
+    # block cap: cap 1 drops every block with >1 member
+    assert (
+        edit_distance_pairs(docs, max_dist=5, max_block=1).count() == 0
+    )
+
+
+def test_edit_distance_pairs_matches_python_twin_random_sweep(spark):
+    """3-seed random sweep vs an exact python Levenshtein over the same
+    blocking rule — pair set AND distances must match exactly."""
+    import random
+
+    from mine_database_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed in (7, 11, 13):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(40):
+            base = " ".join(rng.choices(words, k=rng.randint(3, 8)))
+            docs.append((i, base))
+            if rng.random() < 0.5:  # mutated near-copy
+                pos = rng.randrange(len(base))
+                docs.append((100 + i, base[:pos] + "x" + base[pos + 1 :]))
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(sdf, max_dist=6, prefix_len=8).collect()
+        }
+        import re
+
+        norm = {i: re.sub(r"\s+", " ", t).strip() for i, t in docs}
+        exp = {}
+        ids = sorted(norm)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if norm[a][:8].lower() != norm[b][:8].lower():
+                    continue
+                if abs(len(norm[a]) - len(norm[b])) > 6:
+                    continue
+                d = lev(norm[a], norm[b])
+                if d <= 6:
+                    exp[(a, b)] = d
+        assert got == exp, (seed, got, exp)
+
+
+def test_snm_pairs_planted_window_and_bucket_boundary(spark):
+    """Crafted sort order: window-3 adjacency must pair across the
+    rank-bucket boundary (the explode-to-two-buckets trick), rank_gap is
+    exact, and the jaccard filter verifies candidates."""
+    from mine_database_spark.operators.dedup import snm_pairs
+
+    # sort keys are the texts themselves: a0 < a1 < a2 < a3 < b0 < b1
+    docs = spark.createDataFrame(
+        [
+            (10, "aaa one two three"),
+            (11, "aab one two three"),
+            (12, "aac one two three"),
+            (13, "aad nine eight seven"),
+            (14, "bbb one two three"),
+            (15, "bbc zzz yyy xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["rank_gap"], r["jaccard"])
+        for r in snm_pairs(docs, window=3, min_jaccard=0.0).collect()
+    }
+    # every rank pair with gap 1 or 2 appears exactly once, incl. across
+    # the floor(rank/3) boundary (ranks 3-4, 4-5 etc.)
+    expected_gaps = {
+        (10, 11): 1, (10, 12): 2, (11, 12): 1, (11, 13): 2,
+        (12, 13): 1, (12, 14): 2, (13, 14): 1, (13, 15): 2, (14, 15): 1,
+    }
+    assert {k: v[0] for k, v in got.items()} == expected_gaps
+    # token jaccard: docs 10/11 share {one,two,three}, differ in head tok
+    assert got[(10, 11)][1] == round(3 / 5, 6)
+    # the threshold drops weak pairs but keeps strong ones
+    kept = {
+        (r["id_a"], r["id_b"])
+        for r in snm_pairs(docs, window=3, min_jaccard=0.5).collect()
+    }
+    assert (10, 11) in kept and (13, 15) not in kept
+
+
+def test_snm_pairs_matches_python_twin_random_sweep(spark):
+    """3-seed random sweep vs a python twin of the full SNM rule (sort by
+    normalized key, window-w rank pairs, distinct-token jaccard)."""
+    import random
+    import re
+
+    from mine_database_spark.operators.dedup import snm_pairs
+
+    words = ["red", "green", "blue", "cyan", "teal", "plum", "gold"]
+    for seed in (3, 5, 9):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choices(words, k=rng.randint(2, 6))))
+            for i in range(30)
+        ]
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        w, thr = 4, 0.4
+        got = {
+            (r["id_a"], r["id_b"]): (r["rank_gap"], r["jaccard"])
+            for r in snm_pairs(sdf, window=w, min_jaccard=thr).collect()
+        }
+        ordered = sorted(
+            docs, key=lambda d: (re.sub(r"\s+", " ", d[1]).strip().lower(), d[0])
+        )
+        exp = {}
+        for x in range(len(ordered)):
+            for y in range(x + 1, min(x + w, len(ordered))):
+                ia, ta = ordered[x]
+                ib, tb = ordered[y]
+                sa, sb = set(ta.split()), set(tb.split())
+                u = len(sa | sb)
+                j = round(len(sa & sb) / u, 6) if u else 1.0
+                if j >= thr:
+                    exp[(ia, ib)] = (y - x, j)
+        assert got == exp, (seed, got, exp)

@@ -932,3 +932,25 @@ def test_token_drift_sort_limits_no_corpus_join(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_edit_distance_pairs_block_equijoin_no_cartesian(spark, sf_smoke):
+    """Candidate generation is an equi-join on the prefix block key —
+    never a cartesian, never Python; the bounded levenshtein is a JVM
+    expression. The block-cap pre-aggregate keeps a partial stage."""
+    plan = plan_str(QUERIES["edit_distance_pairs"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_snm_pairs_range_rank_bucket_equijoin(spark, sf_smoke):
+    """The global sort order materializes as distributed_rank's RANGE
+    shuffle (never a single-partition global window over the corpus);
+    adjacency pairing is an equi-join on the window bucket; zero Python."""
+    plan = plan_str(QUERIES["snm_pairs"](spark, sf_smoke), mode="simple")
+    assert "Exchange rangepartitioning" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
