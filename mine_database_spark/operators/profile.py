@@ -1,0 +1,97 @@
+"""Single-scan table profiling — the data-quality census a pipeline runs
+before trusting a new source (the Deequ/profiling tier of a training-data
+stack): per column, row count, null count, distinct count, and typed
+min/max, computed in ONE pass over the table.
+
+Spark-first shape: every column's metrics are expressions inside a single
+`df.agg(...)` — one scan, one (empty-key) aggregate whose partials combine
+map-side; the per-column result row then unpivots to one output row per
+column with an `explode(array(struct(...)))`, so nothing ever collects to
+the driver and the output is an ordinary DataFrame a gate can join or
+assert on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile `columns` (default: all) of `df` in one scan.
+
+    Returns one row per column:
+      (col_name, dtype, n_rows, n_nulls, n_distinct, min_num, max_num,
+       min_str, max_str)
+    — numeric columns carry min/max as DOUBLE in min_num/max_num (exact
+    for integers below 2^53) with the *_str pair NULL; everything else
+    (string/boolean/date/timestamp) renders min/max as strings with the
+    *_num pair NULL. Nulls are excluded from n_distinct and min/max,
+    counted in n_nulls (SQL semantics on both counts).
+
+    `exact_distinct=True` uses exact count(DISTINCT) — O(column
+    cardinality) aggregation state per column, the audit form every
+    profile oracle can replay. At 100 TB set False: approx_count_distinct
+    (HyperLogLog++, rsd 5%) bounds state at a few KB per column and the
+    rest of the profile is unchanged — same split as ngram_diversity vs
+    its HLL twin.
+
+    Scale: ONE scan regardless of column count. Multiple DISTINCT
+    aggregates compile to an Expand (each input row fans out once per
+    distinct-column), so cost grows linearly with len(columns) — profile
+    the columns you need, not SELECT *, when the table is wide. All
+    aggregation is partial/map-side combinable; the unpivot runs on a
+    single 1-row result.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__nulls_{c}")
+        )
+        nd = (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs.append(nd.cast("bigint").alias(f"__nd_{c}"))
+        if dtypes[c] in _NUMERIC:
+            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in cols:
+        is_num = dtypes[c] in _NUMERIC
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if is_num else null_d).alias("min_num"),
+                (F.col(f"__max_{c}") if is_num else null_d).alias("max_num"),
+                (null_s if is_num else F.col(f"__min_{c}")).alias("min_str"),
+                (null_s if is_num else F.col(f"__max_{c}")).alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

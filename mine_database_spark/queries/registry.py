@@ -5042,6 +5042,40 @@ FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END)
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of the orders table
+    (profile.profile_table) — the Deequ-style data-quality census: per
+    column, rows / nulls / exact distinct / typed min-max, one pass,
+    map-side-combinable aggregates, driver-free unpivot."""
+    from mine_database_spark.operators.profile import profile_table
+
+    (o,) = _t(spark, sf_dir, "orders")
+    return profile_table(o)
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "bigint", True),
+    ("o_custkey", "bigint", True),
+    ("o_orderstatus", "string", False),
+    ("o_totalprice", "double", True),
+    ("o_orderdate", "timestamp_ntz", False),
+    ("o_orderpriority", "string", False),
+)
+
+_Q_PROFILE_TABLE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, '{dt}' AS dtype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f"CAST(MIN({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"} AS min_num,
+       {f"CAST(MAX({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"} AS max_num,
+       {"CAST(NULL AS VARCHAR)" if num else f"CAST(MIN({c}) AS VARCHAR)"} AS min_str,
+       {"CAST(NULL AS VARCHAR)" if num else f"CAST(MAX({c}) AS VARCHAR)"} AS max_str
+FROM orders"""
+    for c, dt, num in _PROFILE_COLS
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5064,6 +5098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NEW in round 12 (never driver-checked):
     "edit_distance_pairs": q_edit_distance_pairs,
     "snm_pairs": q_snm_pairs,
+    "profile_table": q_profile_table,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5199,6 +5234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "edit_distance_pairs": _Q_EDIT_DISTANCE_SQL,
     "snm_pairs": _Q_SNM_PAIRS_SQL,
+    "profile_table": _Q_PROFILE_TABLE_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

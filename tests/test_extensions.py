@@ -3942,3 +3942,63 @@ def test_snm_pairs_matches_python_twin_random_sweep(spark):
                 if j >= thr:
                     exp[(ia, ib)] = (y - x, j)
         assert got == exp, (seed, got, exp)
+
+
+def test_profile_table_planted_nulls_and_types(spark):
+    """Planted table: exact null/distinct counts per column, numeric
+    min/max in the *_num pair, string/date min/max in the *_str pair,
+    SQL null semantics (nulls out of distinct and min/max)."""
+    from mine_database_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "b", None),
+            (2, None, "a", "2024-01-02"),
+            (3, 7.5, None, "2024-01-01"),
+            (3, 7.5, "a", "2024-01-03"),
+        ],
+        "k long, v double, s string, d string",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "v", "s", "d"}
+    k = got["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_num"], k["max_num"]) == (1.0, 3.0)
+    assert k["min_str"] is None and k["max_str"] is None
+    v = got["v"]
+    assert (v["n_nulls"], v["n_distinct"], v["min_num"], v["max_num"]) == (
+        1, 2, 2.5, 7.5,
+    )
+    s = got["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (
+        1, 2, "a", "b",
+    )
+    assert s["min_num"] is None
+    assert got["d"]["max_str"] == "2024-01-03"
+    # column subset + unknown column error
+    assert profile_table(df, columns=["k"]).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nope"):
+        profile_table(df, columns=["nope"])
+
+
+def test_profile_table_approx_twin_close_to_exact(spark):
+    """The HLL scale form (exact_distinct=False) tracks exact distinct
+    counts within the documented rsd on a 1k-distinct column and leaves
+    every other metric identical."""
+    from mine_database_spark.operators.profile import profile_table
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("m")
+    )
+    exact = {r["col_name"]: r for r in profile_table(df).collect()}
+    approx = {
+        r["col_name"]: r
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    assert approx["m"]["n_distinct"] == 10  # tiny cardinality is exact
+    assert abs(approx["k"]["n_distinct"] - 1000) <= 150  # rsd 5% => ~3 sigma
+    for c in ("k", "m"):
+        for f in ("n_rows", "n_nulls", "min_num", "max_num"):
+            assert approx[c][f] == exact[c][f]

@@ -954,3 +954,20 @@ def test_snm_pairs_range_rank_bucket_equijoin(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_profile_table_single_scan_expand_no_python(spark, sf_smoke):
+    """The whole profile is ONE scan: per-column distincts compile to a
+    single Expand over that scan, aggregation keeps a partial (map-side)
+    stage, the unpivot is an expression over the 1-row result — no join,
+    no Python, exactly one parquet scan."""
+    plan = plan_str(QUERIES["profile_table"](spark, sf_smoke), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # below the LAST exchange (closest to the scan) there must be a
+    # map-side aggregate over the Expand — the multi-distinct rewrite
+    # compiles to SortAggregate here, so match the generic suffix
+    _, _, below = plan.rpartition("Exchange")
+    assert "Aggregate" in below and "Expand" in below, plan
