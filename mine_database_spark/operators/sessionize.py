@@ -307,3 +307,76 @@ def event_transitions(
     )
     rw = Window.orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
     return top.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+def time_decayed_score(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    top_k: int = 100,
+) -> DataFrame:
+    """Recency-weighted activity score per key: each event contributes
+    value · 2^(-b) where b = (age in days since the corpus's latest day)
+    div half_life_days — the time-decayed ranking behind "which sources /
+    users are active NOW" (a plain sum over-credits dead sources; a
+    recency cutoff throws history away; exponential decay keeps both).
+
+    The decay is a dyadic STEP function, deliberately: b is an exact
+    integer, 2^b is an exact double for b <= 62, and dividing by it is a
+    pure exponent shift — so each event's contribution floor(value·1e6 /
+    2^b) is a deterministic bigint and the per-key score is an exact
+    integer SUM, order-insensitive and replayable in any SQL engine (the
+    embedding_outliers / adamic_adar quantization convention). A smooth
+    2^(-Δt/h) would put an IEEE pow() ULP under a floor() — engines may
+    disagree at the boundary. Ages past 62 half-lives clamp to weight 0.
+
+    The age anchor is the GLOBAL max event day (one 1-row broadcast), so
+    scores are "as of the latest data" and comparable across keys.
+
+    Returns top_k rows (key, n_events, score_micro, score, rank) by
+    (score_micro desc, key) — score = score_micro/1e6 rounded 6.
+
+    Scale: one scan + a broadcast 1-row max + one key-grouped aggregate
+    (map-side combinable, per-key state two bigints); top-k is a
+    sort-limit (TakeOrdered). Overflow bound: Σ floor(value·1e6) per key
+    must stay under 2^63 — ~9.2e12 value-units per key, documented like
+    rate_anomaly's Σn² note.
+    """
+    if half_life_days < 1:
+        raise ValueError(f"half_life_days must be >= 1, got {half_life_days}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    us = _micros(events, ts_col)
+    day_us = 86_400_000_000
+    base = events.select(
+        F.col(key_col).alias("key"),
+        us.alias("__us"),
+        F.col(value_col).alias("__v"),
+    ).select("key", F.expr(f"__us div {day_us}").alias("__day"), "__v")
+    anchor = base.agg(F.max("__day").alias("__max_day"))
+    b = F.least(
+        F.expr(f"(__max_day - __day) div {int(half_life_days)}"), F.lit(62)
+    )
+    contrib = F.floor(
+        (F.col("__v") * F.lit(1_000_000.0)) / F.pow(F.lit(2.0), b.cast("double"))
+    ).cast("bigint")
+    scored = (
+        base.join(F.broadcast(anchor), how="cross")
+        .select("key", contrib.alias("__c"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__c").alias("score_micro"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("key"))
+    return top.select(
+        "key",
+        "n_events",
+        "score_micro",
+        F.round(F.col("score_micro") / 1_000_000.0, 6).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -5042,6 +5042,46 @@ FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END)
 """
 
 
+def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 users by recency-weighted event value
+    (sessionize.time_decayed_score): per event, value · 2^-(age_days div
+    7) anchored at the corpus's latest day — dyadic step decay so every
+    contribution is an exact bigint micro and the per-key score an
+    order-insensitive integer sum."""
+    from mine_database_spark.operators import sessionize as sz
+
+    (e,) = _t(spark, sf_dir, "events")
+    return sz.time_decayed_score(e, half_life_days=7, top_k=100)
+
+
+_Q_DECAYED_SCORE_SQL = """
+WITH e AS (
+  SELECT user_id AS key,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         value AS v
+  FROM events
+),
+mx AS (SELECT MAX(day) AS max_day FROM e),
+c AS (
+  SELECT key,
+         CAST(floor(v * 1000000.0
+                    / power(2.0, CAST(least((max_day - day) // 7, 62) AS DOUBLE)))
+              AS BIGINT) AS cm
+  FROM e, mx
+),
+s AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cm) AS BIGINT) AS score_micro
+  FROM c GROUP BY 1
+),
+t AS (SELECT * FROM s ORDER BY score_micro DESC, key LIMIT 100)
+SELECT key, n_events, score_micro,
+       round(score_micro / 1000000.0, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, key) AS INT) AS rank
+FROM t
+"""
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan column profile of the orders table
     (profile.profile_table) — the Deequ-style data-quality census: per
@@ -5099,6 +5139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "snm_pairs": q_snm_pairs,
     "profile_table": q_profile_table,
+    "decayed_score": q_decayed_score,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5235,6 +5276,7 @@ ORACLES: dict[str, str] = {
     "edit_distance_pairs": _Q_EDIT_DISTANCE_SQL,
     "snm_pairs": _Q_SNM_PAIRS_SQL,
     "profile_table": _Q_PROFILE_TABLE_SQL,
+    "decayed_score": _Q_DECAYED_SCORE_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

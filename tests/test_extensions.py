@@ -4002,3 +4002,73 @@ def test_profile_table_approx_twin_close_to_exact(spark):
     for c in ("k", "m"):
         for f in ("n_rows", "n_nulls", "min_num", "max_num"):
             assert approx[c][f] == exact[c][f]
+
+
+def test_time_decayed_score_planted_halvings(spark):
+    """Planted events with exact dyadic ages: contributions halve per
+    half-life step, ages past 62 half-lives clamp to zero, ranking is
+    (score desc, key)."""
+    from datetime import datetime
+
+    from mine_database_spark.operators.sessionize import time_decayed_score
+
+    d = lambda day: datetime(2024, 6, 1 + day)  # noqa: E731
+    rows = [
+        # user 1: 8.0 at anchor, anchor-2d, anchor-4d with h=2 => 8+4+2
+        (1, d(4), 8.0),
+        (1, d(2), 8.0),
+        (1, d(0), 8.0),
+        # user 2: one event at the anchor day
+        (2, d(4), 5.5),
+        # user 3: ancient event (b clamps to 62 -> floor(1e6/2^62) = 0)
+        (3, datetime(1800, 1, 1), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["key"]: r for r in time_decayed_score(df, half_life_days=2, top_k=10).collect()}
+    assert got[1]["score_micro"] == 14_000_000 and got[1]["n_events"] == 3
+    assert got[1]["score"] == 14.0 and got[1]["rank"] == 1
+    assert got[2]["score_micro"] == 5_500_000 and got[2]["rank"] == 2
+    assert got[3]["score_micro"] == 0 and got[3]["rank"] == 3
+    # top_k truncates
+    assert time_decayed_score(df, half_life_days=2, top_k=2).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        time_decayed_score(df, half_life_days=0)
+
+
+def test_time_decayed_score_matches_python_twin_random_sweep(spark):
+    """3-seed sweep vs a python twin of the exact dyadic formula —
+    integer micro sums must match bit-for-bit."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from mine_database_spark.operators.sessionize import time_decayed_score
+
+    for seed in (1, 4, 8):
+        rng = random.Random(seed)
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (
+                rng.randrange(6),
+                t0 + timedelta(days=rng.randrange(40), hours=rng.randrange(24)),
+                round(rng.uniform(0, 50), 3),
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        h = 7
+        got = {
+            r["key"]: (r["n_events"], r["score_micro"])
+            for r in time_decayed_score(df, half_life_days=h, top_k=100).collect()
+        }
+        days = [int(ts.timestamp() * 1_000_000) // 86_400_000_000 for _, ts, _ in rows]
+        mx = max(days)
+        exp: dict[int, list[int]] = {}
+        for (k, _, v), day in zip(rows, days):
+            b = min((mx - day) // h, 62)
+            exp.setdefault(k, [0, 0])
+            exp[k][0] += 1
+            exp[k][1] += math.floor(v * 1_000_000.0 / (2.0**b))
+        assert got == {k: tuple(v) for k, v in exp.items()}, seed

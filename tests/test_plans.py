@@ -971,3 +971,15 @@ def test_profile_table_single_scan_expand_no_python(spark, sf_smoke):
     # compiles to SortAggregate here, so match the generic suffix
     _, _, below = plan.rpartition("Exchange")
     assert "Aggregate" in below and "Expand" in below, plan
+
+
+def test_decayed_score_broadcast_anchor_takeordered(spark, sf_smoke):
+    """The age anchor is a broadcast 1-row max (never a shuffle of the
+    event table against it), the per-key sum keeps a map-side partial,
+    and the top-k is a sort-limit — zero Python, no cartesian."""
+    plan = plan_str(QUERIES["decayed_score"](spark, sf_smoke), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "partial" in post, plan
