@@ -725,3 +725,75 @@ def k_core(
         e = _peel_round(e, keep, broadcast_keep).localCheckpoint(eager=True)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     return deg.select(F.col("src").alias("node"), F.col("d").alias("core_degree"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007), fixed `iters` rounds: every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors PLUS its own current label (the self-vote damps the
+    bipartite oscillation synchronous LPA is known for), ties broken by
+    the smallest label — a total order, so the result is deterministic
+    and SQL-replayable round by round.
+
+    Distinct from connected_components (min-label to FIXPOINT, one label
+    per component): LPA splits a connected graph into densely-linked
+    communities — on a dup-pair graph, the template families WITHIN one
+    giant near-dup component; on the co-purchase graph, product
+    neighborhoods rather than the whole connected market.
+
+    Fixed rounds, not convergence, on purpose (the pagerank_fixed / k_core
+    recipe): synchronous LPA has no convergence guarantee, and a fixed
+    round count keeps the oracle an iterative CTE replay. Returns (node,
+    label) for every node in the symmetrized edge set.
+
+    Scale: each round is one edge⋈labels equi-join (labels shuffle; the
+    edge table's partitioning is reusable across rounds), one (node,
+    label) count, and a top-1-per-node WindowGroupLimit (partial limits
+    map-side — never a full per-node sort at the exchange). Per-round
+    localCheckpoint truncates the logical plan (the round-9 plan-growth
+    explosion; k_core's note). State per node is one label — O(nodes)
+    total, never collected.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    canon = _canon_edges(edges, src_col, dst_col)
+    sym = (
+        canon.select("a", "b")
+        .unionAll(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        labels = _lpa_round(sym, labels).localCheckpoint(eager=True)
+    return labels
+
+
+def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: neighbor votes + self-vote, per-node
+    argmax by (count desc, label asc). The rn == 1 filter over the
+    row_number window compiles to a WindowGroupLimit — partial top-1
+    limits run map-side, so no exchange ever carries a full per-node
+    vote sort."""
+    nbr = sym.join(
+        labels.select(F.col("node").alias("b"), "label"), "b"
+    ).select(F.col("a").alias("node"), "label")
+    votes = nbr.unionAll(labels.select("node", "label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    return (
+        votes.groupBy("node", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("node", "label")
+    )

@@ -5042,6 +5042,53 @@ FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END)
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels over the co-purchase graph by 4 rounds of
+    synchronous LPA with self-vote (graph.label_propagation) — splits the
+    connected market into product neighborhoods; ties resolve to the
+    smallest label so the replay is exact."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    return gr.label_propagation(e, iters=4)
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """Iterative-CTE replay of label_propagation on the co-purchase
+    graph. Every multi-referenced CTE is AS MATERIALIZED — DuckDB
+    re-inlines multi-referenced CTEs exponentially otherwise (the k_core
+    oracle note)."""
+    parts = [
+        "WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),",
+        "e0 AS (SELECT DISTINCT a.id AS src, b.id AS dst"
+        " FROM li a JOIN li b ON a.g = b.g AND a.id <> b.id),",
+        "c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e0),",
+        "sym AS MATERIALIZED (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"v{i} AS (SELECT s.a AS node, l.label"
+            f" FROM sym s JOIN l{i-1} l ON s.b = l.node"
+            f" UNION ALL SELECT node, label FROM l{i-1}),"
+        )
+        parts.append(
+            f"n{i} AS (SELECT node, label, COUNT(*) AS cnt FROM v{i} GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER"
+            f" (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM n{i}"
+            f") WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, label FROM l{iters}")
+    return "\n".join(parts)
+
+
+_Q_LABEL_PROP_SQL = _lpa_sql()
+
+
 def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 users by recency-weighted event value
     (sessionize.time_decayed_score): per event, value · 2^-(age_days div
@@ -5140,6 +5187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snm_pairs": q_snm_pairs,
     "profile_table": q_profile_table,
     "decayed_score": q_decayed_score,
+    "label_propagation": q_label_propagation,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5277,6 +5325,7 @@ ORACLES: dict[str, str] = {
     "snm_pairs": _Q_SNM_PAIRS_SQL,
     "profile_table": _Q_PROFILE_TABLE_SQL,
     "decayed_score": _Q_DECAYED_SCORE_SQL,
+    "label_propagation": _Q_LABEL_PROP_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

@@ -4072,3 +4072,76 @@ def test_time_decayed_score_matches_python_twin_random_sweep(spark):
             exp[k][0] += 1
             exp[k][1] += math.floor(v * 1_000_000.0 / (2.0**b))
         assert got == {k: tuple(v) for k, v in exp.items()}, seed
+
+
+def test_label_propagation_planted_communities_vs_cc(spark):
+    """Two K4 cliques joined by one bridge edge: connected_components
+    fuses them into ONE component, LPA keeps TWO communities — the
+    within-component structure the operator exists for. Tie-break is the
+    smallest label."""
+    from mine_database_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    k4a = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    k4b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(4, 10)], "src long, dst long"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=4).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+    cc = connected_components(edges, "src", "dst")
+    assert cc.select("component").distinct().count() == 1
+    # isolated edge: both ends adopt the smaller id in round 1
+    pair = spark.createDataFrame([(7, 9)], "src long, dst long")
+    assert {
+        r["label"] for r in label_propagation(pair, iters=1).collect()
+    } == {7}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_propagation(edges, iters=0)
+
+
+def test_label_propagation_matches_python_twin_random_graphs(spark):
+    """3-seed sweep on random sparse graphs vs a python twin of the
+    synchronous rule (neighbor+self votes, count desc / label asc)."""
+    import random
+    from collections import Counter
+
+    from mine_database_spark.operators.graph import label_propagation
+
+    for seed in (2, 6, 12):
+        rng = random.Random(seed)
+        n = 30
+        edges = set()
+        for _ in range(45):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        sdf = spark.createDataFrame(sorted(edges), "src long, dst long")
+        iters = 3
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(sdf, iters=iters).collect()
+        }
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v in adj:
+                cnt = Counter(lab[u] for u in adj[v])
+                cnt[lab[v]] += 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                # max by count, then SMALLEST label: invert label sign
+                new[v] = min(
+                    (l for l, c in cnt.items() if c == best[1])
+                )
+                # (best[0] may not be the min-label among maxima)
+            lab = new
+        assert got == lab, seed

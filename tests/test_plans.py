@@ -204,7 +204,8 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     multiplies the logical plan, the round-9 explosion; like
     dup_clusters, the iteration must run to define the result).
     keep_best_dedup composes dup_clusters' CC iteration and inherits its
-    exemption for the same reason."""
+    exemption for the same reason. label_propagation is k_core's class:
+    per-round eager checkpoints ARE the iteration."""
     from mine_database_spark.session import load_tables
     from mine_database_spark.queries.registry import QUERIES
 
@@ -213,7 +214,8 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
         if name in ("dup_clusters", "keep_best_dedup", "ann_pq_topk",
-                    "ann_pq_rescored", "ann_ivf_pq", "k_core"):
+                    "ann_pq_rescored", "ann_ivf_pq", "k_core",
+                    "label_propagation"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
@@ -983,3 +985,23 @@ def test_decayed_score_broadcast_anchor_takeordered(spark, sf_smoke):
     assert "BatchEvalPython" not in plan, plan
     pre, _, post = plan.partition("Exchange hashpartitioning")
     assert "HashAggregate" in pre and "partial" in post, plan
+
+
+def test_lpa_round_window_group_limit_no_cartesian(spark):
+    """One LPA round: the per-node argmax compiles to a WindowGroupLimit
+    (partial top-1 map-side), the vote join is an equi-join, zero Python."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.graph import _lpa_round
+
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "a long, b long"
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    plan = plan_str(_lpa_round(sym, labels), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
