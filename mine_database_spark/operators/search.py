@@ -160,3 +160,72 @@ def bm25_topk(
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score"
     )
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack et al.
+    2009): given two ranked candidate lists — typically BM25 (lexical)
+    and embedding-cosine (semantic) — each document scores
+    Σ 1/(k_rrf + rank) over the lists it appears in; documents found by
+    BOTH retrievers float to the top without ever comparing the two
+    engines' incommensurable raw scores. This is the standard RAG
+    retrieval composition (sparse + dense, fuse by rank).
+
+    Determinism: each contribution is the exact integer
+    1_000_000 div (k_rrf + rank) — integer division, no float whose
+    last-ulp could reorder ties — and the fused rrf_ppm is an integer
+    sum; `score` = rrf_ppm/1e6 rounded 6 derives from it.
+
+    Returns top_k rows (doc_id, rank_lex, rank_sem, rrf_ppm, score,
+    rank) by (rrf_ppm desc, doc_id); rank_lex / rank_sem are NULL when
+    the doc appears in only one list.
+
+    Scale: the inputs are already top-k lists — O(k) rows each — so the
+    full-outer fusion join is trivially broadcastable and the cost lives
+    entirely in the upstream rankers (bm25_topk's term-filtered scan,
+    the ANN family's blocked/banded probes), each audited separately.
+    k_rrf=60 is the published default; it flattens the head so one
+    retriever's #1 cannot drown the other's consensus.
+    """
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    lx = lexical.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("rank_lex")
+    )
+    sm = semantic.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("rank_sem")
+    )
+    fused = lx.join(sm, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({int(k_rrf)} + rank_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({int(k_rrf)} + rank_sem)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_ppm"),
+    )
+    top = fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        "rrf_ppm",
+        F.round(F.col("rrf_ppm") / 1_000_000.0, 6).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -5042,6 +5042,53 @@ FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END)
 """
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 for a bag-of-terms query fused with
+    the embedding-cosine top-20 for query vector 0 by Reciprocal Rank
+    Fusion (search.hybrid_rrf, k_rrf=60) — the sparse+dense RAG
+    composition; contributions are exact integer 1e6 div (60+rank), so
+    the fused ranking replays bit-for-bit."""
+    from mine_database_spark.operators import search as srch
+
+    d, e = _t(spark, sf_dir, "documents", "embeddings")
+    lex = srch.bm25_topk(d, ["spark", "window", "hash", "merge"], k=20)
+    sem = sim.brute_force_topk(e, e.where(F.col("vec_id") == 0), k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return srch.hybrid_rrf(lex, sem, k_rrf=60, top_k=20)
+
+
+_Q_HYBRID_RRF_SQL = f"""
+WITH lex AS ({_Q_BM25_SQL}),
+sem AS (
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+  s AS (
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM e CROSS JOIN q WHERE e.vec_id <> 0
+  ),
+  r AS (SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS rank
+        FROM s)
+  SELECT doc_id, rank FROM r WHERE rank <= 20
+),
+f AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.rank AS rank_lex, s.rank AS rank_sem,
+         CAST(coalesce(1000000 // (60 + l.rank), 0)
+              + coalesce(1000000 // (60 + s.rank), 0) AS BIGINT) AS rrf_ppm
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+),
+t AS (SELECT * FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20)
+SELECT doc_id, rank_lex, rank_sem, rrf_ppm,
+       round(rrf_ppm / 1000000.0, 6) AS score,
+       CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS INT) AS rank
+FROM t
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community labels over the co-purchase graph by 4 rounds of
     synchronous LPA with self-vote (graph.label_propagation) — splits the
@@ -5188,6 +5235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": q_profile_table,
     "decayed_score": q_decayed_score,
     "label_propagation": q_label_propagation,
+    "hybrid_rrf": q_hybrid_rrf,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5326,6 +5374,7 @@ ORACLES: dict[str, str] = {
     "profile_table": _Q_PROFILE_TABLE_SQL,
     "decayed_score": _Q_DECAYED_SCORE_SQL,
     "label_propagation": _Q_LABEL_PROP_SQL,
+    "hybrid_rrf": _Q_HYBRID_RRF_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

@@ -4145,3 +4145,34 @@ def test_label_propagation_matches_python_twin_random_graphs(spark):
                 # (best[0] may not be the min-label among maxima)
             lab = new
         assert got == lab, seed
+
+
+def test_hybrid_rrf_planted_rankings(spark):
+    """Planted two-list fusion: a doc found by BOTH retrievers at modest
+    ranks beats each list's exclusive #1 (the consensus property RRF
+    exists for); integer contributions are exact; single-list docs carry
+    a NULL rank for the missing side."""
+    from mine_database_spark.operators.search import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(101, 1), (7, 2), (8, 3)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(202, 1), (7, 2), (9, 3)], "doc_id long, rank int"
+    )
+    got = {r["doc_id"]: r for r in hybrid_rrf(lex, sem, k_rrf=60, top_k=10).collect()}
+    # doc 7: 1e6//62 + 1e6//62 = 16129*2; exclusive #1s: 1e6//61 = 16393
+    assert got[7]["rrf_ppm"] == 2 * (1_000_000 // 62)
+    assert got[101]["rrf_ppm"] == 1_000_000 // 61
+    assert got[7]["rank"] == 1  # consensus beats both exclusive #1s
+    assert {got[101]["rank"], got[202]["rank"]} == {2, 3}  # tie -> id order
+    assert got[101]["rank"] == 2 and got[202]["rank"] == 3
+    assert got[101]["rank_sem"] is None and got[202]["rank_lex"] is None
+    assert got[7]["rank_lex"] == 2 and got[7]["rank_sem"] == 2
+    assert got[7]["score"] == round(2 * (1_000_000 // 62) / 1e6, 6)
+    # top_k truncates; bad params raise
+    assert hybrid_rrf(lex, sem, top_k=2).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hybrid_rrf(lex, sem, k_rrf=0)

@@ -1005,3 +1005,23 @@ def test_lpa_round_window_group_limit_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_hybrid_rrf_fusion_no_corpus_rescan_no_python(spark, sf_smoke):
+    """The fusion runs over two top-k lists: the final top-k is a
+    sort-limit, nothing cartesian, zero Python; and fusing adds ZERO
+    corpus text scans beyond what the BM25 side already reads."""
+    plan = plan_str(QUERIES["hybrid_rrf"](spark, sf_smoke), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    def text_scans(df):
+        full = plan_str(df)
+        return sum(
+            "text" in seg.splitlines()[0]
+            for seg in full.split("ReadSchema: ")[1:]
+        )
+
+    assert text_scans(QUERIES["hybrid_rrf"](spark, sf_smoke)) == text_scans(
+        QUERIES["bm25_topk"](spark, sf_smoke)
+    )
