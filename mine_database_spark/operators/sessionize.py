@@ -380,3 +380,66 @@ def time_decayed_score(
         F.round(F.col("score_micro") / 1_000_000.0, 6).alias("score"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def mad_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_days: int = 1,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust twin of rate_anomaly: per-key bucket counts scored by the
+    MODIFIED z-score 0.6745·(n − median)/MAD (Iglewicz–Hoaglin), where
+    MAD is the median absolute deviation from the per-key median.
+
+    Why a twin: mean/std have a 0% breakdown point — one huge retry
+    storm inflates σ enough to score ITSELF under the z threshold (the
+    masking effect; the planted pytest shows a 100× spike rate_anomaly
+    scores at z≈2.2 that this operator scores at z≈445). Median/MAD
+    break down only past 50% contamination, so the spike cannot hide.
+    3.5 is the published modified-z cutoff.
+
+    Determinism: bucket counts are exact integers; percentile() is the
+    exact interpolated median, which on integers yields dyadic halves —
+    both the median and MAD are exact doubles any engine reproduces
+    (quantile_cont in DuckDB); z rounds to 4. MAD = 0 (over half the
+    buckets identical) scores z = 0 — same convention as rate_anomaly's
+    zero-variance keys.
+
+    Returns (key, period, n, med, mad, z, is_anomaly) for every bucket.
+
+    Scale: one (key, period) count, then two per-key EXACT percentile
+    aggregates — state is O(buckets per key) (days in the window), NOT
+    event volume; buckets join back broadcast since #keys·#periods is
+    audit-sized. At an extreme period grid swap percentile for
+    approx_percentile and declare the tolerance.
+    """
+    if bucket_days < 1:
+        raise ValueError(f"bucket_days must be >= 1, got {bucket_days}")
+    us = _micros(events, ts_col)
+    bucket_us = bucket_days * 86_400_000_000
+    per = (
+        events.select(F.col(key_col).alias("key"), us.alias("__us"))
+        .select("key", F.expr(f"__us div {bucket_us}").alias("period"))
+        .groupBy("key", "period")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = per.groupBy("key").agg(F.percentile("n", 0.5).alias("med"))
+    withmed = per.join(F.broadcast(med), "key")
+    mad = withmed.groupBy("key").agg(
+        F.percentile(F.abs(F.col("n") - F.col("med")), 0.5).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"),
+    ).otherwise(F.lit(0.0))
+    return withmed.join(F.broadcast(mad), "key").select(
+        "key",
+        "period",
+        "n",
+        "med",
+        "mad",
+        F.round(z, 4).alias("z"),
+        (F.abs(F.round(z, 4)) >= z_threshold).alias("is_anomaly"),
+    )

@@ -5042,6 +5042,38 @@ FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END)
 """
 
 
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust event-rate anomaly flags per (event_type, day) by modified
+    z-score 0.6745·(n−median)/MAD (sessionize.mad_anomaly) — the
+    50%-breakdown twin of rate_anomaly: a single huge spike inflates
+    mean/std enough to mask itself; it cannot move the median."""
+    from mine_database_spark.operators import sessionize as sz
+
+    (e,) = _t(spark, sf_dir, "events")
+    return sz.mad_anomaly(e, bucket_days=1, z_threshold=3.5)
+
+
+_Q_MAD_ANOMALY_SQL = """
+WITH per AS (
+  SELECT event_type AS key,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT key, quantile_cont(n, 0.5) AS med FROM per GROUP BY 1),
+wm AS (SELECT per.key, period, n, med FROM per JOIN med USING (key)),
+mad AS (SELECT key, quantile_cont(abs(n - med), 0.5) AS mad FROM wm GROUP BY 1),
+z AS (
+  SELECT wm.key, period, n, med, mad,
+         CASE WHEN mad > 0
+              THEN round(CAST(0.6745 AS DOUBLE) * (n - med) / mad, 4)
+              ELSE 0.0 END AS z
+  FROM wm JOIN mad USING (key)
+)
+SELECT key, period, n, med, mad, z, abs(z) >= 3.5 AS is_anomaly FROM z
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-20 for a bag-of-terms query fused with
     the embedding-cosine top-20 for query vector 0 by Reciprocal Rank
@@ -5236,6 +5268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_score": q_decayed_score,
     "label_propagation": q_label_propagation,
     "hybrid_rrf": q_hybrid_rrf,
+    "mad_anomaly": q_mad_anomaly,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5375,6 +5408,7 @@ ORACLES: dict[str, str] = {
     "decayed_score": _Q_DECAYED_SCORE_SQL,
     "label_propagation": _Q_LABEL_PROP_SQL,
     "hybrid_rrf": _Q_HYBRID_RRF_SQL,
+    "mad_anomaly": _Q_MAD_ANOMALY_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

@@ -4176,3 +4176,50 @@ def test_hybrid_rrf_planted_rankings(spark):
 
     with _pytest.raises(ValueError):
         hybrid_rrf(lex, sem, k_rrf=0)
+
+
+def test_mad_anomaly_unmasks_spike_that_hides_from_mean_std(spark):
+    """The masking-effect demonstration: one 100x spike inflates sigma so
+    rate_anomaly scores it z~2.2 (< 3), while the modified z on MAD
+    scores it ~445 and flags it. Exact dyadic median/MAD values pinned."""
+    from datetime import datetime, timedelta
+
+    from mine_database_spark.operators.sessionize import mad_anomaly, rate_anomaly
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    for day, cnt in enumerate([8, 10, 12, 9, 11, 1000]):
+        rows += [("api", t0 + timedelta(days=day, minutes=i)) for i in range(cnt)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    m = {r["period"]: r for r in mad_anomaly(df, z_threshold=3.5).collect()}
+    spike = max(m)
+    assert m[spike]["n"] == 1000
+    assert m[spike]["med"] == 10.5  # interpolated median of 6 ints
+    assert m[spike]["mad"] == 1.5  # median of [0.5,0.5,1.5,1.5,2.5,989.5]
+    assert m[spike]["z"] == round(0.6745 * (1000 - 10.5) / 1.5, 4)
+    assert m[spike]["is_anomaly"]
+    assert not any(r["is_anomaly"] for p, r in m.items() if p != spike)
+
+    r = {x["period"]: x for x in rate_anomaly(df, key_col="event_type").collect()}
+    assert abs(r[spike]["z"]) < 3.0  # masked under mean/std
+
+
+def test_mad_anomaly_zero_mad_and_errors(spark):
+    """Over half the buckets identical -> MAD 0 -> z 0 everywhere (the
+    rate_anomaly zero-variance convention); bad params raise."""
+    from datetime import datetime, timedelta
+
+    from mine_database_spark.operators.sessionize import mad_anomaly
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    for day, cnt in enumerate([5, 5, 5, 9]):
+        rows += [("x", t0 + timedelta(days=day, minutes=i)) for i in range(cnt)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = mad_anomaly(df).collect()
+    assert all(r["z"] == 0.0 and not r["is_anomaly"] for r in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mad_anomaly(df, bucket_days=0)

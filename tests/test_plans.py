@@ -1025,3 +1025,16 @@ def test_hybrid_rrf_fusion_no_corpus_rescan_no_python(spark, sf_smoke):
     assert text_scans(QUERIES["hybrid_rrf"](spark, sf_smoke)) == text_scans(
         QUERIES["bm25_topk"](spark, sf_smoke)
     )
+
+
+def test_mad_anomaly_broadcast_stats_no_window(spark, sf_smoke):
+    """Both percentile stages aggregate O(key-bucket) rows and join back
+    broadcast — the bucket table never sort-merges against its own
+    stats, and nothing needs a per-key sort window."""
+    plan = plan_str(QUERIES["mad_anomaly"](spark, sf_smoke), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    # >= 2: the median join appears once per wm consumer (the MAD branch
+    # recomputes it), every occurrence must still be a broadcast build
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
