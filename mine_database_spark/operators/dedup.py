@@ -1634,3 +1634,103 @@ def snm_pairs(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Fuzzy cross-corpus decontamination: flag training documents that
+    are NEAR-duplicates of a benchmark document — the missing tier
+    between exact n-gram decontamination (misses one edited word) and
+    embedding-based semantic decontamination (misses nothing lexical but
+    needs vectors): MinHash-LSH banding across the two corpora, then an
+    exact shingle-Jaccard verify of the candidates only.
+
+    Pipeline: shingle both corpora (k-word grams), minhash signatures
+    (shared MH_AB constants), band keys; candidates = train bands ⋈
+    bench bands on (band, band_sig) — a CROSS-corpus equi-join, so the
+    candidate volume is bounded by bucket collisions exactly like the
+    self-join dedup (never |train|×|bench|). Each candidate pair is
+    verified with the exact distinct-shingle Jaccard; per train doc the
+    BEST match survives via ONE max_by aggregate ordered by (jaccard,
+    -bench_id) — no window, no per-group sort; partials combine
+    map-side.
+
+    Returns one row per train doc with >= 1 candidate:
+    (doc_id, bench_id, n_candidates, jaccard, contaminated) where
+    contaminated = jaccard >= min_jaccard. Docs with no band collision
+    are trivially clean and emit nothing.
+
+    Scale: both corpora scan once for shingles; signatures are one
+    groupBy(doc) each; the band join shuffles O(docs·bands) small keys;
+    the verify joins only candidate pairs' shingles. The benchmark side
+    is usually tiny (a few thousand eval docs) — at that shape every
+    bench-side build broadcasts automatically; no hint is pinned so a
+    bench-sized-like-train run still sort-merges safely.
+    """
+    sig_t = minhash_signatures(
+        shingle_table(train, id_col, text_col, k, distinct=False), num_hashes
+    )
+    sig_b = minhash_signatures(
+        shingle_table(bench, id_col, text_col, k, distinct=False), num_hashes
+    )
+    bt = lsh_band_keys(sig_t, rows_per_band).select(
+        F.col("doc_id").alias("train_id"), "band", "band_sig"
+    )
+    bb = lsh_band_keys(sig_b, rows_per_band).select(
+        F.col("doc_id").alias("bench_id"), "band", "band_sig"
+    )
+    cand = (
+        bt.join(bb, ["band", "band_sig"])
+        .select("train_id", "bench_id")
+        .distinct()
+    )
+    dsh_t = shingle_table(train, id_col, text_col, k).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    dsh_b = shingle_table(bench, id_col, text_col, k).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    sz_t = dsh_t.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_t"))
+    sz_b = dsh_b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        cand.join(dsh_t, "train_id")
+        .join(dsh_b, ["bench_id", "shingle"])
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        cand.join(inter, ["train_id", "bench_id"], "left")
+        .join(sz_t, "train_id")
+        .join(sz_b, "bench_id")
+        .select(
+            "train_id",
+            "bench_id",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("n_t") + F.col("n_b") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    best = jac.groupBy("train_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_candidates"),
+        F.max_by(
+            F.struct(F.col("bench_id"), F.col("jaccard")),
+            F.struct(F.col("jaccard"), (-F.col("bench_id")).alias("nb")),
+        ).alias("best"),
+    )
+    return best.select(
+        F.col("train_id").alias("doc_id"),
+        F.col("best.bench_id").alias("bench_id"),
+        "n_candidates",
+        F.col("best.jaccard").alias("jaccard"),
+        (F.col("best.jaccard") >= min_jaccard).alias("contaminated"),
+    )

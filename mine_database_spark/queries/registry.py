@@ -5042,6 +5042,56 @@ FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END)
 """
 
 
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy cross-corpus decontamination (dedup.fuzzy_contamination):
+    even-doc_id docs as the training corpus, odd as the benchmark;
+    MinHash-LSH banding ACROSS the split proposes candidates, exact
+    shingle Jaccard verifies, best match per train doc survives. The
+    fuzzy tier between exact 8-gram and embedding decontamination."""
+    (d,) = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    bench = d.where(F.col("doc_id") % 2 == 1)
+    return dd.fuzzy_contamination(
+        train, bench, k=5, num_hashes=16, rows_per_band=4, min_jaccard=0.5
+    )
+
+
+_Q_FUZZY_CONTAM_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=5, km1=4) + "," + _MINHASH_CTES_SQL + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+  FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.train_id, c.bench_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.train_id
+  JOIN sh b ON b.doc_id = c.bench_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.train_id, c.bench_id,
+         round(coalesce(i, 0) / CAST(st.n + sb.n - coalesce(i, 0) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter ON inter.train_id = c.train_id AND inter.bench_id = c.bench_id
+  JOIN sizes st ON st.doc_id = c.train_id
+  JOIN sizes sb ON sb.doc_id = c.bench_id
+),
+r AS (
+  SELECT train_id, bench_id, jaccard,
+         row_number() OVER (PARTITION BY train_id ORDER BY jaccard DESC, bench_id) AS rn,
+         COUNT(*) OVER (PARTITION BY train_id) AS nc
+  FROM jac
+)
+SELECT train_id AS doc_id, bench_id, CAST(nc AS INT) AS n_candidates,
+       jaccard, jaccard >= 0.5 AS contaminated
+FROM r WHERE rn = 1
+"""
+)
+
+
 def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust event-rate anomaly flags per (event_type, day) by modified
     z-score 0.6745·(n−median)/MAD (sessionize.mad_anomaly) — the
@@ -5269,6 +5319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "hybrid_rrf": q_hybrid_rrf,
     "mad_anomaly": q_mad_anomaly,
+    "fuzzy_contamination": q_fuzzy_contamination,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5409,6 +5460,7 @@ ORACLES: dict[str, str] = {
     "label_propagation": _Q_LABEL_PROP_SQL,
     "hybrid_rrf": _Q_HYBRID_RRF_SQL,
     "mad_anomaly": _Q_MAD_ANOMALY_SQL,
+    "fuzzy_contamination": _Q_FUZZY_CONTAM_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

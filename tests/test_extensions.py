@@ -4223,3 +4223,55 @@ def test_mad_anomaly_zero_mad_and_errors(spark):
 
     with _pytest.raises(ValueError):
         mad_anomaly(df, bucket_days=0)
+
+
+def test_fuzzy_contamination_planted_cross_corpus_neardup(spark):
+    """A train doc that is a one-word-edited copy of a bench doc must be
+    flagged (exact 8-gram decon would need an unbroken 8-gram; here ONE
+    edit only dents the jaccard); an unrelated train doc emits nothing;
+    the best-of-several-matches rule picks the highest jaccard."""
+    from mine_database_spark.operators.dedup import fuzzy_contamination
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    edited = bench_text.replace("lazy", "sleepy")  # one-token edit
+    train = spark.createDataFrame(
+        [
+            (0, edited),
+            (2, "completely unrelated content about spark shuffle plans "
+                "and adaptive query execution at terabyte scale today"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, bench_text), (3, "another benchmark doc with different words "
+                              "entirely about graphs and communities")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination(train, bench, min_jaccard=0.5).collect()
+    }
+    assert 0 in got and got[0]["bench_id"] == 1
+    assert got[0]["contaminated"] and got[0]["jaccard"] > 0.5
+    assert 2 not in got  # no band collision -> trivially clean
+    # exact jaccard value: 21 tokens -> 17 distinct 5-gram shingles per
+    # side; the one-token edit kills the 5 shingles covering 'lazy'
+    # (start positions 4..8), leaving 12 shared of 17+17
+    assert got[0]["jaccard"] == round(12 / (17 + 17 - 12), 6)
+
+
+def test_fuzzy_contamination_identical_and_threshold(spark):
+    """An identical cross-corpus copy scores jaccard 1.0; min_jaccard
+    gates the contaminated flag, not the row."""
+    from mine_database_spark.operators.dedup import fuzzy_contamination
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    bench = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = fuzzy_contamination(train, bench, min_jaccard=0.5).collect()[0]
+    assert r["jaccard"] == 1.0 and r["contaminated"] and r["n_candidates"] == 1
+    r99 = fuzzy_contamination(train, bench, min_jaccard=1.1).collect()[0]
+    assert r99["jaccard"] == 1.0 and not r99["contaminated"]

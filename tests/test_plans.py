@@ -1038,3 +1038,15 @@ def test_mad_anomaly_broadcast_stats_no_window(spark, sf_smoke):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_contamination_band_equijoin_group_limit(spark, sf_smoke):
+    """The cross-corpus candidate step is an equi-join on (band,
+    band_sig) — never |train|x|bench|; the best-match pick is a single
+    max_by aggregate (NO window, no per-group sort); zero Python, zero
+    cartesian."""
+    plan = plan_str(QUERIES["fuzzy_contamination"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
