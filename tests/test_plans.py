@@ -341,6 +341,7 @@ def test_plan_shape_queries_invariant_under_aqe_stress(spark, sf_smoke):
         "segment_dedup",
         "mass_range_join_bucketed",
         "shard_balance",  # rides token_shards' prefix-sum exchange reuse
+        "snm_pairs",  # rides distributed_rank's prefix-sum exchange reuse
     ]
     stress = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
