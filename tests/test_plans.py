@@ -988,9 +988,10 @@ def test_decayed_score_broadcast_anchor_takeordered(spark, sf_smoke):
     assert "HashAggregate" in pre and "partial" in post, plan
 
 
-def test_lpa_round_window_group_limit_no_cartesian(spark):
-    """One LPA round: the per-node argmax compiles to a WindowGroupLimit
-    (partial top-1 map-side), the vote join is an equi-join, zero Python."""
+def test_lpa_round_aggregate_argmax_no_window(spark):
+    """One LPA round: the per-node argmax is a max_by AGGREGATE (partial
+    map-side, measured 9.5s -> 6.3s vs the window form at sf0.1), so the
+    plan has NO Window/sort; the vote join is an equi-join, zero Python."""
     from pyspark.sql import functions as F
 
     from mine_database_spark.operators.graph import _lpa_round
@@ -1002,7 +1003,8 @@ def test_lpa_round_window_group_limit_no_cartesian(spark):
         "label", F.col("node")
     )
     plan = plan_str(_lpa_round(sym, labels), mode="simple")
-    assert "WindowGroupLimit" in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
