@@ -712,3 +712,71 @@ def token_drift(
     ).limit(top_k)
     w = Window.orderBy(F.abs(F.col("kl_term")).desc(), F.asc("tok"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def source_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-source distinctive vocabulary: for every group, the top_k
+    tokens by in-group frequency, each annotated with its LIFT — the
+    token's in-group share divided by its corpus-wide share. Lift ≫ 1
+    marks vocabulary characteristic of the source (a spam domain's
+    pharma terms, a code site's keywords); lift ≈ 1 marks corpus-wide
+    stopwords. The per-source "what is this source actually made of"
+    audit that zipf_audit (global) cannot answer.
+
+    Exact integer counts throughout; lift = (c_grp·total) /
+    (tot_grp·c_tok) computed as ONE float division of two exact bigint
+    products, rounded 4. `min_count` bounds tie noise. Ranking is
+    (count desc, tok asc) — fully deterministic.
+
+    Scale: one token explode + ONE (group, tok) count — the corpus TEXT
+    is scanned exactly once (plan-gated); group totals, per-token corpus
+    counts, and the grand total are WINDOW sums over that same post-agg
+    table (O(groups·vocab) rows, not corpus tokens — separate groupBy
+    rollups would re-derive the subtree and rescan the corpus once per
+    rollup). The empty-partition grand-total window moves only the
+    vocabulary-sized rows (the rule_coverage_cdf precedent); the
+    per-group top-k is a row_number filter over the same grp
+    partitioning. Product overflow bound: c_grp·total < 2^63 caps the
+    corpus at ~3e9·3e9 token-occurrence pairs — beyond any real
+    corpus's (per-group count)×(total tokens); cast-to-double before
+    multiplying if a grid ever approaches it.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    gt = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_grp = Window.partitionBy("grp")
+    w_tok = Window.partitionBy("tok")
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("tok"))
+    enriched = (
+        gt.withColumn("tot_grp", F.sum("c").over(w_grp))
+        .withColumn("c_tok", F.sum("c").over(w_tok))
+        .withColumn("total", F.sum("c").over(w_all))
+        .where(F.col("c") >= min_count)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+    )
+    return enriched.select(
+        F.col("grp").alias(group_col),
+        "tok",
+        "c",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(
+            (F.col("c") * F.col("total"))
+            / (F.col("tot_grp") * F.col("c_tok")),
+            4,
+        ).alias("lift"),
+    )

@@ -5042,6 +5042,41 @@ FROM p WHERE (CASE WHEN u > 0 THEN round(CAST(i AS DOUBLE) / u, 6) ELSE 1.0 END)
 """
 
 
+def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per source with corpus lift
+    (quality.source_top_terms, min_count=5) — the per-source
+    characteristic-vocabulary audit: lift ≫ 1 flags source-specific
+    terms, lift ≈ 1 corpus-wide stopwords; exact integer counts, one
+    float division per emitted row."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.source_top_terms(d, top_k=10, min_count=5)
+
+
+_Q_SOURCE_TOP_TERMS_SQL = f"""
+WITH t AS (
+  SELECT source AS grp, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+gt AS (SELECT grp, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+grp_tot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS tot_grp FROM gt GROUP BY 1),
+tok_tot AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_tok FROM gt GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM gt),
+ranked AS (
+  SELECT grp, tok, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok) AS rank
+  FROM gt WHERE c >= 5
+)
+SELECT r.grp AS source, r.tok, r.c, CAST(r.rank AS INT) AS rank,
+       round(CAST(r.c * total.total AS DOUBLE) / (grp_tot.tot_grp * tok_tot.c_tok), 4) AS lift
+FROM ranked r
+JOIN grp_tot ON grp_tot.grp = r.grp
+JOIN tok_tot ON tok_tot.tok = r.tok
+CROSS JOIN total
+WHERE r.rank <= 10
+"""
+
+
 def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy cross-corpus decontamination (dedup.fuzzy_contamination):
     even-doc_id docs as the training corpus, odd as the benchmark;
@@ -5320,6 +5355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "mad_anomaly": q_mad_anomaly,
     "fuzzy_contamination": q_fuzzy_contamination,
+    "source_top_terms": q_source_top_terms,
     "triangle_count_deg": q_triangle_count_deg,
     "ngram_diversity_hll": q_ngram_diversity_hll,
     "adamic_adar": q_adamic_adar,
@@ -5461,6 +5497,7 @@ ORACLES: dict[str, str] = {
     "hybrid_rrf": _Q_HYBRID_RRF_SQL,
     "mad_anomaly": _Q_MAD_ANOMALY_SQL,
     "fuzzy_contamination": _Q_FUZZY_CONTAM_SQL,
+    "source_top_terms": _Q_SOURCE_TOP_TERMS_SQL,
     "triangle_count_deg": _Q_TRIANGLE_DEG_SQL,
     "ngram_diversity_hll": _Q_NGRAM_DIVERSITY_HLL_SQL,
     "adamic_adar": _Q_ADAMIC_ADAR_SQL,

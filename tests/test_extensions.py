@@ -4275,3 +4275,39 @@ def test_fuzzy_contamination_identical_and_threshold(spark):
     assert r["jaccard"] == 1.0 and r["contaminated"] and r["n_candidates"] == 1
     r99 = fuzzy_contamination(train, bench, min_jaccard=1.1).collect()[0]
     assert r99["jaccard"] == 1.0 and not r99["contaminated"]
+
+
+def test_source_top_terms_planted_lift_and_ranking(spark):
+    """Planted two-source corpus: a source-exclusive term gets lift =
+    total/tot_grp·(1/1 share); a corpus-uniform term gets lift 1; the
+    per-group ranking is (count desc, tok asc) and min_count gates."""
+    from mine_database_spark.operators.quality import source_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "spam spam spam spam spam common common common"),
+            (1, "b", "ham ham ham ham ham common common common"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source"], r["tok"]): r
+        for r in source_top_terms(docs, top_k=10, min_count=3).collect()
+    }
+    # counts: a: spam 5, common 3 (tot 8); b: ham 5, common 3 (tot 8); total 16
+    assert got[("a", "spam")]["c"] == 5 and got[("a", "spam")]["rank"] == 1
+    # lift(spam in a) = (5*16)/(8*5) = 2.0 (all spam lives in a)
+    assert got[("a", "spam")]["lift"] == 2.0
+    # lift(common in a) = (3*16)/(8*6) = 1.0 (corpus-uniform)
+    assert got[("a", "common")]["lift"] == 1.0
+    assert got[("b", "ham")]["lift"] == 2.0
+    # min_count gates: raise the bar to 4 and 'common' disappears
+    left = {
+        (r["source"], r["tok"])
+        for r in source_top_terms(docs, top_k=10, min_count=4).collect()
+    }
+    assert left == {("a", "spam"), ("b", "ham")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        source_top_terms(docs, top_k=0)

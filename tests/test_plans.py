@@ -1053,3 +1053,19 @@ def test_fuzzy_contamination_band_equijoin_group_limit(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_source_top_terms_single_token_scan_group_limit(spark, sf_smoke):
+    """ONE token explode feeds the (group, tok) count; group totals and
+    corpus token totals are post-agg rollups of that table (the corpus
+    text is scanned exactly once); the per-group top-k compiles to a
+    WindowGroupLimit; the corpus total broadcasts; zero Python."""
+    plan = plan_str(QUERIES["source_top_terms"](spark, sf_smoke), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    full = plan_str(QUERIES["source_top_terms"](spark, sf_smoke))
+    n_text = sum(
+        "text" in seg.splitlines()[0] for seg in full.split("ReadSchema: ")[1:]
+    )
+    assert n_text == 1, full
