@@ -1720,17 +1720,26 @@ def fuzzy_contamination(
             ).alias("jaccard"),
         )
     )
+    # Best match = max jaccard, ties to the smallest bench_id. The ordering
+    # struct negates JACCARD (always double) rather than bench_id, so the
+    # tie-break is type-agnostic — string doc ids (supported by every other
+    # operator in this module via plain '<' comparisons) work here too;
+    # the previous -bench_id form threw CAST_INVALID_INPUT under ANSI mode.
+    # Including bench_id in the struct makes the ordering total (cand pairs
+    # are distinct), so min_by is deterministic. Both aggregates stay
+    # map-side combinable.
     best = jac.groupBy("train_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_candidates"),
-        F.max_by(
-            F.struct(F.col("bench_id"), F.col("jaccard")),
-            F.struct(F.col("jaccard"), (-F.col("bench_id")).alias("nb")),
-        ).alias("best"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min_by(
+            "bench_id",
+            F.struct((-F.col("jaccard")).alias("nj"), F.col("bench_id").alias("b")),
+        ).alias("best_bench_id"),
     )
     return best.select(
         F.col("train_id").alias("doc_id"),
-        F.col("best.bench_id").alias("bench_id"),
+        F.col("best_bench_id").alias("bench_id"),
         "n_candidates",
-        F.col("best.jaccard").alias("jaccard"),
-        (F.col("best.jaccard") >= min_jaccard).alias("contaminated"),
+        F.col("best_jaccard").alias("jaccard"),
+        (F.col("best_jaccard") >= min_jaccard).alias("contaminated"),
     )

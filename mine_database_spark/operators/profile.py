@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
+def _is_numeric(dtype: str) -> bool:
+    """Numeric-branch test for typed min/max. decimal(p,s) dtypes carry a
+    parameterized name, so membership in _NUMERIC alone would silently
+    route them to the string branch — match the prefix explicitly."""
+    return dtype in _NUMERIC or dtype.startswith("decimal")
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -29,10 +36,11 @@ def profile_table(
     Returns one row per column:
       (col_name, dtype, n_rows, n_nulls, n_distinct, min_num, max_num,
        min_str, max_str)
-    — numeric columns carry min/max as DOUBLE in min_num/max_num (exact
-    for integers below 2^53) with the *_str pair NULL; everything else
-    (string/boolean/date/timestamp) renders min/max as strings with the
-    *_num pair NULL. Nulls are excluded from n_distinct and min/max,
+    — numeric columns (integer/float/double and decimal(p,s)) carry
+    min/max as DOUBLE in min_num/max_num (exact for integers below 2^53;
+    decimals round to the nearest double) with the *_str pair NULL;
+    everything else (string/boolean/date/timestamp) renders min/max as
+    strings with the *_num pair NULL. Nulls are excluded from n_distinct and min/max,
     counted in n_nulls (SQL semantics on both counts).
 
     `exact_distinct=True` uses exact count(DISTINCT) — O(column
@@ -68,7 +76,7 @@ def profile_table(
             else F.approx_count_distinct(F.col(c))
         )
         aggs.append(nd.cast("bigint").alias(f"__nd_{c}"))
-        if dtypes[c] in _NUMERIC:
+        if _is_numeric(dtypes[c]):
             aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
             aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
         else:
@@ -80,7 +88,7 @@ def profile_table(
     null_s = F.lit(None).cast("string")
     structs = []
     for c in cols:
-        is_num = dtypes[c] in _NUMERIC
+        is_num = _is_numeric(dtypes[c])
         structs.append(
             F.struct(
                 F.lit(c).alias("col_name"),

@@ -5341,66 +5341,17 @@ FROM orders"""
 # EVERY ROUND alongside code changes; tests/test_oracle_parity.py asserts
 # the dict order below matches gate_order(list(QUERIES), history, GATE_TOUCHED).
 GATE_TOUCHED: tuple[str, ...] = (
-    "k_core", "token_pmi", "triangle_count", "hist_quantiles",
+    # r13 ADVICE fixes: type-agnostic tie-breaks + decimal profiling
+    "fuzzy_contamination", "label_propagation", "profile_table",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
-    # NEW in round 12 (never driver-checked):
-    "edit_distance_pairs": q_edit_distance_pairs,
-    "snm_pairs": q_snm_pairs,
+    # code changed this round (GATE_TOUCHED):
     "profile_table": q_profile_table,
-    "decayed_score": q_decayed_score,
     "label_propagation": q_label_propagation,
-    "hybrid_rrf": q_hybrid_rrf,
-    "mad_anomaly": q_mad_anomaly,
     "fuzzy_contamination": q_fuzzy_contamination,
-    "source_top_terms": q_source_top_terms,
-    "triangle_count_deg": q_triangle_count_deg,
-    "ngram_diversity_hll": q_ngram_diversity_hll,
-    "adamic_adar": q_adamic_adar,
-    "collapse_repeats": q_collapse_repeats,
-    "embedding_drift": q_embedding_drift,
-    "shard_balance": q_shard_balance,
-    "text_knn": q_text_knn,
-    "keep_best_dedup": q_keep_best_dedup,
-    "ks_drift": q_ks_drift,
-    "cdc_dedup": q_cdc_dedup,
-    "minhash_estimate": q_minhash_estimate,
-    # code paths touched in round 12 (k_core hint-free peel;
-    # token_pmi cast-then-multiply; triangle_count _canon_edges refactor):
-    "triangle_count": q_triangle_count,
-    "token_pmi": q_token_pmi,
-    "k_core": q_k_core,
-    "hist_quantiles": q_hist_quantiles,
-    # last driver-checked r9 (3 rounds stale — the r11 verdict's #1):
-    "html_extract": q_html_extract,
-    "normalized_dedup": q_normalized_dedup,
-    "ms2_search": q_ms2_search,
-    "spectral_cosine": q_spectral_cosine,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_pq_rescored": q_ann_pq_rescored,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "mass_range_join_bucketed": q_mass_range_join_bucketed,
-    "copurchase_reach": q_copurchase_reach,
-    "order_chain_paths": q_order_chain_paths,
-    "tfidf_topk": q_tfidf_topk,
-    "adduct_search": q_adduct_search,
-    "product_of_native": q_product_of_native,
-    "quiet_customers": q_quiet_customers,
-    "bit_prevalence": q_bit_prevalence,
-    # oldest r10-green rows, rotated back into the gate:
-    "minhash_lsh": q_minhash_lsh,
-    "dup_clusters": q_dup_clusters,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_capped": q_ngram_jaccard_capped,
-    "repetition_stats": q_repetition_stats,
-    "quality_rules": q_quality_rules,
-    "pii_scan": q_pii_scan,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_neardup": q_embed_neardup,
-    "embed_neardup_lsh": q_embed_neardup_lsh,
+    # last driver-green r10:
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
@@ -5412,8 +5363,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_texts": q_packed_texts,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
-    # ------------- gate boundary: entries below are the tail -------------
-    # r10-green rows that didn't fit (first in line for r13):
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -5439,7 +5388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "knn_graph_lsh": q_knn_graph_lsh,
     "knn_graph_ivf": q_knn_graph_ivf,
-    # r11-driver-green rows, untouched in r12 — rotated out:
+    # last driver-green r11:
     "zipf_audit": q_zipf_audit,
     "ngram_diversity": q_ngram_diversity,
     "rate_anomaly": q_rate_anomaly,
@@ -5451,6 +5400,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_vocab": q_hll_vocab,
     "url_dedup": q_url_dedup,
     "operator_census": q_operator_census,
+    # ------------- gate boundary: entries below are the tail -------------
+    # last driver-green r11:
     "ann_cosine_topk": q_ann_cosine_topk,
     "contamination_check": q_contamination_check,
     "model_jaccard": q_model_jaccard,
@@ -5486,6 +5437,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "mixture_upsample": q_mixture_upsample,
     "semantic_contamination": q_semantic_contamination,
+    # last driver-green r12:
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "snm_pairs": q_snm_pairs,
+    "decayed_score": q_decayed_score,
+    "hybrid_rrf": q_hybrid_rrf,
+    "mad_anomaly": q_mad_anomaly,
+    "source_top_terms": q_source_top_terms,
+    "triangle_count_deg": q_triangle_count_deg,
+    "ngram_diversity_hll": q_ngram_diversity_hll,
+    "adamic_adar": q_adamic_adar,
+    "collapse_repeats": q_collapse_repeats,
+    "embedding_drift": q_embedding_drift,
+    "shard_balance": q_shard_balance,
+    "text_knn": q_text_knn,
+    "keep_best_dedup": q_keep_best_dedup,
+    "ks_drift": q_ks_drift,
+    "cdc_dedup": q_cdc_dedup,
+    "minhash_estimate": q_minhash_estimate,
+    "triangle_count": q_triangle_count,
+    "token_pmi": q_token_pmi,
+    "k_core": q_k_core,
+    "hist_quantiles": q_hist_quantiles,
+    "html_extract": q_html_extract,
+    "normalized_dedup": q_normalized_dedup,
+    "ms2_search": q_ms2_search,
+    "spectral_cosine": q_spectral_cosine,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_rescored": q_ann_pq_rescored,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "mass_range_join_bucketed": q_mass_range_join_bucketed,
+    "copurchase_reach": q_copurchase_reach,
+    "order_chain_paths": q_order_chain_paths,
+    "tfidf_topk": q_tfidf_topk,
+    "adduct_search": q_adduct_search,
+    "product_of_native": q_product_of_native,
+    "quiet_customers": q_quiet_customers,
+    "bit_prevalence": q_bit_prevalence,
+    "minhash_lsh": q_minhash_lsh,
+    "dup_clusters": q_dup_clusters,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
+    "repetition_stats": q_repetition_stats,
+    "quality_rules": q_quality_rules,
+    "pii_scan": q_pii_scan,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
 }
 
 ORACLES: dict[str, str] = {

@@ -4311,3 +4311,70 @@ def test_source_top_terms_planted_lift_and_ranking(spark):
 
     with _pytest.raises(ValueError):
         source_top_terms(docs, top_k=0)
+
+
+def test_fuzzy_contamination_string_doc_ids(spark):
+    """String doc ids (the module-wide id contract — every other dedup
+    operator orders ids via plain '<') must work through the best-match
+    tie-break: the previous -bench_id ordering threw CAST_INVALID_INPUT
+    under ANSI mode (round-12 ADVICE). Two identical bench copies force
+    the tie; the winner is the lexicographically smallest bench_id."""
+    from mine_database_spark.operators.dedup import fuzzy_contamination
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [("t-1", text)], "doc_id string, text string"
+    )
+    bench = spark.createDataFrame(
+        [("b-2", text), ("b-1", text)], "doc_id string, text string"
+    )
+    r = fuzzy_contamination(train, bench, min_jaccard=0.5).collect()[0]
+    assert r["doc_id"] == "t-1" and r["jaccard"] == 1.0 and r["contaminated"]
+    assert r["n_candidates"] == 2
+    assert r["bench_id"] == "b-1"  # jaccard tie -> min bench_id
+
+
+def test_label_propagation_string_node_ids(spark):
+    """String node ids through the per-node argmax: the previous
+    max_by(label, struct(c, -label)) threw CAST_INVALID_INPUT on string
+    labels (round-12 ADVICE); ties now break to the lexicographically
+    smallest label via min_by over struct(-count, label). Two K3 cliques
+    with a bridge keep two communities, labels 'a1' and 'b1'."""
+    from mine_database_spark.operators.graph import label_propagation
+
+    k3a = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+    k3b = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+    edges = spark.createDataFrame(
+        k3a + k3b + [("a3", "b1")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    assert {got[n] for n in ("a1", "a2", "a3")} == {"a1"}
+    assert {got[n] for n in ("b1", "b2", "b3")} == {"b1"}
+    # isolated string edge: both ends adopt the smaller label round 1
+    pair = spark.createDataFrame([("x", "w")], "src string, dst string")
+    assert {
+        r["label"] for r in label_propagation(pair, iters=1).collect()
+    } == {"w"}
+
+
+def test_profile_table_decimal_columns_are_numeric(spark):
+    """decimal(p,s) columns profile through the NUMERIC branch (round-12
+    ADVICE: they previously fell into the string min/max pair because
+    the parameterized dtype name missed the _NUMERIC set)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.profile import profile_table
+
+    df = spark.range(4).select(
+        F.col("id"),
+        (F.col("id") * 25 / 10).cast("decimal(10,2)").alias("price"),
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    p = got["price"]
+    assert p["dtype"] == "decimal(10,2)"
+    assert (p["min_num"], p["max_num"]) == (0.0, 7.5)
+    assert p["min_str"] is None and p["max_str"] is None
+    assert (p["n_rows"], p["n_nulls"], p["n_distinct"]) == (4, 0, 4)
