@@ -29,6 +29,7 @@ whose median totals wandered 67-76s, value_min held at 56-59s.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -80,10 +81,41 @@ HEADLINE = [
 HEADLINE += sorted(set(QUERIES) - set(HEADLINE))
 assert set(HEADLINE) == set(QUERIES), sorted(set(QUERIES) ^ set(HEADLINE))
 
+# Host-contamination self-labeling (round-12 lesson: two full runs of
+# IDENTICAL code 2h apart measured 0.90x and 1.6x vs the prior round —
+# host-level CPU variance, invisible to guest `uptime`, dominated the
+# round-over-round delta). Two signals, both recorded in the artifact:
+#   - os.getloadavg() at start/end and at every pass boundary — catches
+#     guest-side contention (another suite running in this VM);
+#   - a single-threaded CPU canary (sha256 over a fixed 192 MiB) timed at
+#     every pass boundary while Spark is idle — host CPU steal inflates it
+#     directly, and it is insensitive to the bench's own multi-threaded
+#     load (measured 0.175s quiet AND under a concurrent 32-thread bench).
+# The envelope carries load_flag=true when either signal exceeds its
+# threshold so a contaminated run self-labels instead of reading as a
+# code regression.
+_CANARY_BASE_SEC = 0.175  # measured quiet on the reference 32-cpu host
+_CANARY_FLAG_RATIO = 1.4
+_LOAD1_FLAG_PER_CPU = 0.25  # pre-boot loadavg1/ncpu above this = busy VM
+
+
+def _cpu_canary() -> float:
+    """Seconds to sha256 a fixed 192 MiB — single-threaded, C-speed,
+    deterministic; a host-steal detector, not a benchmark."""
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    block = b"\x00" * (1 << 20)
+    for _ in range(192):
+        h.update(block)
+    h.digest()
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_start = list(os.getloadavg())  # before the JVM boots: external load
+    canaries = [_cpu_canary()]
     spark = get_spark("mine-database-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -100,7 +132,12 @@ def main() -> None:
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    loads = []
     for _ in range(passes):
+        # pass-boundary host sampling while Spark is idle (see the
+        # self-labeling note above HEADLINE)
+        loads.append(list(os.getloadavg()))
+        canaries.append(_cpu_canary())
         # pass-boundary hygiene: (1) drop data caches so a query that
         # persists an intermediate (ngram_jaccard's shingle table) pays its
         # materialization in EVERY pass — otherwise passes 2..N time a warm
@@ -135,6 +172,13 @@ def main() -> None:
     # for the floor.
     total_min = round(sum(d["min"] for d in details.values()), 3)
 
+    canary_med = round(statistics.median(canaries), 4)
+    ncpu = os.cpu_count() or 1
+    load_flag = (
+        canary_med > _CANARY_BASE_SEC * _CANARY_FLAG_RATIO
+        or load_start[0] / ncpu > _LOAD1_FLAG_PER_CPU
+    )
+
     here = os.path.dirname(os.path.abspath(__file__))
     full = {
         "metric": "headline_query_wall_time",
@@ -145,6 +189,15 @@ def main() -> None:
         "details": details,
         "passes": passes,
         "sf": sf,
+        "host": {
+            "ncpu": ncpu,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_per_pass": [[round(x, 2) for x in l] for l in loads],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "canary_sec": [round(c, 4) for c in canaries],
+            "canary_base_sec": _CANARY_BASE_SEC,
+            "load_flag": load_flag,
+        },
     }
     with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -162,6 +215,8 @@ def main() -> None:
         "queries_file": "BENCH_DETAILS.json",
         "passes": passes,
         "sf": sf,
+        "canary": canary_med,
+        "load_flag": load_flag,
     }
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     for name in sorted(times, key=times.get, reverse=True):

@@ -1659,9 +1659,10 @@ def fuzzy_contamination(
     candidate volume is bounded by bucket collisions exactly like the
     self-join dedup (never |train|×|bench|). Each candidate pair is
     verified with the exact distinct-shingle Jaccard; per train doc the
-    BEST match survives via ONE max_by aggregate ordered by (jaccard,
-    -bench_id) — no window, no per-group sort; partials combine
-    map-side.
+    BEST match survives via max/min_by aggregates ordered by (jaccard
+    desc, bench_id asc) — no window, no per-group sort; partials combine
+    map-side; the tie-break never does arithmetic on the id, so string
+    doc ids work.
 
     Returns one row per train doc with >= 1 candidate:
     (doc_id, bench_id, n_candidates, jaccard, contaminated) where

@@ -104,3 +104,82 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_no"),
         )
     )
+
+
+def binary_dedup(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Exact dedup of binary payloads with NO decode step — the multimodal
+    dedup tier that works today even though image decode is dep-gated
+    (decode_image_real above): identical bytes are identical media
+    regardless of what they encode. Mirrors the reference's binary-blob
+    ingestion need (SDF mol blocks imported as opaque blobs,
+    compound_io.py:278 import_sdf).
+
+    Per input row: (id, digest, n_copies, keep) where digest = sha2-256
+    over the raw bytes, n_copies the group size, and keep marks the
+    group's min-id survivor (same first-wins rule as exact_dedup; `min`
+    on the id is type-agnostic — string ids work).
+
+    Scale: ONE digest-keyed shuffle for the group stats plus the join
+    back on the same key (co-partitioned — no second full shuffle of the
+    hashed side under AQE). Blobs themselves never shuffle: only the
+    fixed 64-char digest and the id leave the scan."""
+    h = media.select(
+        F.col(id_col), F.sha2(F.col(blob_col), 256).alias("digest")
+    )
+    # group key coalesces NULL digests (null blobs) to a sentinel: a plain
+    # inner join on the digest would silently drop them (NULL never equals
+    # NULL in a join key); with the sentinel they form their own group and
+    # surface with digest NULL in the output
+    hk = h.withColumn("__k", F.coalesce("digest", F.lit("\x00null")))
+    groups = hk.groupBy("__k").agg(
+        F.min(id_col).alias("__keeper"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return hk.join(groups, "__k").select(
+        F.col(id_col),
+        "digest",
+        "n_copies",
+        (F.col(id_col) == F.col("__keeper")).alias("keep"),
+    )
+
+
+def binary_profile(
+    media: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    magic_bytes: int = 4,
+) -> DataFrame:
+    """Format census over a binary column with NO decode: one row per
+    magic prefix (the first `magic_bytes` bytes, hex — what file(1) keys
+    on: ffd8ff=JPEG, 89504e47=PNG, ...), with blob count, distinct
+    payloads, and size stats. The profile a pipeline runs on a new media
+    source before routing blobs to typed decoders; NULL blobs group under
+    a NULL prefix so missing payloads are visible, not dropped.
+
+    Scale: scan-side prefix/length/digest expressions + one small
+    groupBy(prefix) — aggregation state is O(formats), not O(blobs);
+    n_distinct carries sha2 digests (fixed 64 chars), never payloads. At
+    100 TB switch n_distinct to approx_count_distinct the same way
+    profile_table does."""
+    if magic_bytes < 1:
+        raise ValueError(f"magic_bytes must be >= 1, got {magic_bytes}")
+    b = media.select(
+        F.hex(
+            F.expr(f"substring({blob_col}, 1, {int(magic_bytes)})")
+        ).alias("magic_hex"),
+        F.length(F.col(blob_col)).cast("bigint").alias("nbytes"),
+        F.sha2(F.col(blob_col), 256).alias("digest"),
+    )
+    return (
+        b.groupBy("magic_hex")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+            F.count_distinct("digest").cast("bigint").alias("n_distinct"),
+            F.min("nbytes").alias("min_bytes"),
+            F.max("nbytes").alias("max_bytes"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy(F.col("n_blobs").desc(), "magic_hex")
+    )

@@ -731,7 +731,10 @@ def knn_graph_lsh(
     the bands collapses recall before it controls volume. For such data
     knn_graph_ivf (coarse-quantizer lists, volume governed by n_centroids
     regardless of geometry) is the production path; LSH wins when the
-    corpus has genuine high-cosine neighbor structure.
+    corpus has genuine high-cosine neighbor structure. Measure before
+    choosing: lsh_candidate_fraction (below) reports the admitted-pair
+    fraction for a band config from the band join's own counts, with no
+    rescore pass.
 
     `bucket_cap` drops (band, band_sig) buckets holding more than that many
     vectors before pairing — a bucket of f vectors emits O(f²) candidate
@@ -1874,5 +1877,96 @@ def embedding_drift(
             "n_b",
             cos.alias("centroid_cos"),
             F.round(F.lit(1.0) - cos, 4).alias("drift"),
+        )
+    )
+
+
+def lsh_candidate_fraction(
+    embeddings: DataFrame,
+    n_planes: int = 24,
+    rows_per_band: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row audit of sign-LSH candidate volume at a band config —
+    the gate a pipeline runs BEFORE committing to knn_graph_lsh.
+
+    Sign-LSH candidate volume follows the 1 − θ/π collision geometry, so
+    on weakly-clustered embeddings the banding admits most pairs (measured
+    on this repo's near-uniform synthetic vectors: ~65% of ALL pairs at
+    the default 8 bands × 3 bits) and the "approximate" graph quietly
+    costs all-pairs. That failure mode was previously a docstring note
+    (knn_graph_lsh) — this makes it a NUMBER a pipeline can branch on:
+    candidate fraction above a threshold → take the IVF twin
+    (knn_graph_ivf), whose volume is governed by list sizes regardless
+    of geometry.
+
+    Returns ONE row:
+      n_vectors    — vectors banded,
+      total_pairs  — n·(n−1)/2,
+      cand_pairs   — distinct unordered pairs sharing ≥1 band bucket
+                     (exactly knn_graph_lsh's candidate set),
+      cand_fraction— cand_pairs / total_pairs, round 6,
+      join_rows    — Σ_buckets f·(f−1)/2, the unordered band-join output
+                     volume (counts a pair once per shared band): the
+                     SHUFFLE cost of candidate generation,
+      max_bucket   — largest bucket (the quadratic hot spot bucket_cap
+                     would drop).
+
+    Cost: the band shuffle + the candidate distinct — NO rescore pass, so
+    the audit is strictly cheaper than the kNN it gates. At 100 TB run it
+    on a uniform sample (`embeddings.sample(...)`): cand_fraction is a
+    ratio, so it transfers; join_rows/max_bucket scale with the sample.
+    All three aggregates reduce to single rows before the final
+    broadcast-scalar cross joins. The pair inequality uses `<` on the id
+    (type-agnostic — string ids work, per the module contract).
+    """
+    bands = lsh_band_table(
+        embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col
+    )
+    # one banded row per (vector, band): distinct ids = bands rows / n_bands,
+    # but count distinct directly so a caller passing duplicate ids fails loud
+    nvec = bands.agg(
+        F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_vectors")
+    )
+    buckets = bands.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    vol = buckets.agg(
+        F.sum(F.expr("f * (f - 1) div 2")).cast("bigint").alias("join_rows"),
+        F.max("f").cast("bigint").alias("max_bucket"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_sig"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
+    )
+    return (
+        nvec.crossJoin(F.broadcast(vol))
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "n_vectors",
+            F.expr("n_vectors * (n_vectors - 1) div 2")
+            .cast("bigint")
+            .alias("total_pairs"),
+            "cand_pairs",
+            "join_rows",
+            "max_bucket",
+        )
+        .select(
+            "n_vectors",
+            "total_pairs",
+            "cand_pairs",
+            F.round(
+                F.col("cand_pairs").cast("double")
+                / F.col("total_pairs").cast("double"),
+                6,
+            ).alias("cand_fraction"),
+            "join_rows",
+            "max_bucket",
         )
     )

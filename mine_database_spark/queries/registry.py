@@ -2161,6 +2161,45 @@ SELECT vec_id, rank, neighbor_id, score FROM r WHERE rank <= 5
 )
 
 
+def q_lsh_candidate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH degeneracy audit (similarity.lsh_candidate_fraction): the
+    fraction of ALL pairs the default 8-band × 3-bit config admits as
+    candidates, from the band join's own counts — no rescore pass. The
+    number a pipeline gates on before choosing knn_graph_lsh vs the IVF
+    twin: on this repo's near-uniform embeddings it reads ~0.65, i.e. the
+    'approximate' LSH graph would cost two-thirds of all-pairs."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_candidate_fraction(e)
+
+
+_Q_LSH_CAND_FRACTION_SQL = (
+    "WITH " + _LSH_BANDS_SQL + """,
+nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors FROM bands),
+bu AS (SELECT band, band_sig, COUNT(*) AS f FROM bands GROUP BY band, band_sig),
+vol AS (
+  SELECT CAST(SUM(f * (f - 1) // 2) AS BIGINT) AS join_rows,
+         CAST(MAX(f) AS BIGINT) AS max_bucket
+  FROM bu
+),
+cp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs FROM (
+    SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.vec_id < b.vec_id
+  )
+)
+SELECT n_vectors,
+       CAST(n_vectors * (n_vectors - 1) // 2 AS BIGINT) AS total_pairs,
+       cand_pairs,
+       round(CAST(cand_pairs AS DOUBLE)
+             / CAST(n_vectors * (n_vectors - 1) // 2 AS DOUBLE), 6) AS cand_fraction,
+       join_rows, max_bucket
+FROM nv, vol, cp
+"""
+)
+
+
 def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph via IVF multi-assignment
     (similarity.knn_graph_ivf): every vector joins its 4 nearest coarse
@@ -2381,6 +2420,73 @@ SELECT doc_id AS media_id,
        CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS INT) AS width,
        CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 768 + 1 AS INT) AS height
 FROM documents
+"""
+
+
+def q_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary payloads, no decode (multimodal.binary_dedup):
+    sha2-256 over the raw bytes, min-id survivor per digest. The corpus
+    plants deterministic duplicates (a +100000-rekeyed copy of doc_id<50)
+    so the dup groups are real — the base documents table is dup-free at
+    small SF. Only the 64-char digest and the id ever shuffle; payloads
+    stay at the scan."""
+    from mine_database_spark.operators.multimodal import binary_dedup
+
+    (d,) = _t(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary").alias("blob")
+    media = d.select("doc_id", blob).unionAll(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), blob
+        )
+    )
+    return binary_dedup(media, id_col="doc_id")
+
+
+_Q_BINARY_DEDUP_SQL = """
+WITH m AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+h AS (SELECT doc_id, sha256(text) AS digest FROM m),
+g AS (
+  SELECT digest, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM h GROUP BY digest
+)
+SELECT h.doc_id, h.digest, g.n_copies, h.doc_id = g.keeper AS keep
+FROM h JOIN g USING (digest)
+"""
+
+
+def q_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format census over a binary column, no decode
+    (multimodal.binary_profile): one row per 4-byte magic prefix with
+    blob/distinct/size stats — the routing profile a pipeline computes on
+    a new media source before choosing typed decoders. Text-derived blobs
+    here, so the prefixes are the UTF-8 of each document's first chars;
+    real media would show ffd8ff/89504e47/... The oracle replays the
+    prefix as substring(hex(encode(text)),1,8)."""
+    from mine_database_spark.operators.multimodal import binary_profile
+
+    (d,) = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    return binary_profile(media, id_col="doc_id")
+
+
+_Q_BINARY_PROFILE_SQL = """
+WITH b AS (
+  SELECT substring(hex(encode(text)), 1, 8) AS magic_hex,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+         sha256(text) AS digest
+  FROM documents
+)
+SELECT magic_hex,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct,
+       MIN(nbytes) AS min_bytes,
+       MAX(nbytes) AS max_bytes,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+FROM b GROUP BY magic_hex
 """
 
 
@@ -5347,6 +5453,10 @@ GATE_TOUCHED: tuple[str, ...] = (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
+    # never driver-checked:
+    "lsh_candidate_fraction": q_lsh_candidate_fraction,
+    "binary_dedup": q_binary_dedup,
+    "binary_profile": q_binary_profile,
     # code changed this round (GATE_TOUCHED):
     "profile_table": q_profile_table,
     "label_propagation": q_label_propagation,
@@ -5541,6 +5651,9 @@ ORACLES: dict[str, str] = {
     "winnow_pairs": _Q_WINNOW_PAIRS_SQL,
     "knn_graph": _Q_KNN_GRAPH_SQL,
     "knn_graph_lsh": _Q_KNN_GRAPH_LSH_SQL,
+    "lsh_candidate_fraction": _Q_LSH_CAND_FRACTION_SQL,
+    "binary_dedup": _Q_BINARY_DEDUP_SQL,
+    "binary_profile": _Q_BINARY_PROFILE_SQL,
     "knn_graph_ivf": _Q_KNN_GRAPH_IVF_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "priority_dedup": _Q_PRIORITY_DEDUP_SQL,

@@ -4378,3 +4378,91 @@ def test_profile_table_decimal_columns_are_numeric(spark):
     assert (p["min_num"], p["max_num"]) == (0.0, 7.5)
     assert p["min_str"] is None and p["max_str"] is None
     assert (p["n_rows"], p["n_nulls"], p["n_distinct"]) == (4, 0, 4)
+
+
+def test_lsh_candidate_fraction_degenerate_vs_clustered(spark):
+    """The audit the LSH-vs-IVF twin choice gates on: a degenerate corpus
+    (all-identical vectors — one bucket per band) reads cand_fraction 1.0
+    with the quadratic hot spot visible in max_bucket/join_rows; a
+    two-cluster corpus of antipodal vectors (every sign bit flips) keeps
+    cross-cluster pairs out of every bucket, so the fraction is exactly
+    the within-cluster share 2*C(10,2)/C(20,2)."""
+    from mine_database_spark.operators.similarity import (
+        lsh_candidate_fraction,
+    )
+
+    v = [1.0, 0.5, -0.25, 0.125]
+    dup = spark.createDataFrame(
+        [(i, v) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    r = lsh_candidate_fraction(dup, dim=4).collect()[0]
+    assert (r["n_vectors"], r["total_pairs"], r["cand_pairs"]) == (20, 190, 190)
+    assert r["cand_fraction"] == 1.0
+    assert r["max_bucket"] == 20
+    assert r["join_rows"] == 8 * 190  # every pair collides in all 8 bands
+
+    anti = spark.createDataFrame(
+        [(i, v) for i in range(10)]
+        + [(10 + i, [-x for x in v]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = lsh_candidate_fraction(anti, dim=4).collect()[0]
+    assert r2["cand_pairs"] == 90  # only within-cluster pairs
+    assert r2["cand_fraction"] == round(90 / 190, 6)
+    assert r2["max_bucket"] == 10
+
+
+def test_binary_dedup_planted_duplicates_and_nulls(spark):
+    """Byte-identical blobs dedup to the min-id survivor; NULL blobs form
+    their own visible group (digest NULL) instead of silently dropping in
+    the digest join; string ids satisfy the type-agnostic id contract."""
+    from mine_database_spark.operators.multimodal import binary_dedup
+
+    rows = [
+        ("m1", bytearray(b"\xff\xd8\xffjpegbody")),
+        ("m3", bytearray(b"\xff\xd8\xffjpegbody")),  # exact copy
+        ("m2", bytearray(b"\x89PNG\r\nother")),
+        ("m4", None),
+        ("m5", None),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, blob binary")
+    got = {r["media_id"]: r for r in binary_dedup(media).collect()}
+    assert len(got) == 5
+    assert got["m1"]["keep"] and not got["m3"]["keep"]
+    assert got["m1"]["n_copies"] == 2 == got["m3"]["n_copies"]
+    assert got["m1"]["digest"] == got["m3"]["digest"] != got["m2"]["digest"]
+    assert got["m2"]["keep"] and got["m2"]["n_copies"] == 1
+    # NULL blobs: one group of 2, min-id survivor, digest stays NULL
+    assert got["m4"]["digest"] is None and got["m5"]["digest"] is None
+    assert got["m4"]["keep"] and not got["m5"]["keep"]
+    assert got["m4"]["n_copies"] == 2
+
+
+def test_binary_profile_magic_routing(spark):
+    """Magic prefixes group correctly (JPEG vs PNG vs short blob), sizes
+    and distinct-digest counts are exact, and NULL blobs surface under a
+    NULL prefix."""
+    import pytest as _pytest
+
+    from mine_database_spark.operators.multimodal import binary_profile
+
+    rows = [
+        (1, bytearray(b"\xff\xd8\xff\xe0AAAA")),
+        (2, bytearray(b"\xff\xd8\xff\xe0BBBBBB")),
+        (3, bytearray(b"\xff\xd8\xff\xe0AAAA")),  # dup of 1
+        (4, bytearray(b"\x89PNG1234")),
+        (5, bytearray(b"\xab")),  # shorter than magic_bytes
+        (6, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["magic_hex"]: r for r in binary_profile(media).collect()}
+    jpeg = got["FFD8FFE0"]
+    assert (jpeg["n_blobs"], jpeg["n_distinct"]) == (3, 2)
+    assert (jpeg["min_bytes"], jpeg["max_bytes"], jpeg["total_bytes"]) == (8, 10, 26)
+    assert got["89504E47"]["n_blobs"] == 1
+    assert got["AB"]["n_blobs"] == 1  # short blob keeps its real prefix
+    assert None in got and got[None]["n_blobs"] == 1
+    assert got[None]["n_distinct"] == 0  # no digest to count
+
+    with _pytest.raises(ValueError):
+        binary_profile(media, magic_bytes=0)
