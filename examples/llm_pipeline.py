@@ -270,6 +270,94 @@ def run(
     return counts
 
 
+def drift_report(
+    docs_old,
+    docs_new,
+    emb_old=None,
+    emb_new=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k_tokens: int = 10,
+    emb_group_col: str = "label",
+):
+    """Cross-snapshot drift report — two corpus versions in, ONE tall
+    drift table out, composing the four isolated drift monitors the way a
+    data lead reads them between crawls:
+
+      section='membership' — added/removed/changed/unchanged doc counts
+        (dedup.snapshot_diff): the coverage story.
+      section='length_ks'  — the two-sample KS D statistic and its argmax
+        length (quality.ks_drift on char length): the distribution-SHAPE
+        story — a crawler suddenly returning truncated pages moves D long
+        before any mean does.
+      section='token_kl_new' / 'token_kl_gone' — the top-k tokens by
+        |KL contribution| (quality.token_drift), run in BOTH directions:
+        KL weights terms by the FIRST distribution, so a flood token
+        (huge now, absent before) only ranks when the new snapshot is P
+        ('token_kl_new' — what flooded in) and a source going dark only
+        ranks when the old snapshot is P ('token_kl_gone' — what
+        disappeared). One direction alone misses the other failure mode.
+      section='embedding'  — per-group centroid-direction drift
+        (similarity.embedding_drift), when both snapshots' embeddings are
+        supplied: the topic-geometry story.
+
+    Returns (section, item, value) — value is DOUBLE throughout (counts
+    are exact integers below 2^53). Every section reduces to O(k) or
+    O(groups) rows before the final union; the corpus-sized work is the
+    operators' own single scans.
+    """
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.dedup import snapshot_diff
+    from mine_database_spark.operators.quality import ks_drift, token_drift
+
+    def tall(df, section, item_col, value_col):
+        return df.select(
+            F.lit(section).alias("section"),
+            F.col(item_col).cast("string").alias("item"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+
+    membership = (
+        snapshot_diff(docs_old, docs_new, id_col=id_col, content_cols=(text_col,))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    lens = lambda df: df.select(F.length(text_col).alias("n_chars"))
+    ks = ks_drift(lens(docs_old), lens(docs_new), "n_chars")
+    ks_tall = ks.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("d_stat").alias("item"), F.col("d_stat").cast("double").alias("value")),
+                F.struct(F.lit("at_value").alias("item"), F.col("at_value").cast("double").alias("value")),
+            )
+        ).alias("kv")
+    ).select(F.lit("length_ks").alias("section"), F.col("kv.item"), F.col("kv.value"))
+    toks_new = token_drift(docs_new, docs_old, text_col=text_col, top_k=top_k_tokens)
+    toks_gone = token_drift(docs_old, docs_new, text_col=text_col, top_k=top_k_tokens)
+    parts = [
+        tall(membership, "membership", "status", "n"),
+        ks_tall,
+        tall(toks_new, "token_kl_new", "tok", "kl_term"),
+        tall(toks_gone, "token_kl_gone", "tok", "kl_term"),
+    ]
+    if emb_old is not None and emb_new is not None:
+        from mine_database_spark.operators.similarity import embedding_drift
+
+        parts.append(
+            tall(
+                embedding_drift(emb_old, emb_new, group_col=emb_group_col),
+                "embedding",
+                emb_group_col,
+                "drift",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 if __name__ == "__main__":
     for k, v in run().items():
         print(f"{k:24s} {v}")

@@ -392,3 +392,149 @@ def rate_baseline_stats(
         F.sum("n").alias("s1"),
         F.sum(F.col("n") * F.col("n")).alias("s2"),
     )
+
+
+def stream_fuzzy_contamination(
+    doc_stream: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.py:fuzzy_contamination — arriving
+    training docs are MinHash-LSH-banded against a STATIC benchmark corpus
+    and the band-collision candidates verified with the exact
+    distinct-shingle Jaccard, exactly the batch semantics (same MH_AB
+    constants, same band digests, same tie-break), completing the
+    decontamination tier's streaming coverage (exact 8-gram:
+    stream_contamination; bloom: stream_bloom_decontaminate; fuzzy: here).
+
+    Structured Streaming allows ONE stateful aggregation per query, and
+    the batch pipeline has two (the per-doc minhash groupBy and the final
+    best-match groupBy) — so the stream side computes shingles AND the
+    minhash signature ROW-LOCALLY with array expressions (one md5 per
+    distinct shingle materialized via transform(), then num_hashes
+    array_min folds; min over an array equals the batch min-aggregate),
+    leaving only the final per-doc best-match aggregation as stream
+    state. Update mode; each doc's verdict is final once its micro-batch
+    commits (the static side never changes mid-query).
+
+    The batch form dedups candidate pairs with a distinct() before the
+    verify; distinct aggregation isn't available on a stream, so here a
+    pair colliding in several bands survives only in its FIRST matching
+    band — a row-local filter over the two carried band-sig arrays —
+    which makes n_candidates a plain count and the verify (row-local
+    array_intersect against the bench doc's shingle array) run exactly
+    once per pair: identical to batch. Docs with < k words emit nothing
+    (filtered pre-explode), as in batch.
+
+    Scale: the static side is bands + shingle arrays of the BENCHMARK
+    corpus (eval sets — small by nature; broadcasts automatically); the
+    stream explodes num_hashes/rows_per_band band rows per doc carrying
+    the doc's shingle array, and state is one row per flagged doc.
+    """
+    from mine_database_spark.functions.text import word_shingle_strings
+    from mine_database_spark.operators.dedup import (
+        MH_AB,
+        MH_P,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    n_bands = num_hashes // rows_per_band
+    # stream side, all row-local: distinct shingles -> one md5 value per
+    # shingle (materialized array: HOF lambdas re-evaluate repeated
+    # subexpressions, so the digest is hoisted out of the num_hashes folds)
+    sh = F.array_distinct(word_shingle_strings(F.col(text_col), k))
+    t = doc_stream.select(
+        F.col(id_col).alias("train_id"), sh.alias("__sh")
+    ).where(F.size("__sh") > 0)
+    x = F.transform(
+        F.col("__sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % F.lit(MH_P),
+    )
+    t = t.withColumn("__x", x)
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would grow extra parameters
+        # and PySpark maps lambda arity onto the HOF's (value, index, ...)
+        # variants
+        return lambda v: (v * F.lit(a) + F.lit(b)) % F.lit(MH_P)
+
+    mh = [
+        F.array_min(F.transform(F.col("__x"), _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MH_AB[:num_hashes])
+    ]
+    t = t.select("train_id", "__sh", *mh)
+    sig_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh_{b * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(n_bands)
+    ]
+    # carry the doc's FULL sig array through the explode: a pair colliding
+    # in several bands would hit once per band, and streaming can't
+    # count_distinct it away — instead each joined row checks row-locally
+    # whether its band is the pair's FIRST matching band and drops
+    # otherwise, so every candidate pair survives exactly once and the
+    # final aggregate is a plain count (no distinct state)
+    tb = t.select(
+        "train_id", "__sh", F.array(*sig_exprs).alias("__sigs")
+    ).select(
+        "train_id", "__sh", "__sigs",
+        F.posexplode("__sigs").alias("band", "band_sig"),
+    )
+
+    # static bench side: the batch signature helpers verbatim (same
+    # constants → same digests), then the same full-array carry
+    sig_b = minhash_signatures(
+        shingle_table(bench, id_col, text_col, k, distinct=False), num_hashes
+    )
+    bb = sig_b.select(
+        F.col("doc_id").alias("bench_id"), F.array(*sig_exprs).alias("__bsigs")
+    ).select(
+        "bench_id", "__bsigs",
+        F.posexplode("__bsigs").alias("band", "band_sig"),
+    )
+    bsh = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.array_distinct(word_shingle_strings(F.col(text_col), k)).alias("__bsh"),
+    )
+
+    first_match = F.array_position(
+        F.zip_with("__sigs", "__bsigs", lambda a, b: a == b), F.lit(True)
+    )
+    i = F.size(F.array_intersect(F.col("__sh"), F.col("__bsh")))
+    jac = F.round(
+        i / (F.size("__sh") + F.size("__bsh") - i), 6
+    )
+    scored = (
+        tb.join(bb, ["band", "band_sig"])
+        .where(F.col("band") == first_match - 1)  # posexplode is 0-based
+        .join(bsh, "bench_id")
+        .select("train_id", "bench_id", jac.alias("jaccard"))
+    )
+    best = scored.groupBy("train_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_candidates"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min_by(
+            "bench_id",
+            F.struct((-F.col("jaccard")).alias("nj"), F.col("bench_id").alias("b")),
+        ).alias("best_bench_id"),
+    )
+    return best.select(
+        F.col("train_id").alias("doc_id"),
+        F.col("best_bench_id").alias("bench_id"),
+        "n_candidates",
+        F.col("best_jaccard").alias("jaccard"),
+        (F.col("best_jaccard") >= min_jaccard).alias("contaminated"),
+    )

@@ -4466,3 +4466,65 @@ def test_binary_profile_magic_routing(spark):
 
     with _pytest.raises(ValueError):
         binary_profile(media, magic_bytes=0)
+
+
+def test_stream_fuzzy_contamination_equals_batch(spark, tmp_path):
+    """The streaming fuzzy-decontamination twin must emit EXACTLY the
+    batch fuzzy_contamination rows on the same data: the one-token-edit
+    doc flags against its bench source (same jaccard to 6 places), the
+    disjoint doc emits nothing, and an identical cross-corpus copy scores
+    1.0 — proving the row-local minhash/band arithmetic reproduces the
+    batch aggregate form bit-for-bit."""
+    from mine_database_spark.operators.dedup import fuzzy_contamination
+    from mine_database_spark.streaming.windows import stream_fuzzy_contamination
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    train_rows = [
+        (0, bench_text.replace("lazy", "sleepy")),  # one-token edit
+        (2, "completely unrelated content about spark shuffle plans "
+            "and adaptive query execution at terabyte scale today"),
+        (7, bench_text),  # identical copy
+        (9, "tiny"),      # < k words: no shingles, must emit nothing
+    ]
+    bench = spark.createDataFrame(
+        [(1, bench_text), (3, "another benchmark doc with different words "
+                              "entirely about graphs and communities")],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination(
+            spark.createDataFrame(train_rows, "doc_id long, text string"),
+            bench,
+        ).collect()
+    }
+
+    src = tmp_path / "fuzzy_src"
+    src.mkdir()
+    with open(src / "t.csv", "w") as fh:
+        for i, text in train_rows:
+            fh.write(f'{i},"{text}"\n')
+    stream = spark.readStream.schema("doc_id long, text string").csv(str(src))
+    q = (
+        stream_fuzzy_contamination(stream, bench)
+        .writeStream.format("memory")
+        .queryName("fuzzy_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow stream did not finish"
+    got = {
+        r["doc_id"]: r for r in spark.sql("select * from fuzzy_stream_test").collect()
+    }
+    assert set(got) == set(batch)
+    for doc_id, b in batch.items():
+        s = got[doc_id]
+        assert (s["bench_id"], s["n_candidates"], s["jaccard"], s["contaminated"]) == (
+            b["bench_id"], b["n_candidates"], b["jaccard"], b["contaminated"]
+        ), doc_id
+    assert 7 in got and got[7]["jaccard"] == 1.0 and got[7]["contaminated"]
+    assert 9 not in got and 2 not in got

@@ -50,3 +50,61 @@ def test_llm_pipeline_end_to_end(spark, tmp_path):
     # the shipped distribution must differ from the input (D > 0), and D
     # is a valid statistic (<= 1)
     assert 0 < counts["audit_length_ks_vs_input"] <= 1.0
+
+
+def test_drift_report_planted_truncation_and_vocab_flood(spark):
+    """Two planted corpus shifts must each surface in the right section of
+    the cross-snapshot drift table: truncating half the docs moves the
+    length-KS D stat (shape story); flooding new docs with one token puts
+    that token at KL rank 1 (vocabulary story); an added + a removed doc
+    land in the membership counts; and a planted embedding flip shows
+    drift 2.0 for its group while the stable group reads ~0."""
+    from pyspark.sql import functions as F
+
+    from llm_pipeline import drift_report
+
+    base = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta " * 6)
+        for i in range(20)
+    ]
+    old = spark.createDataFrame(base, "doc_id long, text string")
+    new_rows = []
+    for i, text in base[1:]:  # doc 0 removed
+        if i >= 10:
+            text = text[:40]  # planted truncation
+        if i % 3 == 0:
+            text = text + " floodtoken" * 30  # planted vocab flood
+        new_rows.append((i, text))
+    new_rows.append((999, "a brand new document about nothing much"))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    emb_old = spark.createDataFrame(
+        [("g_stable", [1.0, 0.0]), ("g_flip", [0.0, 1.0])] * 3,
+        "label string, embedding array<double>",
+    )
+    emb_new = spark.createDataFrame(
+        [("g_stable", [1.0, 0.0]), ("g_flip", [0.0, -1.0])] * 3,
+        "label string, embedding array<double>",
+    )
+
+    rows = drift_report(old, new, emb_old, emb_new).collect()
+    got = {(r["section"], r["item"]): r["value"] for r in rows}
+
+    assert got[("membership", "added")] == 1.0
+    assert got[("membership", "removed")] == 1.0
+    assert got[("membership", "changed")] >= 10.0  # truncated and/or flooded
+    # truncation: old is a point mass at one length; 7 truncated-only docs
+    # (40 chars) + the new doc (39) sit below it out of 20 -> D = 8/20
+    assert got[("length_ks", "d_stat")] == 0.4
+    # vocabulary: the flood token is KL rank 1 in the what-flooded-in
+    # direction (it cannot rank in the old->new direction: KL weights
+    # terms by the FIRST distribution, where the flood has count 0)
+    kl_rank1 = max(
+        (r for r in rows if r["section"] == "token_kl_new"),
+        key=lambda r: abs(r["value"]),
+    )
+    assert kl_rank1["item"] == "floodtoken"
+    assert any(r["section"] == "token_kl_gone" for r in rows)
+    # embeddings: antipodal flip -> drift = 1 - (-1) = 2; stable group ~0
+    assert got[("embedding", "g_flip")] == 2.0
+    assert got[("embedding", "g_stable")] == 0.0
