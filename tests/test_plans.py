@@ -342,6 +342,7 @@ def test_plan_shape_queries_invariant_under_aqe_stress(spark, sf_smoke):
         "mass_range_join_bucketed",
         "shard_balance",  # rides token_shards' prefix-sum exchange reuse
         "snm_pairs",  # rides distributed_rank's prefix-sum exchange reuse
+        "binary_dedup",  # digest-keyed group + join-back (skew-splittable)
     ]
     stress = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
@@ -1069,3 +1070,44 @@ def test_source_top_terms_single_token_scan_group_limit(spark, sf_smoke):
         "text" in seg.splitlines()[0] for seg in full.split("ReadSchema: ")[1:]
     )
     assert n_text == 1, full
+
+
+def test_lsh_candidate_fraction_band_equijoin_only(spark, sf_smoke):
+    """The degeneracy audit must itself be cheap: the pair count comes
+    from the band SELF equi-join (never an all-pairs cross), there is no
+    rescore (no cosine arithmetic on the embedding column after banding),
+    and the only nested-loop joins are the two final single-row scalar
+    cross joins stitching the one-row aggregates together."""
+    df = QUERIES["lsh_candidate_fraction"](spark, sf_smoke)
+    plan = plan_str(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_binary_dedup_digest_only_shuffle(spark, sf_smoke):
+    """Blobs never shuffle: every Exchange in the dedup plan carries only
+    the id/digest projection (the binary column is pruned before the
+    group/join), and the join back is an equi-join (no window, no
+    nested loop)."""
+    plan = plan_str(QUERIES["binary_dedup"](spark, sf_smoke), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    full = plan_str(QUERIES["binary_dedup"](spark, sf_smoke))
+    # the only columns read from parquet are doc_id and text (digest
+    # computes scan-side); no exchange ever lists the blob/text column
+    for seg in full.split("Exchange ")[1:]:
+        first = seg.splitlines()[0]
+        assert "blob" not in first and "text" not in first, first
+
+
+def test_binary_profile_single_scan_no_join(spark, sf_smoke):
+    """The format census is ONE scan + one magic-prefix aggregate (plus
+    the output sort): no join of any kind, no Python, and the aggregation
+    state is O(formats)."""
+    plan = plan_str(QUERIES["binary_profile"](spark, sf_smoke), mode="simple")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
