@@ -624,8 +624,17 @@ def repeated_span_scrub(
         )
         .select("doc_id", "start")
     )
-    # gaps-and-islands interval merge per document: the union of
-    # [start, start+w) ranges as disjoint (s, e) cut intervals
+    return _scrub_token_ranges(base, losers, w)
+
+
+def _scrub_token_ranges(base: DataFrame, losers: DataFrame, w: int) -> DataFrame:
+    """Shared rebuild half of the span scrubs: merge each document's loser
+    [start, start+w) token ranges into disjoint cut intervals
+    (gaps-and-islands, window PARTITIONED BY doc_id so state is bounded by
+    document length), then filter the token array against the O(#intervals)
+    cut list in one scan-local pass. `base` carries (doc_id, __toks);
+    `losers` carries (doc_id, start). Returns (doc_id, clean_text, n_toks,
+    n_dropped)."""
     w_doc = Window.partitionBy("doc_id").orderBy("start")
     prev_end = F.max(F.col("start") + w).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
@@ -661,6 +670,72 @@ def repeated_span_scrub(
         F.size(F.col("__toks")).cast("bigint").alias("n_toks"),
         (F.size(F.col("__toks")) - F.size(kept)).cast("bigint").alias("n_dropped"),
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    span_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level eval decontamination — the REPAIR action the flag-level
+    tier lacks: instead of dropping every training document that shares an
+    n-gram with the benchmark (contamination_check's policy, which throws
+    away a whole book over one quoted test question), cut ONLY the
+    contaminated token spans and keep the rest — the SlimPajama/open-LM
+    scrub policy. Every sliding `span_words`-token window of a train doc
+    that appears ANYWHERE in the benchmark corpus marks its token range;
+    ranges union into disjoint cut intervals; documents rebuild from the
+    surviving tokens.
+
+    Returns (doc_id, clean_text, n_toks, n_dropped) — the
+    repeated_span_scrub contract; n_dropped > 0 is the contaminated-doc
+    flag, clean_text == '' means the document was entirely benchmark
+    material. Train docs shorter than span_words pass through unchanged
+    (they cannot contain a full window — match exact-8-gram-tier
+    semantics).
+
+    Scale: the train-side positional span index is O(corpus tokens) rows,
+    the same as repeated_span_scrub; the bench side reduces to its
+    DISTINCT window digests (eval sets are small — the digest set
+    broadcasts), so the dirty-span marking is a semi-join, never
+    |train|×|bench|; the interval merge and rebuild are the shared
+    document-bounded machinery (_scrub_token_ranges)."""
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    w = span_words
+    words = F.split(F.col(text_col), " ")
+    base = train.select(F.col(id_col).alias("doc_id"), words.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    spans = base.where(n >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), p + 1, w))),
+            )
+        ).alias("start", "__digest"),
+    )
+    bwords = F.split(F.col(text_col), " ")
+    bn = F.size(F.col("__btoks"))
+    bgrams = (
+        bench.select(bwords.alias("__btoks"))
+        .where(bn >= w)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), bn - w),
+                    lambda p: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__btoks"), p + 1, w))
+                    ),
+                )
+            ).alias("__digest")
+        )
+        .distinct()
+    )
+    dirty = spans.join(bgrams, "__digest", "left_semi").select("doc_id", "start")
+    return _scrub_token_ranges(base, dirty, w)
 
 
 def winnow_candidate_pairs(

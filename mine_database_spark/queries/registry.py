@@ -2336,6 +2336,68 @@ FROM t LEFT JOIN a USING (doc_id)
 """
 
 
+def q_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval decontamination (dedup.decontaminate_spans): cut
+    ONLY the 8-gram spans a training doc shares with the benchmark corpus
+    and keep the rest — the repair-action complement of
+    contamination_check's drop-the-whole-doc policy (SlimPajama-style).
+    Bench = the doc_id % 97 == 0 slice (the held-out-eval convention the
+    llm_pipeline template plants); train = the WHOLE corpus, eval slice
+    included — the leaked-eval-docs-in-the-crawl scenario, so the planted
+    overlap scrubs to empty at every SF while partially-quoting docs lose
+    only their quoted spans. The oracle groups windows by raw text (the
+    engine's md5 is only a shuffle-width device) and rebuilds via
+    position-coverage anti-join — same coverage union as the engine's
+    merged intervals."""
+    (d,) = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return dd.decontaminate_spans(d, bench, span_words=8)
+
+
+_Q_SPAN_DECONTAMINATE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bm AS (
+  SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 97 = 0
+),
+bg AS (
+  SELECT DISTINCT array_to_string(list_slice(ws, i, i + 7), ' ') AS win
+  FROM bm, UNNEST(generate_series(1, len(ws) - 7)) AS g(i)
+  WHERE len(ws) >= 8
+),
+s AS (
+  SELECT doc_id, i - 1 AS start,
+         array_to_string(list_slice(ws, i, i + 7), ' ') AS win
+  FROM t, UNNEST(generate_series(1, len(ws) - 7)) AS g(i)
+  WHERE len(ws) >= 8
+),
+l AS (SELECT s.doc_id, s.start FROM s JOIN bg USING (win)),
+cover AS (
+  SELECT DISTINCT l.doc_id, u.pos
+  FROM l, UNNEST(generate_series(l.start, l.start + 7)) AS u(pos)
+),
+toks AS (
+  SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS pos FROM t
+),
+k AS (
+  SELECT toks.doc_id, toks.tok, toks.pos
+  FROM toks LEFT JOIN cover
+    ON toks.doc_id = cover.doc_id AND toks.pos = cover.pos
+  WHERE cover.doc_id IS NULL
+),
+a AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, count(*) AS kept
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean, '') AS clean_text,
+       CAST(len(t.ws) AS BIGINT) AS n_toks,
+       CAST(len(t.ws) - coalesce(a.kept, 0) AS BIGINT) AS n_dropped
+FROM t LEFT JOIN a USING (doc_id)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.py:semantic_dedup):
     IVF-cluster the embeddings, score pairs only within a cluster with the
@@ -5447,8 +5509,10 @@ FROM orders"""
 # EVERY ROUND alongside code changes; tests/test_oracle_parity.py asserts
 # the dict order below matches gate_order(list(QUERIES), history, GATE_TOUCHED).
 GATE_TOUCHED: tuple[str, ...] = (
-    # r13 ADVICE fixes: type-agnostic tie-breaks + decimal profiling
+    # r13 ADVICE fixes: type-agnostic tie-breaks + decimal profiling;
+    # span_scrub: cut-merge/rebuild extracted into _scrub_token_ranges
     "fuzzy_contamination", "label_propagation", "profile_table",
+    "span_scrub",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5457,7 +5521,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_candidate_fraction": q_lsh_candidate_fraction,
     "binary_dedup": q_binary_dedup,
     "binary_profile": q_binary_profile,
+    "span_decontaminate": q_span_decontaminate,
     # code changed this round (GATE_TOUCHED):
+    "span_scrub": q_span_scrub,
     "profile_table": q_profile_table,
     "label_propagation": q_label_propagation,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -5505,13 +5571,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "embedding_outliers": q_embedding_outliers,
     "lang_mismatch": q_lang_mismatch,
+    # ------------- gate boundary: entries below are the tail -------------
+    # last driver-green r11:
     "token_drift": q_token_drift,
     "inverted_index": q_inverted_index,
     "hll_vocab": q_hll_vocab,
     "url_dedup": q_url_dedup,
     "operator_census": q_operator_census,
-    # ------------- gate boundary: entries below are the tail -------------
-    # last driver-green r11:
     "ann_cosine_topk": q_ann_cosine_topk,
     "contamination_check": q_contamination_check,
     "model_jaccard": q_model_jaccard,
@@ -5519,7 +5585,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_filter": q_regex_filter,
     "token_shards": q_token_shards,
     "segment_dedup": q_segment_dedup,
-    "span_scrub": q_span_scrub,
     "assign_ids": q_assign_ids,
     "multimodal_features": q_multimodal_features,
     "bpe_token_stats": q_bpe_token_stats,
@@ -5654,6 +5719,7 @@ ORACLES: dict[str, str] = {
     "lsh_candidate_fraction": _Q_LSH_CAND_FRACTION_SQL,
     "binary_dedup": _Q_BINARY_DEDUP_SQL,
     "binary_profile": _Q_BINARY_PROFILE_SQL,
+    "span_decontaminate": _Q_SPAN_DECONTAMINATE_SQL,
     "knn_graph_ivf": _Q_KNN_GRAPH_IVF_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "priority_dedup": _Q_PRIORITY_DEDUP_SQL,

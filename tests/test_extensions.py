@@ -4528,3 +4528,41 @@ def test_stream_fuzzy_contamination_equals_batch(spark, tmp_path):
         ), doc_id
     assert 7 in got and got[7]["jaccard"] == 1.0 and got[7]["contaminated"]
     assert 9 not in got and 2 not in got
+
+
+def test_decontaminate_spans_planted_overlap(spark):
+    """Span-level decontamination cuts ONLY the contaminated window's
+    token coverage: a train doc quoting one benchmark 8-gram loses
+    exactly those token positions (overlapping windows union), a clean
+    doc passes byte-identical, a doc that IS a benchmark doc scrubs to
+    empty, and a sub-8-token doc passes through."""
+    from mine_database_spark.operators.dedup import decontaminate_spans
+
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes bench tokens q1..q8 (one full window) mid-document
+            (0, "a b c q1 q2 q3 q4 q5 q6 q7 q8 x y z w v u t s r"),
+            (1, "totally clean document with enough words to index fully"),
+            (2, bench_text),   # verbatim benchmark doc
+            (3, "too short"),  # < 8 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate_spans(train, bench).collect()}
+    assert len(got) == 4
+    # doc 0: only the q1..q8 window matches (positions 3..10 cut)
+    assert got[0]["clean_text"] == "a b c x y z w v u t s r"
+    assert (got[0]["n_toks"], got[0]["n_dropped"]) == (20, 8)
+    assert got[1]["clean_text"].startswith("totally clean") and got[1]["n_dropped"] == 0
+    # doc 2: every window matches -> coverage union is the whole doc
+    assert got[2]["clean_text"] == "" and got[2]["n_dropped"] == 10
+    assert got[3]["clean_text"] == "too short" and got[3]["n_dropped"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decontaminate_spans(train, bench, span_words=0)
