@@ -131,3 +131,68 @@ def duckdb_redact_sql(col: str) -> str:
         escaped = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{escaped}', '{repl}', 'g')"
     return out
+
+
+# Credit-card-shaped numbers: 4x4 digit groups with consistent optional
+# separators. RE2-safe (no lookaround; the separator classes cannot branch
+# ambiguously). Pattern recall mirrors the phone tradeoff: bare 16-digit
+# runs inside longer digit strings are excluded by the \b anchors.
+CC_RE = r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b"
+
+
+def cc_count(text: Column) -> Column:
+    """Credit-card-SHAPED matches (pattern only — see cc_valid_count for
+    the checksum-verified tier)."""
+    return F.regexp_count(text, F.lit(CC_RE))
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True when a digits-only string passes the Luhn mod-10 checksum —
+    the verification tier that separates a real card number from an order
+    id that merely LOOKS like one (pattern scanners alone over-redact;
+    ~10% of random 16-digit runs pass Luhn). Pure integer array
+    expression: doubling walks from the rightmost digit, folds >9 to
+    digit-sum (2d-9), sums mod 10. Zero shuffle, zero Python."""
+    n = F.length(digits)
+    terms = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.when(
+            j % 2 == 1,
+            F.when(
+                (F.ascii(F.substr(digits, n - j, F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(F.substr(digits, n - j, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise((F.ascii(F.substr(digits, n - j, F.lit(1))) - 48) * 2),
+        ).otherwise(F.ascii(F.substr(digits, n - j, F.lit(1))) - 48),
+    )
+    return F.aggregate(terms, F.lit(0), lambda acc, x: acc + x) % 10 == 0
+
+
+def cc_valid_count(text: Column) -> Column:
+    """Luhn-verified credit-card hits: extract the CC-shaped candidates,
+    strip separators, keep only checksum-valid numbers. The scrub-policy
+    split this enables: redact verified numbers, leave lookalikes
+    (timestamps, order ids) intact."""
+    cands = F.regexp_extract_all(text, F.lit(CC_RE), 0)
+    digits = F.transform(cands, lambda s: F.regexp_replace(s, "[- ]", ""))
+    return F.size(F.filter(digits, luhn_valid))
+
+
+def duckdb_luhn_sql(c: str) -> str:
+    """DuckDB mirror of luhn_valid over a digits-only expression."""
+    d = f"(ascii(substr({c}, length({c}) - j, 1)) - 48)"
+    return (
+        f"(list_sum(list_transform(generate_series(0, length({c}) - 1), j -> "
+        f"CASE WHEN j % 2 = 1 THEN CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 "
+        f"ELSE 2*{d} END ELSE {d} END)) % 10 = 0)"
+    )
+
+
+def duckdb_cc_valid_count_sql(col: str) -> str:
+    """DuckDB mirror of cc_valid_count (oracle construction)."""
+    pat = CC_RE.replace("'", "''")
+    stripped = "regexp_replace(x, '[- ]', '', 'g')"
+    luhn = duckdb_luhn_sql("d")
+    return (
+        f"CAST(len(list_filter(list_transform(regexp_extract_all({col}, '{pat}'), "
+        f"x -> {stripped}), d -> {luhn})) AS INT)"
+    )

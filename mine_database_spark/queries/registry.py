@@ -1442,6 +1442,51 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-verified credit-card scan (functions/pii.py:cc_valid_count):
+    pattern hits alone over-redact — an order id can look exactly like a
+    card — so the Luhn mod-10 tier splits SHAPED matches from VERIFIED
+    numbers (~10% of random 16-digit runs pass). The corpus has no card
+    numbers, so each event derives a deterministic card-shaped string in
+    BOTH engines (last group = event_id % 10000, so validity varies row
+    by row) and the scan runs for real. Pure scan: zero shuffle, zero
+    Python — integer array expressions end to end."""
+    from mine_database_spark.functions import pii
+
+    (e,) = _t(spark, sf_dir, "events")
+    t = F.concat(
+        F.lit("paid with 4111-1111-1111-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        F.col("props"),
+    )
+    c = e.select("event_id", t.alias("t"))
+    return c.select(
+        "event_id",
+        pii.cc_count(F.col("t")).alias("n_cc"),
+        pii.cc_valid_count(F.col("t")).alias("n_cc_valid"),
+    )
+
+
+def _cc_luhn_sql() -> str:
+    from mine_database_spark.functions import pii
+
+    t = (
+        "'paid with 4111-1111-1111-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ref ' || props"
+    )
+    return f"""
+WITH c AS (SELECT event_id, {t} AS t FROM events)
+SELECT event_id,
+       {pii.duckdb_count_sql('t', pii.CC_RE)} AS n_cc,
+       {pii.duckdb_cc_valid_count_sql('t')} AS n_cc_valid
+FROM c
+"""
+
+
+_Q_CC_LUHN_SQL = _cc_luhn_sql()
+
+
 def _pii_sql() -> str:
     from mine_database_spark.functions import pii
 
@@ -5522,6 +5567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_dedup": q_binary_dedup,
     "binary_profile": q_binary_profile,
     "span_decontaminate": q_span_decontaminate,
+    "cc_luhn_scan": q_cc_luhn_scan,
     # code changed this round (GATE_TOUCHED):
     "span_scrub": q_span_scrub,
     "profile_table": q_profile_table,
@@ -5720,6 +5766,7 @@ ORACLES: dict[str, str] = {
     "binary_dedup": _Q_BINARY_DEDUP_SQL,
     "binary_profile": _Q_BINARY_PROFILE_SQL,
     "span_decontaminate": _Q_SPAN_DECONTAMINATE_SQL,
+    "cc_luhn_scan": _Q_CC_LUHN_SQL,
     "knn_graph_ivf": _Q_KNN_GRAPH_IVF_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "priority_dedup": _Q_PRIORITY_DEDUP_SQL,

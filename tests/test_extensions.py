@@ -4566,3 +4566,30 @@ def test_decontaminate_spans_planted_overlap(spark):
 
     with _pytest.raises(ValueError):
         decontaminate_spans(train, bench, span_words=0)
+
+
+def test_luhn_verified_cc_scan(spark):
+    """Known Luhn vectors: 4111111111111111 and 5500-0000-0000-0004 are
+    valid, a last-digit bump is not; separators are stripped before the
+    checksum; lookalike digit runs without the 4x4 shape never match."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.functions import pii
+
+    df = spark.createDataFrame(
+        [
+            ("pay 4111-1111-1111-1111 now", 1, 1),
+            ("pay 4111 1111 1111 1112 now", 1, 0),
+            ("two: 4111111111111111 5500-0000-0000-0004", 2, 2),
+            ("order 12345678 at 20260816", 0, 0),
+            ("", 0, 0),
+        ],
+        "t string, want_n int, want_v int",
+    )
+    got = df.select(
+        "want_n", "want_v",
+        pii.cc_count(F.col("t")).alias("n"),
+        pii.cc_valid_count(F.col("t")).alias("v"),
+    ).collect()
+    for r in got:
+        assert (r["n"], r["v"]) == (r["want_n"], r["want_v"]), r
