@@ -807,3 +807,82 @@ def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("label")
         )
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss peel: repeatedly drop edges supported by fewer than k−2
+    triangles (support counted within the CURRENT surviving edge set)
+    until (up to `iters` rounds of) fixpoint — the EDGE-density backbone
+    one notch stronger than k_core's node degrees: a star hub survives a
+    2-core but carries zero triangles, so a truss keeps only genuinely
+    interlocked structure (on a dedup-pair graph: the mutually-confirmed
+    template families; on a co-purchase graph: the basket cliques).
+
+    Returns the surviving canonical edges (a, b, support) with `support`
+    the triangle count within the returned edge set (recomputed after the
+    final peel, so the column is consistent with what survived — matching
+    k_core's post-peel degree contract). Fixed `iters` rounds keep the
+    plan deterministic and SQL-replayable (the k_core/pagerank recipe);
+    convergence on the bench graph is pinned in pytest.
+
+    Scale: each round is ONE id-oriented wedge self-join (each triangle
+    generated exactly once, the triangle_count recipe) + a 3-edge explode
+    + one edge-keyed count + the filter join — O(wedges) per round over a
+    SHRINKING edge set, with per-round localCheckpoint so the logical
+    plan stays flat and AQE sees real sizes (the k_core doctrine). All id
+    comparisons are least/greatest/'<' — string node ids work.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    thr = k - 2
+    e = _canon_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+
+    def support(cur: DataFrame) -> DataFrame:
+        tri = (
+            cur.alias("e1")
+            .join(cur.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+            .where(F.col("e1.b") < F.col("e2.b"))
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+            .join(
+                cur.select(F.col("a").alias("y"), F.col("b").alias("z")),
+                ["y", "z"],
+            )
+        )
+        return (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                        F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                    )
+                ).alias("ed")
+            )
+            .select(F.col("ed.a").alias("a"), F.col("ed.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+
+    for _ in range(iters):
+        sup = support(e)
+        e = (
+            e.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= thr)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return e.join(support(e), ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("support"), F.lit(0).cast("bigint")).alias("support")
+    )

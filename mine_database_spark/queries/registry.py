@@ -5197,6 +5197,77 @@ def _kcore_sql(iters: int = 6, k: int = 2, min_w: int = 2) -> str:
 _Q_KCORE_SQL = _kcore_sql()
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the repeat co-purchase graph (graph.k_truss, 2 peel
+    rounds): every surviving edge sits in >= 1 triangle WITHIN the
+    surviving set — one notch stronger than q_k_core's node degrees (a
+    star hub passes a 2-core with zero triangles; a truss keeps only
+    interlocked structure). k=3 keeps the result populated at every SF
+    (the 4-truss of this graph is empty at sf0.01 — repeat co-purchase
+    triangles rarely interlock 2-deep); the multi-round CASCADE the
+    operator exists for is pinned by the planted triangle-strip pytest.
+    Integer supports, fixed rounds, per-round checkpoints; convergence on
+    this graph is pinned in pytest."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    li = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id")).distinct()
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e2 = pairs.where(F.col("w") >= 2).select("src", "dst")
+    return gr.k_truss(e2, k=3, iters=2)
+
+
+def _ktruss_sql(iters: int = 2, k: int = 3, min_w: int = 2) -> str:
+    # k_core's AS-MATERIALIZED round chain, per EDGE set: each e{i} feeds
+    # its own triangle join three ways, so inlining re-expands
+    # exponentially exactly like the k_core chain did
+    thr = k - 2
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),",
+        "e0 AS MATERIALIZED (SELECT a.id AS a, b.id AS b FROM li a JOIN li b ON a.g = b.g"
+        f" AND a.id < b.id GROUP BY 1, 2 HAVING COUNT(*) >= {min_w}),",
+    ]
+
+    def tri(src: str, out: str) -> str:
+        return (
+            f"{out} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {src} e1"
+            f" JOIN {src} e2 ON e1.a = e2.a AND e1.b < e2.b"
+            f" JOIN {src} e3 ON e3.a = e1.b AND e3.b = e2.b),"
+        )
+
+    def sup(src_tri: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM ("
+            f"SELECT x AS a, y AS b FROM {src_tri}"
+            f" UNION ALL SELECT x AS a, z AS b FROM {src_tri}"
+            f" UNION ALL SELECT y AS a, z AS b FROM {src_tri}) GROUP BY a, b),"
+        )
+
+    for i in range(1, iters + 1):
+        parts.append(tri(f"e{i-1}", f"t{i-1}"))
+        parts.append(sup(f"t{i-1}", f"s{i-1}"))
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e"
+            f" LEFT JOIN s{i-1} s ON e.a = s.a AND e.b = s.b"
+            f" WHERE coalesce(s.support, 0) >= {thr}),"
+        )
+    parts.append(tri(f"e{iters}", "tf"))
+    parts.append(sup("tf", "sfin"))
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT e.a, e.b, coalesce(s.support, CAST(0 AS BIGINT)) AS support"
+        f" FROM e{iters} e LEFT JOIN sfin s ON e.a = s.a AND e.b = s.b"
+    )
+    return "\n".join(parts)
+
+
+_Q_KTRUSS_SQL = _ktruss_sql()
+
+
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup pairs by bounded Levenshtein within
     prefix blocks (dedup.edit_distance_pairs) — the edit-distance member
@@ -5568,6 +5639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_profile": q_binary_profile,
     "span_decontaminate": q_span_decontaminate,
     "cc_luhn_scan": q_cc_luhn_scan,
+    "k_truss": q_k_truss,
     # code changed this round (GATE_TOUCHED):
     "span_scrub": q_span_scrub,
     "profile_table": q_profile_table,
@@ -5767,6 +5839,7 @@ ORACLES: dict[str, str] = {
     "binary_profile": _Q_BINARY_PROFILE_SQL,
     "span_decontaminate": _Q_SPAN_DECONTAMINATE_SQL,
     "cc_luhn_scan": _Q_CC_LUHN_SQL,
+    "k_truss": _Q_KTRUSS_SQL,
     "knn_graph_ivf": _Q_KNN_GRAPH_IVF_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "priority_dedup": _Q_PRIORITY_DEDUP_SQL,

@@ -4593,3 +4593,60 @@ def test_luhn_verified_cc_scan(spark):
     ).collect()
     for r in got:
         assert (r["n"], r["v"]) == (r["want_n"], r["want_v"]), r
+
+
+def test_k_truss_planted_clique_vs_triangle_strip(spark):
+    """4-truss (support >= 2 within the survivors): a K4 survives intact
+    (every edge in exactly 2 triangles), a pendant triangle peels in
+    round 1, and a triangle STRIP cascades to nothing — its end edges
+    have support 1, and each peel exposes the next — which single-round
+    support filtering would miss. String node ids exercise the
+    type-agnostic id contract."""
+    from mine_database_spark.operators.graph import k_truss
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    pendant = [("d", "x"), ("d", "y"), ("x", "y")]
+    # strip of triangles: p0-p1-p2, p1-p2-p3, p2-p3-p4 (shared edges)
+    strip = [("p0", "p1"), ("p0", "p2"), ("p1", "p2"), ("p1", "p3"),
+             ("p2", "p3"), ("p2", "p4"), ("p3", "p4")]
+    edges = spark.createDataFrame(k4 + pendant + strip, "src string, dst string")
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=4, iters=3).collect()}
+    assert set(got) == set(k4)
+    assert all(s == 2 for s in got.values())
+    # the strip needs the cascade: after ONE round only the end triangles
+    # are gone, interior edges still held support >= 2 beforehand
+    one = {(r["a"], r["b"]) for r in k_truss(edges, k=4, iters=1).collect()}
+    assert {("p1", "p2"), ("p2", "p3")} <= one
+    # k=3 (support >= 1) keeps every planted triangle
+    k3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3, iters=3).collect()}
+    assert set(k4 + pendant + strip) == k3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_truss(edges, k=2)
+    with _pytest.raises(ValueError):
+        k_truss(edges, iters=0)
+
+
+def test_k_truss_bench_graph_converged(spark):
+    """The registered 3-truss converges on the bench co-purchase graph
+    within the fixed 2 rounds: a 3rd round changes nothing (measured: it
+    converges after 1; the 4-truss of this graph is empty at sf0.01+,
+    which is why the registry pins k=3)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.graph import k_truss
+
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id")).distinct()
+    pairs = (
+        li.alias("a").join(li.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e2 = pairs.where(F.col("w") >= 2).select("src", "dst")
+    r2 = sorted(tuple(r) for r in k_truss(e2, k=3, iters=2).collect())
+    r3 = sorted(tuple(r) for r in k_truss(e2, k=3, iters=3).collect())
+    assert r2 == r3 and len(r2) > 0
