@@ -1925,12 +1925,21 @@ def lsh_candidate_fraction(
     bands = lsh_band_table(
         embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col
     )
-    # one banded row per (vector, band): distinct ids = bands rows / n_bands,
-    # but count distinct directly so a caller passing duplicate ids fails loud
-    nvec = bands.agg(
+    return _pair_volume_summary(bands, ["band", "band_sig"])
+
+
+def _pair_volume_summary(assign: DataFrame, keys: list) -> DataFrame:
+    """Shared audit core of the candidate-fraction pair (LSH bands / IVF
+    lists): given a (vec_id, *keys) assignment table, report the one-row
+    (n_vectors, total_pairs, cand_pairs, cand_fraction, join_rows,
+    max_bucket) summary — distinct pairs sharing a key, the key-join's
+    raw output volume Σ f·(f−1)/2, and the largest bucket. Three
+    aggregates each reduce to one row before broadcast-scalar cross
+    joins; the pair inequality is `<` on the id (type-agnostic)."""
+    nvec = assign.agg(
         F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_vectors")
     )
-    buckets = bands.groupBy("band", "band_sig").agg(
+    buckets = assign.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("f")
     )
     vol = buckets.agg(
@@ -1938,8 +1947,8 @@ def lsh_candidate_fraction(
         F.max("f").cast("bigint").alias("max_bucket"),
     )
     cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_sig"])
+        assign.alias("a")
+        .join(assign.alias("b"), keys)
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
@@ -1970,3 +1979,45 @@ def lsh_candidate_fraction(
             "max_bucket",
         )
     )
+
+
+def ivf_candidate_fraction(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF half of the twin-choice audit (see lsh_candidate_fraction):
+    the pair volume knn_graph_ivf would score at this (n_centroids,
+    n_assign) config, from the list assignment's own counts — NO scoring
+    pass. Unlike sign-LSH, IVF volume is governed by LIST SIZES
+    regardless of embedding geometry: n_assign lists per vector bound
+    join_rows by Σ C(list,2) with E[list] ≈ n·n_assign/n_centroids, so
+    raising n_centroids provably shrinks the quadratic term — there is
+    no tighten-the-bands recall collapse. Run both audits on a sample
+    and take the twin with the smaller admitted fraction at the recall
+    you need. Same one-row schema as lsh_candidate_fraction."""
+    c = embeddings.where(_valid_vec(vec_col)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = (
+        c.orderBy("vec_id")
+        .limit(n_centroids)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            ).alias("__cents")
+        )
+    )
+    lists = c.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.slice(_ranked_lists(F.col("v")), 1, n_assign),
+                lambda s: s["cid"],
+            )
+        ).alias("list_id"),
+    )
+    return _pair_volume_summary(lists, ["list_id"])

@@ -2245,6 +2245,58 @@ FROM nv, vol, cp
 )
 
 
+def q_ivf_candidate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF half of the twin-choice audit (similarity.ivf_candidate_fraction,
+    16 centroids, default 2-way assignment): the pair volume an IVF graph
+    would score at this config, from the list assignment's own counts —
+    no scoring pass. Measured on this corpus (sf0.01): fraction 0.062 /
+    0.240 / 0.718 at n_assign 1/2/4 vs LSH's 0.653 — volume scales
+    ~n_assign²/n_centroids regardless of geometry, which is the audit's
+    point: the recall knob (n_assign) has a PRICED quadratic cost here,
+    where LSH's recall knob collapses recall before it controls volume.
+    (The registered 4-assign knn_graph_ivf therefore wins on per-list
+    GEMM scoring shape, not candidate count — both numbers are now
+    queryable instead of folklore.)"""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_candidate_fraction(e, n_centroids=16, n_assign=2)
+
+
+_Q_IVF_CAND_FRACTION_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+  FROM e CROSS JOIN c
+),
+lists AS (SELECT vec_id, cid AS list_id FROM asg WHERE rn <= 2),
+nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors FROM lists),
+bu AS (SELECT list_id, COUNT(*) AS f FROM lists GROUP BY list_id),
+vol AS (
+  SELECT CAST(SUM(f * (f - 1) // 2) AS BIGINT) AS join_rows,
+         CAST(MAX(f) AS BIGINT) AS max_bucket
+  FROM bu
+),
+cp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs FROM (
+    SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+    FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  )
+)
+SELECT n_vectors,
+       CAST(n_vectors * (n_vectors - 1) // 2 AS BIGINT) AS total_pairs,
+       cand_pairs,
+       round(CAST(cand_pairs AS DOUBLE)
+             / CAST(n_vectors * (n_vectors - 1) // 2 AS DOUBLE), 6) AS cand_fraction,
+       join_rows, max_bucket
+FROM nv, vol, cp
+"""
+
+
 def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph via IVF multi-assignment
     (similarity.knn_graph_ivf): every vector joins its 4 nearest coarse
@@ -5640,6 +5692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_decontaminate": q_span_decontaminate,
     "cc_luhn_scan": q_cc_luhn_scan,
     "k_truss": q_k_truss,
+    "ivf_candidate_fraction": q_ivf_candidate_fraction,
     # code changed this round (GATE_TOUCHED):
     "span_scrub": q_span_scrub,
     "profile_table": q_profile_table,
@@ -5840,6 +5893,7 @@ ORACLES: dict[str, str] = {
     "span_decontaminate": _Q_SPAN_DECONTAMINATE_SQL,
     "cc_luhn_scan": _Q_CC_LUHN_SQL,
     "k_truss": _Q_KTRUSS_SQL,
+    "ivf_candidate_fraction": _Q_IVF_CAND_FRACTION_SQL,
     "knn_graph_ivf": _Q_KNN_GRAPH_IVF_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "priority_dedup": _Q_PRIORITY_DEDUP_SQL,

@@ -4650,3 +4650,31 @@ def test_k_truss_bench_graph_converged(spark):
     r2 = sorted(tuple(r) for r in k_truss(e2, k=3, iters=2).collect())
     r3 = sorted(tuple(r) for r in k_truss(e2, k=3, iters=3).collect())
     assert r2 == r3 and len(r2) > 0
+
+
+def test_ivf_candidate_fraction_volume_scales_with_assignment(spark):
+    """IVF candidate volume is governed by list sizes, ~n_assign² /
+    n_centroids, regardless of geometry: on the near-uniform corpus where
+    the LSH audit admits ~0.65 of all pairs, single-assignment IVF admits
+    ~0.06, double ~0.24 — a monotone priced ladder (measured 0.063 / 0.243
+    / 0.716 at sf0.001), where LSH banding has no such knob. The 4-assign
+    point lands NEAR the LSH fraction — the honest finding the audit
+    exists to expose (the registered 4-assign IVF graph wins on scoring
+    shape, not candidate count)."""
+    from mine_database_spark.operators.similarity import (
+        ivf_candidate_fraction,
+        lsh_candidate_fraction,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = lsh_candidate_fraction(e).collect()[0]
+    assert lsh["cand_fraction"] > 0.5  # the documented sign-LSH degeneracy
+    fr = {}
+    for na in (1, 2, 4):
+        r = ivf_candidate_fraction(e, n_centroids=16, n_assign=na).collect()[0]
+        assert r["n_vectors"] == lsh["n_vectors"]
+        fr[na] = r
+    assert fr[1]["cand_fraction"] < fr[2]["cand_fraction"] < fr[4]["cand_fraction"]
+    assert fr[1]["cand_fraction"] < 0.1
+    assert fr[2]["cand_fraction"] < lsh["cand_fraction"] / 2
+    assert fr[1]["join_rows"] < fr[2]["join_rows"] < fr[4]["join_rows"]
