@@ -202,6 +202,38 @@ def run(
     counts["template_family_docs"] = review.count()
     counts["review"] = review
 
+    # 6. binary-attachment routing: a crawl carries media blobs alongside
+    #    markup. Decode is dep-gated (multimodal.py), but the decode-FREE
+    #    tier runs today: a magic-prefix format census (which typed decoder
+    #    queue each asset routes to) + byte-exact dedup so identical
+    #    assets ship once. Step-0 synthesizes one asset per surviving doc —
+    #    a format header varying by doc_id % 3 over a content slice, so
+    #    both the census and the dedup see real structure; every fifth
+    #    asset is re-fetched under a second id (the planted byte-identical
+    #    duplicate the dedup must collapse).
+    from mine_database_spark.operators.multimodal import binary_dedup, binary_profile
+
+    header = F.when(F.col("doc_id") % 3 == 0, F.lit(b"\xff\xd8\xff\xe0")).otherwise(
+        F.when(F.col("doc_id") % 3 == 1, F.lit(b"\x89PNG\r\n"))
+        .otherwise(F.lit(b"RIFF"))
+    )
+    # payload = the full text bytes (a 64-char slice collided across docs:
+    # extraction gives every doc the same "Title\n..." head)
+    one = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.col("text").cast("binary")).alias("blob"),
+    )
+    assets = one.unionAll(
+        one.where(F.col("media_id") % 5 == 0).select(
+            (F.col("media_id") + 1000000).alias("media_id"), "blob"
+        )
+    )
+    profile = binary_profile(assets)
+    keep = binary_dedup(assets).where(F.col("keep"))
+    counts["asset_formats"] = profile.count()
+    counts["assets_unique"] = keep.count()
+    counts["asset_profile"] = profile
+
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["docs"] = docs
     return counts

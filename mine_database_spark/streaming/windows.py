@@ -538,3 +538,30 @@ def stream_fuzzy_contamination(
         F.col("best_jaccard").alias("jaccard"),
         (F.col("best_jaccard") >= min_jaccard).alias("contaminated"),
     )
+
+
+def stream_binary_dedup(
+    media_stream: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    corpus_blob_col: str = "blob",
+) -> DataFrame:
+    """Streaming byte-exact media dedup: arriving blobs pass through only
+    when their sha2-256 digest is NOT in the STATIC historical corpus —
+    stream_incremental_dedup's contract for binary columns (the crawl-side
+    asset stream: re-fetched images drop on arrival, no decode needed).
+    Stream-static left-anti join: no state store, no watermark — memory to
+    bound lives on the static digest projection, which at 100 TB is the
+    persisted digest artifact, not stream state. Only the fixed 64-char
+    digest leaves the scan on either side; blobs never shuffle.
+
+    Emits (id_col, digest) per surviving blob in append mode. NULL blobs
+    pass through (digest NULL never equals a corpus digest) — route them
+    to a quarantine sink downstream."""
+    digests = corpus.select(
+        F.sha2(F.col(corpus_blob_col), 256).alias("digest")
+    ).distinct()
+    return media_stream.select(
+        F.col(id_col), F.sha2(F.col(blob_col), 256).alias("digest")
+    ).join(digests, "digest", "left_anti")

@@ -4678,3 +4678,44 @@ def test_ivf_candidate_fraction_volume_scales_with_assignment(spark):
     assert fr[1]["cand_fraction"] < 0.1
     assert fr[2]["cand_fraction"] < lsh["cand_fraction"] / 2
     assert fr[1]["join_rows"] < fr[2]["join_rows"] < fr[4]["join_rows"]
+
+
+def test_stream_binary_dedup_drops_known_blobs(spark, tmp_path):
+    """Arriving blobs whose bytes exist in the static corpus drop on
+    arrival; novel blobs pass with their digest; the join carries only
+    digests. File stream of hex-encoded payloads (binary has no csv
+    representation) decoded scan-side."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.streaming.windows import stream_binary_dedup
+
+    corpus = spark.createDataFrame(
+        [(100, bytearray(b"\xff\xd8known-image")), (101, bytearray(b"\x89PNGknown"))],
+        "media_id long, blob binary",
+    )
+    src = tmp_path / "blob_src"
+    src.mkdir()
+    rows = [
+        (1, b"\xff\xd8known-image"),  # duplicate of corpus 100 -> drops
+        (2, b"\xff\xd8novel-image"),  # new -> passes
+        (3, b"\x89PNGknown"),         # duplicate of corpus 101 -> drops
+    ]
+    with open(src / "b.csv", "w") as fh:
+        for i, blob in rows:
+            fh.write(f"{i},{blob.hex()}\n")
+    stream = (
+        spark.readStream.schema("media_id long, hex string")
+        .csv(str(src))
+        .select("media_id", F.unhex(F.col("hex")).alias("blob"))
+    )
+    q = (
+        stream_binary_dedup(stream, corpus)
+        .writeStream.format("memory")
+        .queryName("bin_dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow stream did not finish"
+    got = {r["media_id"] for r in spark.sql("select * from bin_dedup_stream_test").collect()}
+    assert got == {2}

@@ -139,3 +139,30 @@ def test_ingest_pipeline_salts_on_planted_hot_key(spark, tmp_path):
     out2 = run(docs_path=src, skew_share_threshold_pct=90.0)
     assert out2["enrich_join"] == "plain"
     assert out2.pop("docs").count() == docs.count()
+
+
+def test_ingest_pipeline_binary_asset_stage(spark):
+    """Stage 6 routes synthesized media blobs: the format census sees the
+    three planted magic prefixes (JPEG/PNG/RIFF), and byte-exact dedup
+    collapses the planted re-fetches (every fifth asset duplicated under a
+    second id) back to one copy each."""
+    from pyspark.sql import functions as F
+
+    from ingest_pipeline import run
+
+    out = run()
+    profile = out.pop("asset_profile")
+    docs = out.pop("docs")
+    out.pop("review")
+    n_docs = docs.count()
+    prof = {r["magic_hex"][:8]: r for r in profile.collect()}
+    # the three planted headers are present (hex of the 4-byte prefix)
+    assert "FFD8FFE0" in prof
+    assert "89504E47" in prof  # \x89PNG
+    assert any(k.startswith("52494646") for k in prof)  # RIFF
+    # census covers every asset incl. the planted re-fetches
+    assert sum(r["n_blobs"] for r in prof.values()) >= n_docs
+    # dedup: unique assets = docs (each doc's blob is distinct; the planted
+    # second-id re-fetches collapse)
+    assert out["assets_unique"] == n_docs
+    assert out["asset_formats"] == len(prof)
