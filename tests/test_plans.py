@@ -204,8 +204,8 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     multiplies the logical plan, the round-9 explosion; like
     dup_clusters, the iteration must run to define the result).
     keep_best_dedup composes dup_clusters' CC iteration and inherits its
-    exemption for the same reason. label_propagation is k_core's class:
-    per-round eager checkpoints ARE the iteration."""
+    exemption for the same reason. label_propagation and k_truss are
+    k_core's class: per-round eager checkpoints ARE the iteration."""
     from mine_database_spark.session import load_tables
     from mine_database_spark.queries.registry import QUERIES
 
@@ -215,7 +215,7 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     for name, fn in sorted(QUERIES.items()):
         if name in ("dup_clusters", "keep_best_dedup", "ann_pq_topk",
                     "ann_pq_rescored", "ann_ivf_pq", "k_core",
-                    "label_propagation"):
+                    "label_propagation", "k_truss"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
