@@ -111,12 +111,45 @@ def _cpu_canary() -> float:
     return time.perf_counter() - t0
 
 
+def _bw_canary() -> float:
+    """Seconds to sum a 512 MB int64 buffer 4x — MEMORY-BANDWIDTH-bound,
+    where _cpu_canary is ALU-bound. Recorded (not flagged): the r13 run
+    measured a broad ~1.5x whole-run slowdown with the sha256 canary
+    CLEAN mid-run — co-tenant memory/LLC contention slows Spark's
+    shuffle/scan-heavy work while barely moving an ALU loop, so both
+    signals are needed to classify a slow run. Quiet base ≈ 0.15s on the
+    reference host."""
+    import numpy as np
+
+    a = np.zeros(64 * 1024 * 1024, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        a.sum()
+    return time.perf_counter() - t0
+
+
+def _spark_canary(spark) -> float:
+    """Seconds for a fixed whole-stage-codegen aggregate
+    (range(2e8).sum with forced 32-way parallelism) — the regime probe
+    in the SAME execution stack the bench measures: JVM, codegen,
+    scheduler, memory. The host regime that slowed the r13 full run
+    ~1.5x moves this canary with it, where sha256 stays flat. Recorded
+    per pass boundary, base ≈ 0.35-0.5s quiet; read it alongside
+    cpu/bw canaries to tell host steal from memory contention from a
+    genuine regression."""
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id)").collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     load_start = list(os.getloadavg())  # before the JVM boots: external load
     canaries = [_cpu_canary()]
+    bw_canaries = [_bw_canary()]
     spark = get_spark("mine-database-spark-bench")
+    spark_canaries: list[float] = []
     spark.sparkContext.setLogLevel("ERROR")
 
     # Steady-state measurement (JMH/TPC style): run every query shape twice
@@ -138,6 +171,8 @@ def main() -> None:
         # self-labeling note above HEADLINE)
         loads.append(list(os.getloadavg()))
         canaries.append(_cpu_canary())
+        bw_canaries.append(_bw_canary())
+        spark_canaries.append(_spark_canary(spark))
         # pass-boundary hygiene: (1) drop data caches so a query that
         # persists an intermediate (ngram_jaccard's shingle table) pays its
         # materialization in EVERY pass — otherwise passes 2..N time a warm
@@ -196,6 +231,8 @@ def main() -> None:
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "canary_sec": [round(c, 4) for c in canaries],
             "canary_base_sec": _CANARY_BASE_SEC,
+            "bw_canary_sec": [round(c, 4) for c in bw_canaries],
+            "spark_canary_sec": [round(c, 4) for c in spark_canaries],
             "load_flag": load_flag,
         },
     }
