@@ -134,9 +134,10 @@ def _spark_canary(spark) -> float:
     in the SAME execution stack the bench measures: JVM, codegen,
     scheduler, memory. The host regime that slowed the r13 full run
     ~1.5x moves this canary with it, where sha256 stays flat. Recorded
-    per pass boundary, base ≈ 0.35-0.5s quiet; read it alongside
-    cpu/bw canaries to tell host steal from memory contention from a
-    genuine regression."""
+    per pass boundary; measured 0.20-0.28s across the r13 runs (drifting
+    WITH the bw canary inside a single run — the intra-run contention
+    signal). Read it alongside cpu/bw canaries to tell host steal from
+    memory contention from a genuine regression."""
     t0 = time.perf_counter()
     spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id)").collect()
     return time.perf_counter() - t0
