@@ -780,3 +780,55 @@ def source_top_terms(
             4,
         ).alias("lift"),
     )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document corpus novelty: the fraction of a doc's distinct
+    k-gram shingles whose FIRST corpus occurrence (min id) is this doc —
+    read in id order it is the crawl's novelty-saturation curve, the
+    number a data lead watches to decide when more crawling stops paying
+    (novelty near 1 early, decaying as the corpus saturates; a doc near 0
+    is assembled entirely from already-seen material, the
+    repeated-span-scrub candidate set seen from the doc side).
+
+    Returns (doc_id, n_grams, n_novel, novelty) per doc with >= 1 gram
+    (docs shorter than k words emit nothing — they have no k-gram to be
+    novel); novelty = n_novel / n_grams, round 6. First-occurrence
+    ownership uses min(id) — '<'-comparable ids of any type work.
+
+    Scale: one shingle scan (row-local extractor), ONE gram-keyed
+    min-aggregate for ownership (map-side combinable), and two doc-keyed
+    counts that both ride the gram table — the owner-count join-back is
+    on the id, O(docs) rows per side. No windows, nothing corpus-sized
+    collects.
+    """
+    from mine_database_spark.functions.text import word_shingle_strings
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingle_strings(F.col(text_col), k))
+        ).alias("g"),
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    owners = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return totals.join(owners, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_grams"), 6
+        ).alias("novelty"),
+    )

@@ -4541,6 +4541,38 @@ FROM reg JOIN tot ON reg.grp = tot.grp
 """
 
 
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus novelty (quality.novelty_curve): the fraction
+    of each doc's distinct 8-gram shingles first seen IN that doc — read
+    in id order, the crawl's novelty-saturation curve (when it flattens,
+    more crawling stops paying). The doc-side complement of
+    span_decontaminate/span_scrub's gram machinery; min-id ownership, one
+    gram-keyed aggregate, no windows."""
+    from mine_database_spark.operators import quality as ql
+
+    (d,) = _t(spark, sf_dir, "documents")
+    return ql.novelty_curve(d, k=8)
+
+
+_Q_NOVELTY_CURVE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g0 AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+  FROM t, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)
+  WHERE len(ws) >= 8
+),
+g AS (SELECT DISTINCT doc_id, g FROM g0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+own AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY g),
+nov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM own GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_grams,
+       CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+       round(CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
+             / CAST(tot.n_grams AS DOUBLE), 6) AS novelty
+FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id
+"""
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document trigram diversity per source (quality.
     ngram_diversity): distinct/total k-gram ratio — the ACROSS-document
@@ -5693,6 +5725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_luhn_scan": q_cc_luhn_scan,
     "k_truss": q_k_truss,
     "ivf_candidate_fraction": q_ivf_candidate_fraction,
+    "novelty_curve": q_novelty_curve,
     # code changed this round (GATE_TOUCHED):
     "span_scrub": q_span_scrub,
     "profile_table": q_profile_table,
@@ -5894,6 +5927,7 @@ ORACLES: dict[str, str] = {
     "cc_luhn_scan": _Q_CC_LUHN_SQL,
     "k_truss": _Q_KTRUSS_SQL,
     "ivf_candidate_fraction": _Q_IVF_CAND_FRACTION_SQL,
+    "novelty_curve": _Q_NOVELTY_CURVE_SQL,
     "knn_graph_ivf": _Q_KNN_GRAPH_IVF_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "priority_dedup": _Q_PRIORITY_DEDUP_SQL,

@@ -4719,3 +4719,28 @@ def test_stream_binary_dedup_drops_known_blobs(spark, tmp_path):
     assert q.awaitTermination(120), "availableNow stream did not finish"
     got = {r["media_id"] for r in spark.sql("select * from bin_dedup_stream_test").collect()}
     assert got == {2}
+
+
+def test_novelty_curve_planted_saturation(spark):
+    """First doc is all-novel (novelty 1.0); an exact restatement later
+    is all-seen (0.0); a half-quoting doc scores its exact mixed
+    fraction; a sub-k doc emits nothing. Ownership is min-id."""
+    from mine_database_spark.operators.quality import novelty_curve
+
+    first = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 3 distinct 8-grams
+    half = "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2 x3 x4 x5 x6 x7"
+    docs = spark.createDataFrame(
+        [
+            (0, first),
+            (1, first),       # verbatim restatement -> 0 novel
+            (2, half),        # 8 grams: 1 seen (w1..w8), 7 novel
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in novelty_curve(docs, k=8).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["n_grams"], got[0]["n_novel"], got[0]["novelty"]) == (3, 3, 1.0)
+    assert (got[1]["n_grams"], got[1]["n_novel"], got[1]["novelty"]) == (3, 0, 0.0)
+    assert (got[2]["n_grams"], got[2]["n_novel"]) == (8, 7)
+    assert got[2]["novelty"] == round(7 / 8, 6)
