@@ -1526,9 +1526,11 @@ def test_streaming_minhash_ttl_eviction(spark, tmp_path):
         .start()
     )
 
-    def _wait_rows_in(n: int, deadline_sec: float = 90) -> None:
+    def _wait_rows_in(n: int, deadline_sec: float = 240) -> None:
         # file-source rows actually pulled through the query (not sink rows:
-        # most batches here emit nothing)
+        # most batches here emit nothing). 240s deadline: under a fully
+        # loaded 32-core suite run, 1-second-trigger micro-batches can stall
+        # for minutes — a 90s deadline flaked exactly once that way (r13)
         deadline = _time.time() + deadline_sec
         while _time.time() < deadline:
             seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
@@ -1546,7 +1548,7 @@ def test_streaming_minhash_ttl_eviction(spark, tmp_path):
         _wait_rows_in(3)  # doc 3 re-seeds the (now-empty) buckets
         (src / "d.csv").write_text(f'4,"{t_dup}"\n')
         rows = []
-        deadline = _time.time() + 90
+        deadline = _time.time() + 240
         while _time.time() < deadline:
             rows = spark.sql("select * from mh_ttl_evict_test").collect()
             if any(r["doc_id"] == 4 for r in rows):
