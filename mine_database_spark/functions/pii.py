@@ -133,11 +133,21 @@ def duckdb_redact_sql(col: str) -> str:
     return out
 
 
-# Credit-card-shaped numbers: 4x4 digit groups with consistent optional
-# separators. RE2-safe (no lookaround; the separator classes cannot branch
-# ambiguously). Pattern recall mirrors the phone tradeoff: bare 16-digit
-# runs inside longer digit strings are excluded by the \b anchors.
-CC_RE = r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b"
+# Credit-card-shaped numbers: 4x4 digit groups, separator CONSISTENT
+# across the whole number (all-dash, all-space, or none) — an alternation,
+# not a per-gap [- ]? class, because backreferences are unavailable in RE2
+# and per-gap optionals accept mixed forms like '4111-1111 1111 1111'.
+# Known residual over-match (RE2 has no lookahead to exclude it): a LONGER
+# consistently-grouped run such as '1234-5678-9012-3456-7890' matches on
+# its first 16 digits, since the trailing separator satisfies \b. Bare
+# digit runs longer than 16 are excluded by the \b anchors (no interior
+# start position has a word boundary). Both engines share this pattern,
+# so the Spark/DuckDB parity contract is unaffected by the tradeoff.
+CC_RE = (
+    r"\b(?:[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+    r"|[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}"
+    r"|[0-9]{16})\b"
+)
 
 
 def cc_count(text: Column) -> Column:

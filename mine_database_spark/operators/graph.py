@@ -824,12 +824,19 @@ def k_truss(
     interlocked structure (on a dedup-pair graph: the mutually-confirmed
     template families; on a co-purchase graph: the basket cliques).
 
-    Returns the surviving canonical edges (a, b, support) with `support`
-    the triangle count within the returned edge set (recomputed after the
-    final peel, so the column is consistent with what survived — matching
-    k_core's post-peel degree contract). Fixed `iters` rounds keep the
-    plan deterministic and SQL-replayable (the k_core/pagerank recipe);
-    convergence on the bench graph is pinned in pytest.
+    Returns the surviving canonical edges (a, b, support, converged) with
+    `support` the triangle count within the returned edge set (recomputed
+    after the final peel, so the column is consistent with what survived —
+    matching k_core's post-peel degree contract) and `converged` true iff
+    the LAST peel round removed zero edges, i.e. the result is a fixpoint.
+    The support >= k−2 truss invariant is guaranteed only when
+    `converged` is true: with insufficient `iters` the final recompute
+    can report supports below k−2 (down to 0) for edges a further round
+    would have peeled — callers branching on truss membership should gate
+    on the flag rather than assume fixpoint (r13 advice). Fixed `iters`
+    rounds keep the plan deterministic and SQL-replayable (the
+    k_core/pagerank recipe); convergence on the bench graph is pinned in
+    pytest. The flag costs two counts over already-checkpointed rounds.
 
     Scale: each round is ONE id-oriented wedge self-join (each triangle
     generated exactly once, the triangle_count recipe) + a 3-edge explode
@@ -875,7 +882,10 @@ def k_truss(
             .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         )
 
+    n_in = 0
+    n_out = e.count()
     for _ in range(iters):
+        n_in = n_out
         sup = support(e)
         e = (
             e.join(sup, ["a", "b"], "left")
@@ -883,6 +893,10 @@ def k_truss(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        n_out = e.count()
     return e.join(support(e), ["a", "b"], "left").select(
-        "a", "b", F.coalesce(F.col("support"), F.lit(0).cast("bigint")).alias("support")
+        "a",
+        "b",
+        F.coalesce(F.col("support"), F.lit(0).cast("bigint")).alias("support"),
+        F.lit(n_out == n_in).alias("converged"),
     )

@@ -145,6 +145,145 @@ def binary_dedup(
     )
 
 
+def binary_shingle_table(
+    media: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    k: int = 8,
+    max_bytes: int = 4096,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """(doc_id, shingle) byte k-gram table over a binary column — the
+    shingle stage of binary_neardup, factored out so the dedup-module
+    MinHash/banding stack (dedup.minhash_signatures and friends) applies
+    to blobs unchanged. Each shingle is the HEX of k consecutive bytes
+    (2k hex chars), taken at EVERY byte offset of the blob's first
+    `max_bytes` bytes, then mod-sampled: a shingle survives iff its md5's
+    first-8-hex value % sample_mod == 0. Mod-sampling (the standard
+    modulo-sketch trick) is SHIFT-INVARIANT — selection depends only on
+    shingle content, so an insertion that offsets every later byte still
+    samples the same grams, where offset-strided sampling would lose all
+    alignment.
+
+    Short blobs (1..k-1 bytes) contribute their whole hex as a single
+    shingle; empty and NULL blobs contribute nothing (a payload-less row
+    has no near-dup evidence — surface those via binary_dedup's NULL
+    sentinel group instead). A blob whose every shingle is sampled away
+    (possible below ~sample_mod grams) likewise drops out; callers
+    needing guaranteed coverage of tiny blobs lower sample_mod or k.
+
+    Scale: the gram construction is ONE scan-side expression chain
+    (substring → hex → transform over a sequence) — blobs never shuffle;
+    only sampled 2k-char gram strings leave the scan, at most
+    (max_bytes−k+1)/sample_mod per row in expectation. The head window
+    bounds per-row explode volume regardless of payload size, and is the
+    right identity window for the re-encode/trailing-metadata variants
+    this tier exists to catch: such variants share the head bytes and
+    differ at the tail."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_bytes < k:
+        raise ValueError(f"max_bytes must be >= k, got {max_bytes} < {k}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    hx = F.hex(F.expr(f"substring({blob_col}, 1, {int(max_bytes)})"))
+    nbytes = (F.length(hx) / 2).cast("int")
+    grams = (
+        F.when(
+            nbytes >= k,
+            F.transform(
+                F.sequence(F.lit(1), nbytes - (k - 1)),
+                lambda j: F.substring(hx, j * 2 - 1, 2 * k),
+            ),
+        )
+        .when(nbytes >= 1, F.array(hx))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    sh = media.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    )
+    if sample_mod > 1:
+        keep = (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % sample_mod
+            == 0
+        )
+        sh = sh.where(keep)
+    return sh
+
+
+def binary_neardup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    k: int = 8,
+    max_bytes: int = 4096,
+    sample_mod: int = 4,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """NEAR-dup candidate pairs over binary payloads with NO decode — the
+    tier binary_dedup (exact sha256) leaves open: a re-encoded or
+    trailing-metadata variant (EXIF strip, appended XMP block, archive
+    re-stamp) differs in SOME bytes, so its digest differs, but its byte
+    k-gram profile barely moves. Byte-level MinHash+LSH: hex k-gram
+    shingles over the blob head window (binary_shingle_table, mod-sampled
+    and shift-invariant), the dedup module's 16-permutation universal-
+    hash MinHash, 4-row banding, distinct band-bucket pairs. Mirrors the
+    ingest template's stage-6 routing need (a re-fetched asset with a new
+    tracking trailer must collapse onto its original before decode).
+
+    Per candidate pair: (a_id, b_id, n_agree, est_jaccard) with n_agree
+    the count of agreeing signature positions and est_jaccard =
+    n_agree/num_hashes — the sketch-side similarity of the SAMPLED gram
+    sets (an unbiased estimator of the full byte-gram Jaccard), surfaced
+    so a scrub policy can threshold instead of trusting the banding
+    alone. Pair order is a_id < b_id (type-agnostic: string ids work).
+
+    Scale: blobs never shuffle — grams are scan-side, signatures are ONE
+    wide-form groupBy(doc_id) with num_hashes min-aggregates (map-side
+    combinable), and candidate volume is banded exactly like text
+    MinHash-LSH (never all-pairs; the band join's output is bounded by
+    bucket sizes, auditable with the lsh_candidate_fraction recipe on
+    the gram signatures if a corpus clusters weakly)."""
+    from mine_database_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sh = binary_shingle_table(media, id_col, blob_col, k, max_bytes, sample_mod)
+    sigs = minhash_signatures(sh, num_hashes)
+    pairs = lsh_candidate_pairs(lsh_band_keys(sigs, rows_per_band))
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    n_agree = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        for i in range(num_hashes)
+    ).cast("int")
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", n_agree.alias("n_agree"))
+        .select(
+            "a_id",
+            "b_id",
+            "n_agree",
+            F.round(F.col("n_agree") / F.lit(float(num_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 def binary_profile(
     media: DataFrame,
     id_col: str = "media_id",

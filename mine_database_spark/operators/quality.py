@@ -832,3 +832,206 @@ def novelty_curve(
             F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_grams"), 6
         ).alias("novelty"),
     )
+
+
+# --- model-based language ID -------------------------------------------------
+#
+# Char-bigram multinomial Naive Bayes over a 27-class alphabet (a-z + an
+# everything-else bucket), the model-based upgrade of the registry's
+# stopword-density lang_id heuristic. Mirrors the reference's pluggable-
+# scorer pattern (filters/feasibility.py gates a learned model the same
+# way) and the LogisticQualityClassifier recipe above: fit() learns from
+# labeled data, scoring is a zero-Python zero-join scan.
+#
+# Reproducibility contract: log-probabilities are QUANTIZED to integers
+# (round(ln(p) * 1e6) as bigint) at fit time, so the scoring sum is exact
+# 64-bit integer arithmetic — any engine that replays the same quantized
+# literals (the DuckDB oracle recomputes them from the same counts; its
+# ln() agrees with python's math.log at the 1e-6 quantization grid, the
+# same cross-engine transcendental tolerance q_quality_classifier's exp()
+# documents) produces bit-identical scores and therefore identical argmax
+# predictions. Ties break toward the alphabetically-first language on
+# both sides.
+
+LANGID_V = 27 * 27  # dense bigram-index space: class(c1)*27 + class(c2)
+LANGID_QUANT = 1_000_000
+
+
+def _langid_gram_idx(text_col: str) -> Column:
+    """array<int> of char-bigram indexes for one row — the shared gram
+    extraction of fit and score. Lowercase; a-z map to 0-25, every other
+    char (space, digits, punctuation, non-ascii) to bucket 26; a text
+    with fewer than 2 chars (or NULL) yields an empty array. One
+    transform over the gram positions; each position pays two
+    substring+ascii evaluations (the char as c1 and as c2 — interpreted
+    HOFs have no subexpression elimination), a constant factor the
+    bigram index needs anyway."""
+    cls1 = "(CASE WHEN ascii(substring(__t, j, 1)) BETWEEN 97 AND 122 THEN ascii(substring(__t, j, 1)) - 97 ELSE 26 END)"
+    cls2 = "(CASE WHEN ascii(substring(__t, j + 1, 1)) BETWEEN 97 AND 122 THEN ascii(substring(__t, j + 1, 1)) - 97 ELSE 26 END)"
+    e = (
+        "CASE WHEN length(__t) >= 2 THEN "
+        f"transform(sequence(1, length(__t) - 1), j -> {cls1} * 27 + {cls2}) "
+        "ELSE array() END"
+    ).replace("__t", f"lower(coalesce({text_col}, ''))")
+    return F.expr(e).cast("array<int>")
+
+
+def _gram_idx_py(text: str | None) -> list[int]:
+    """Pure-python twin of _langid_gram_idx (same contract, same output)."""
+    t = (text or "").lower()
+    if len(t) < 2:
+        return []
+
+    def cls(ch: str) -> int:
+        o = ord(ch)
+        return o - 97 if 97 <= o <= 122 else 26
+
+    return [cls(t[j]) * 27 + cls(t[j + 1]) for j in range(len(t) - 1)]
+
+
+class CharBigramLangID:
+    """Fitted char-bigram NB: `langs` sorted ascending, `prior_q[k]` the
+    quantized log prior of langs[k], `mat[k]` the dense 729-long list of
+    quantized log conditionals (Laplace-smoothed over the full index
+    space, so unseen grams get ln(1/(total+729)) — no sparse/default
+    split to keep in sync)."""
+
+    def __init__(self, langs: list[str], prior_q: list[int], mat: list[list[int]]):
+        if not (len(langs) == len(prior_q) == len(mat)):
+            raise ValueError("langs/prior_q/mat length mismatch")
+        if any(len(row) != LANGID_V for row in mat):
+            raise ValueError(f"every mat row must have {LANGID_V} entries")
+        self.langs = list(langs)
+        self.prior_q = [int(p) for p in prior_q]
+        self.mat = [[int(v) for v in row] for row in mat]
+
+    def transform(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        extra_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """(id, *extra_cols, pred_lang, score_q) — pure scan: the model is
+        literal arrays (one Literal per language, O(1) positional
+        element_at), the per-language score an integer fold over the
+        row's gram indexes, argmax a fixed expression. No join, no
+        shuffle, no Python — the 100 TB scoring shape. `extra_cols` pass
+        through untouched (e.g. the declared-language column for a
+        mismatch audit)."""
+        gidx = _langid_gram_idx(text_col).alias("__g")
+
+        def fold(row: Column):
+            # closure factory: pyspark introspects the lambda's arity, so a
+            # default-arg capture would read as a 3-arg lambda
+            return lambda acc, gi: acc + F.element_at(row, gi + 1)
+
+        score_cols = []
+        for k in range(len(self.langs)):
+            row = F.lit(self.mat[k]).cast("array<bigint>")
+            score_cols.append(
+                F.lit(self.prior_q[k]).cast("bigint")
+                + F.aggregate(F.col("__g"), F.lit(0).cast("bigint"), fold(row))
+            )
+        scores = F.array(*score_cols)
+        langs = F.lit(self.langs)
+        extras = [F.col(c) for c in extra_cols]
+        return docs.select(F.col(id_col), *extras, gidx).select(
+            id_col,
+            *extra_cols,
+            F.element_at(
+                langs, F.array_position(scores, F.array_max(scores)).cast("int")
+            ).alias("pred_lang"),
+            F.array_max(scores).alias("score_q"),
+        )
+
+    def score_py(self, text: str | None) -> tuple[str, int]:
+        """Pure-python twin of one transform() row (equality-tested)."""
+        g = _gram_idx_py(text)
+        best_k, best_s = 0, None
+        for k in range(len(self.langs)):
+            s = self.prior_q[k] + sum(self.mat[k][i] for i in g)
+            if best_s is None or s > best_s:
+                best_k, best_s = k, s
+        return self.langs[best_k], int(best_s)
+
+
+def _quantize_logprob(num: int, den: int) -> int:
+    import math
+
+    return int(round(math.log(num / den) * LANGID_QUANT))
+
+
+def fit_char_bigram_langid(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> CharBigramLangID:
+    """Fit the NB on a labeled corpus: gram counts aggregate DISTRIBUTED
+    (one explode + one (lang, gram) groupBy — map-side combinable, state
+    bounded by langs x 729), then ONE small-by-contract collect of at
+    most langs x 729 count rows + langs doc counts (the PQ-codebook
+    class of collect: model construction, run offline at 100 TB and
+    shipped as literals). Rows with NULL labels are excluded from
+    training; a language whose every text is too short simply has all-
+    uniform conditionals. Quantization happens here, in python, once —
+    scoring engines replay integers."""
+    labeled = docs.where(F.col(lang_col).isNotNull())
+    nd = {
+        r["lang"]: r["n"]
+        for r in labeled.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not nd:
+        raise ValueError("no labeled rows to fit on")
+    counts = (
+        labeled.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(_langid_gram_idx(text_col)).alias("gi"),
+        )
+        .groupBy("lang", "gi")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in counts:
+        by_lang.setdefault(r["lang"], {})[r["gi"]] = r["c"]
+    langs = sorted(nd)
+    n_total = sum(nd.values())
+    prior_q = [_quantize_logprob(nd[lg], n_total) for lg in langs]
+    mat = []
+    for lg in langs:
+        cnt = by_lang.get(lg, {})
+        tot = sum(cnt.values())
+        mat.append(
+            [_quantize_logprob(cnt.get(i, 0) + 1, tot + LANGID_V) for i in range(LANGID_V)]
+        )
+    return CharBigramLangID(langs, prior_q, mat)
+
+
+def fit_char_bigram_langid_py(
+    rows: Iterable[tuple[str | None, str | None]]
+) -> CharBigramLangID:
+    """Pure-python twin of fit_char_bigram_langid over (lang, text) rows —
+    the equality pytest proves the distributed fit computes exactly this."""
+    nd: dict[str, int] = {}
+    by_lang: dict[str, dict[int, int]] = {}
+    for lang, text in rows:
+        if lang is None:
+            continue
+        nd[lang] = nd.get(lang, 0) + 1
+        d = by_lang.setdefault(lang, {})
+        for gi in _gram_idx_py(text):
+            d[gi] = d.get(gi, 0) + 1
+    if not nd:
+        raise ValueError("no labeled rows to fit on")
+    langs = sorted(nd)
+    n_total = sum(nd.values())
+    prior_q = [_quantize_logprob(nd[lg], n_total) for lg in langs]
+    mat = []
+    for lg in langs:
+        cnt = by_lang.get(lg, {})
+        tot = sum(cnt.values())
+        mat.append(
+            [_quantize_logprob(cnt.get(i, 0) + 1, tot + LANGID_V) for i in range(LANGID_V)]
+        )
+    return CharBigramLangID(langs, prior_q, mat)

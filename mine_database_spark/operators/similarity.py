@@ -1935,7 +1935,13 @@ def _pair_volume_summary(assign: DataFrame, keys: list) -> DataFrame:
     max_bucket) summary — distinct pairs sharing a key, the key-join's
     raw output volume Σ f·(f−1)/2, and the largest bucket. Three
     aggregates each reduce to one row before broadcast-scalar cross
-    joins; the pair inequality is `<` on the id (type-agnostic)."""
+    joins; the pair inequality is `<` on the id (type-agnostic).
+
+    Degenerate inputs yield a well-defined row, never NULLs a pipeline
+    branch could silently swallow: an empty assignment table reports all
+    counts 0, and cand_fraction is NULL-guarded to 0.0 whenever
+    total_pairs = 0 (n_vectors ≤ 1) — a 0-or-1-vector corpus admits no
+    candidate pairs by definition."""
     nvec = assign.agg(
         F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_vectors")
     )
@@ -1943,8 +1949,10 @@ def _pair_volume_summary(assign: DataFrame, keys: list) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("f")
     )
     vol = buckets.agg(
-        F.sum(F.expr("f * (f - 1) div 2")).cast("bigint").alias("join_rows"),
-        F.max("f").cast("bigint").alias("max_bucket"),
+        F.coalesce(F.sum(F.expr("f * (f - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("join_rows"),
+        F.coalesce(F.max("f"), F.lit(0)).cast("bigint").alias("max_bucket"),
     )
     cand = (
         assign.alias("a")
@@ -1970,11 +1978,16 @@ def _pair_volume_summary(assign: DataFrame, keys: list) -> DataFrame:
             "n_vectors",
             "total_pairs",
             "cand_pairs",
-            F.round(
-                F.col("cand_pairs").cast("double")
-                / F.col("total_pairs").cast("double"),
-                6,
-            ).alias("cand_fraction"),
+            F.when(
+                F.col("total_pairs") > 0,
+                F.round(
+                    F.col("cand_pairs").cast("double")
+                    / F.col("total_pairs").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cand_fraction"),
             "join_rows",
             "max_bucket",
         )

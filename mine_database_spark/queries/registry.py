@@ -1614,6 +1614,83 @@ FROM r
 """
 
 
+def q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based language ID (quality.CharBigramLangID): char-bigram
+    multinomial NB over the 27-class alphabet, FIT on this corpus's own
+    (lang, text) labels (distributed gram counts + one small-by-contract
+    collect of <= langs x 729 rows, then integer-quantized log-prob
+    literals), scored as a pure zero-Python scan, with the mismatch audit
+    against the declared label (q_lang_mismatch's contract, upgraded from
+    the stopword heuristic). The synthetic corpus draws every language
+    from one vocabulary, so accuracy here reads near the majority-class
+    floor — the pipeline-relevant outputs are the deterministic scores
+    and the mismatch flag, which the oracle replays bit-exactly (integer
+    score sums; ln() agrees across engines at the 1e-6 quantization grid,
+    the q_quality_classifier exp() precedent)."""
+    from mine_database_spark.operators.quality import fit_char_bigram_langid
+
+    (d,) = _t(spark, sf_dir, "documents")
+    m = fit_char_bigram_langid(d)
+    out = m.transform(d, extra_cols=("lang",))
+    return out.select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        "score_q",
+        (F.col("pred_lang") != F.col("lang")).alias("mismatch"),
+    )
+
+
+_LANGID_GRAM_SQL = """
+  CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1), j ->
+    (CASE WHEN ascii(substr(t, j, 1)) BETWEEN 97 AND 122 THEN ascii(substr(t, j, 1)) - 97 ELSE 26 END) * 27
+    + (CASE WHEN ascii(substr(t, j + 1, 1)) BETWEEN 97 AND 122 THEN ascii(substr(t, j + 1, 1)) - 97 ELSE 26 END))
+  ELSE [] END"""
+
+_Q_LANG_ID_MODEL_SQL = f"""
+WITH d AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
+gi AS (SELECT doc_id, lang, {_LANGID_GRAM_SQL} AS g FROM d),
+nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM nd),
+gexp AS (SELECT lang, unnest(g) AS gidx FROM gi WHERE lang IS NOT NULL),
+cnt AS (SELECT lang, gidx, CAST(COUNT(*) AS BIGINT) AS c FROM gexp GROUP BY 1, 2),
+tot AS (
+  SELECT nd.lang, coalesce(tc.tc, CAST(0 AS BIGINT)) AS tc
+  FROM nd LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tc FROM gexp GROUP BY 1) tc USING (lang)
+),
+grid AS (
+  SELECT t.lang AS ml, s.i AS gidx,
+         CAST(round(ln((coalesce(c.c, 0) + 1) / CAST(t.tc + 729 AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+  FROM tot t
+  CROSS JOIN (SELECT unnest(generate_series(0, 728)) AS i) s
+  LEFT JOIN cnt c ON c.lang = t.lang AND c.gidx = s.i
+),
+prior AS (
+  SELECT nd.lang AS ml, CAST(round(ln(nd.n / CAST(ntot.n AS DOUBLE)) * 1000000) AS BIGINT) AS pq
+  FROM nd CROSS JOIN ntot
+),
+docg AS (SELECT doc_id, unnest(g) AS gidx FROM gi),
+gs AS (
+  SELECT dg.doc_id, g.ml, CAST(SUM(g.lp) AS BIGINT) AS s
+  FROM docg dg JOIN grid g ON g.gidx = dg.gidx GROUP BY 1, 2
+),
+sc AS (
+  SELECT b.doc_id, b.lang AS declared, p.ml, p.pq + coalesce(gs.s, CAST(0 AS BIGINT)) AS score
+  FROM (SELECT doc_id, lang FROM documents) b
+  CROSS JOIN prior p
+  LEFT JOIN gs ON gs.doc_id = b.doc_id AND gs.ml = p.ml
+),
+r AS (
+  SELECT doc_id, declared, ml, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ml) AS rn
+  FROM sc
+)
+SELECT doc_id, declared AS lang, ml AS pred_lang, score AS score_q,
+       ml <> declared AS mismatch
+FROM r WHERE rn = 1
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -2263,8 +2340,15 @@ def q_ivf_candidate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_IVF_CAND_FRACTION_SQL = """
 WITH e AS (
+  -- validity contract mirrors similarity._valid_vec: NULL vectors AND
+  -- vectors with a NULL element are excluded (the Spark side must drop
+  -- element-NULL rows before its numpy assignment kernel; the oracle
+  -- replays the same rule so parity is by contract, not by the synthetic
+  -- corpus happening to contain no NULL-element vectors)
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
 asg AS (
@@ -2647,6 +2731,75 @@ SELECT magic_hex,
        CAST(SUM(nbytes) AS BIGINT) AS total_bytes
 FROM b GROUP BY magic_hex
 """
+
+
+def q_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level NEAR-dup pairs over binary payloads, no decode
+    (multimodal.binary_neardup): hex 8-gram shingles over the blob head
+    window, mod-4 content sampling (shift-invariant), the dedup module's
+    16-hash MinHash + 4-row banding. The corpus plants re-encode variants
+    — a +200000-rekeyed copy of doc_id<50 with a metadata TRAILER
+    appended — whose sha256 differs (binary_dedup misses them) but whose
+    byte-gram profile barely moves; the pair (doc_id, doc_id+200000)
+    surfaces with est_jaccard near 1. Blobs never shuffle; candidate
+    volume is banded, never all-pairs."""
+    from mine_database_spark.operators.multimodal import binary_neardup
+
+    (d,) = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.col("text").cast("binary").alias("blob")).unionAll(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("<meta:v2-reencode-trailer>"))
+            .cast("binary")
+            .alias("blob"),
+        )
+    )
+    return binary_neardup(media, id_col="doc_id")
+
+
+_Q_BINARY_NEARDUP_SQL = (
+    """
+WITH m AS (
+  SELECT doc_id, encode(text) AS blob FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, encode(text || '<meta:v2-reencode-trailer>') AS blob
+  FROM documents WHERE doc_id < 50
+),
+hxt AS (
+  -- head window via the hex string (DuckDB can't slice BLOBs directly):
+  -- first 4096 bytes = first 8192 hex chars
+  SELECT doc_id, substr(hex(blob), 1, 8192) AS hx,
+         CAST(len(substr(hex(blob), 1, 8192)) // 2 AS INT) AS nb
+  FROM m
+),
+gr AS (
+  SELECT doc_id,
+         unnest(CASE
+           WHEN nb >= 8 THEN list_transform(generate_series(1, nb - 7), j -> substr(hx, j * 2 - 1, 16))
+           WHEN nb >= 1 THEN [hx]
+           ELSE []
+         END) AS shingle
+  FROM hxt
+),
+sh AS (
+  SELECT doc_id, shingle FROM gr
+  WHERE ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 4 = 0
+),"""
+    + _MINHASH_CTES_SQL.lstrip()
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS INT) AS n_agree,
+       round(CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS INT) / 16.0, 6) AS est_jaccard
+FROM pairs p
+JOIN mh ma ON ma.doc_id = p.a_id
+JOIN mh mb ON mb.doc_id = p.b_id AND mb.i = ma.i
+GROUP BY 1, 2
+"""
+)
 
 
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5342,8 +5495,12 @@ def _ktruss_sql(iters: int = 2, k: int = 3, min_w: int = 2) -> str:
     parts.append(tri(f"e{iters}", "tf"))
     parts.append(sup("tf", "sfin"))
     parts[-1] = parts[-1].rstrip(",")
+    # converged mirrors the operator's fixpoint flag: the last peel round
+    # removed zero edges (|e{iters-1}| = |e{iters}|)
     parts.append(
-        f"SELECT e.a, e.b, coalesce(s.support, CAST(0 AS BIGINT)) AS support"
+        f"SELECT e.a, e.b, coalesce(s.support, CAST(0 AS BIGINT)) AS support,"
+        f" (SELECT COUNT(*) FROM e{iters-1}) = (SELECT COUNT(*) FROM e{iters})"
+        f" AS converged"
         f" FROM e{iters} e LEFT JOIN sfin s ON e.a = s.a AND e.b = s.b"
     )
     return "\n".join(parts)
@@ -5718,6 +5875,8 @@ GATE_TOUCHED: tuple[str, ...] = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
     # never driver-checked:
+    "binary_neardup": q_binary_neardup,
+    "lang_id_model": q_lang_id_model,
     "lsh_candidate_fraction": q_lsh_candidate_fraction,
     "binary_dedup": q_binary_dedup,
     "binary_profile": q_binary_profile,
@@ -5923,6 +6082,8 @@ ORACLES: dict[str, str] = {
     "lsh_candidate_fraction": _Q_LSH_CAND_FRACTION_SQL,
     "binary_dedup": _Q_BINARY_DEDUP_SQL,
     "binary_profile": _Q_BINARY_PROFILE_SQL,
+    "binary_neardup": _Q_BINARY_NEARDUP_SQL,
+    "lang_id_model": _Q_LANG_ID_MODEL_SQL,
     "span_decontaminate": _Q_SPAN_DECONTAMINATE_SQL,
     "cc_luhn_scan": _Q_CC_LUHN_SQL,
     "k_truss": _Q_KTRUSS_SQL,

@@ -565,3 +565,132 @@ def stream_binary_dedup(
     return media_stream.select(
         F.col(id_col), F.sha2(F.col(blob_col), 256).alias("digest")
     ).join(digests, "digest", "left_anti")
+
+
+def stream_decontaminate_spans(
+    train_stream: DataFrame,
+    bench: DataFrame,
+    span_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of dedup.decontaminate_spans — the REPAIR-policy
+    decontamination tier on a live ingest: every sliding span_words-token
+    window of an arriving doc that appears in the STATIC benchmark corpus
+    is cut, surviving tokens rebuild the document, short docs pass
+    through — bit-identical to batch (pinned in pytest on the same
+    planted quote/clean/verbatim/short cases).
+
+    Where the batch form explodes a positional span index and semi-joins
+    the bench digests, a stream needs no shuffle at all: the bench
+    reduces to its DISTINCT window digests (eval sets are small — ONE
+    broadcast row, the stream_bloom_decontaminate shape), each doc's
+    dirty digests resolve row-locally with array_intersect (hash-set
+    build over the two arrays, not a quadratic contains-scan), the
+    interval merge is a fold over the ascending dirty starts (the batch
+    gaps-and-islands window collapses to one pass because a single doc's
+    spans are already sorted row-locally), and the rebuild reuses the
+    batch keep-filter expression shape. Append mode, no aggregation, no
+    watermark, no state store: per-row latency, constant memory.
+
+    Returns (doc_id, clean_text, n_toks, n_dropped) — the batch contract.
+    """
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    w = span_words
+
+    # static side: distinct bench window digests, collapsed to one
+    # broadcastable row (empty bench -> empty array, nothing cuts)
+    bwords = F.split(F.col(text_col), " ")
+    bn = F.size(F.col("__btoks"))
+    bench_row = (
+        bench.select(bwords.alias("__btoks"))
+        .where(bn >= w)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), bn - w),
+                    lambda p: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__btoks"), p + 1, w))
+                    ),
+                )
+            ).alias("__digest")
+        )
+        .agg(F.array_sort(F.collect_set("__digest")).alias("__bench"))
+    )
+
+    toks = F.split(F.col(text_col), " ")
+    base = train_stream.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).crossJoin(F.broadcast(bench_row))
+    n = F.size(F.col("__toks"))
+    # (start, digest) span structs — digests materialized once (HOF
+    # lambdas re-evaluate repeated subexpressions)
+    spans = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda p: F.struct(
+                p.alias("s"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), p + 1, w))).alias(
+                    "d"
+                ),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<s:int,d:string>>"))
+    base = base.withColumn("__spans", spans)
+    dirty_digests = F.array_intersect(
+        F.transform(F.col("__spans"), lambda s: s["d"]),
+        F.coalesce(F.col("__bench"), F.expr("array()").cast("array<string>")),
+    )
+    base = base.withColumn("__dirty", dirty_digests)
+    starts = F.transform(
+        F.filter(
+            F.col("__spans"), lambda s: F.array_contains(F.col("__dirty"), s["d"])
+        ),
+        lambda s: s["s"],
+    )
+    # merge ascending fixed-width [s, s+w) ranges into disjoint cut
+    # intervals: one fold, extending the open interval while s < last.e
+    cuts = F.aggregate(
+        starts,
+        F.expr("array()").cast("array<struct<s:int,e:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], s + F.lit(w)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(s.alias("s"), (s + F.lit(w)).alias("e")))
+            )
+        ),
+    )
+    base = base.withColumn("__cuts", cuts)
+    kept = F.when(F.size(F.col("__cuts")) == 0, F.col("__toks")).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.col("__toks"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+                ),
+                lambda s: ~F.exists(
+                    F.col("__cuts"), lambda c: (s["i"] >= c["s"]) & (s["i"] < c["e"])
+                ),
+            ),
+            lambda s: s["t"],
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(F.col("__toks")).cast("bigint").alias("n_toks"),
+        (F.size(F.col("__toks")) - F.size(kept)).cast("bigint").alias("n_dropped"),
+    )

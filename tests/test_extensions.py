@@ -4573,7 +4573,10 @@ def test_decontaminate_spans_planted_overlap(spark):
 def test_luhn_verified_cc_scan(spark):
     """Known Luhn vectors: 4111111111111111 and 5500-0000-0000-0004 are
     valid, a last-digit bump is not; separators are stripped before the
-    checksum; lookalike digit runs without the 4x4 shape never match."""
+    checksum; lookalike digit runs without the 4x4 shape never match;
+    MIXED separators ('4111-1111 1111 1111') are rejected by the
+    consistent-separator alternation (r13 advice: the old per-gap [- ]?
+    accepted them against the documented contract)."""
     from pyspark.sql import functions as F
 
     from mine_database_spark.functions import pii
@@ -4584,6 +4587,9 @@ def test_luhn_verified_cc_scan(spark):
             ("pay 4111 1111 1111 1112 now", 1, 0),
             ("two: 4111111111111111 5500-0000-0000-0004", 2, 2),
             ("order 12345678 at 20260816", 0, 0),
+            ("mixed 4111-1111 1111 1111 seps", 0, 0),
+            ("long 1234-5678-9012-3456-7890 run", 1, 0),
+            ("bare 12345678901234567890 run", 0, 0),
             ("", 0, 0),
         ],
         "t string, want_n int, want_v int",
@@ -4612,16 +4618,27 @@ def test_k_truss_planted_clique_vs_triangle_strip(spark):
     strip = [("p0", "p1"), ("p0", "p2"), ("p1", "p2"), ("p1", "p3"),
              ("p2", "p3"), ("p2", "p4"), ("p3", "p4")]
     edges = spark.createDataFrame(k4 + pendant + strip, "src string, dst string")
-    got = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=4, iters=3).collect()}
+    rows = k_truss(edges, k=4, iters=3).collect()
+    got = {(r["a"], r["b"]): r["support"] for r in rows}
     assert set(got) == set(k4)
     assert all(s == 2 for s in got.values())
+    # 3 rounds reach fixpoint here (round 3 removes nothing) — the flag
+    # certifies the support >= k-2 truss invariant actually holds
+    assert all(r["converged"] for r in rows)
     # the strip needs the cascade: after ONE round only the end triangles
-    # are gone, interior edges still held support >= 2 beforehand
-    one = {(r["a"], r["b"]) for r in k_truss(edges, k=4, iters=1).collect()}
+    # are gone, interior edges still held support >= 2 beforehand — and
+    # the truncated run self-reports non-convergence (round 1 removed
+    # edges), warning the caller the invariant is NOT yet certified
+    one_rows = k_truss(edges, k=4, iters=1).collect()
+    one = {(r["a"], r["b"]) for r in one_rows}
     assert {("p1", "p2"), ("p2", "p3")} <= one
-    # k=3 (support >= 1) keeps every planted triangle
-    k3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3, iters=3).collect()}
+    assert not any(r["converged"] for r in one_rows)
+    # k=3 (support >= 1) keeps every planted triangle; round 1 already
+    # removes nothing, so even a 3-round run converges
+    k3_rows = k_truss(edges, k=3, iters=3).collect()
+    k3 = {(r["a"], r["b"]) for r in k3_rows}
     assert set(k4 + pendant + strip) == k3
+    assert all(r["converged"] for r in k3_rows)
 
     import pytest as _pytest
 
@@ -4680,6 +4697,89 @@ def test_ivf_candidate_fraction_volume_scales_with_assignment(spark):
     assert fr[1]["cand_fraction"] < 0.1
     assert fr[2]["cand_fraction"] < lsh["cand_fraction"] / 2
     assert fr[1]["join_rows"] < fr[2]["join_rows"] < fr[4]["join_rows"]
+
+
+def test_candidate_fraction_degenerate_inputs(spark):
+    """Empty and single-vector corpora yield a well-defined audit row —
+    all counts 0 (or the single vector's trivial buckets) and
+    cand_fraction 0.0, never NULL (r13 advice: a pipeline branching on
+    the audit must not swallow a NULL fraction as falsy)."""
+    from mine_database_spark.operators.similarity import (
+        ivf_candidate_fraction,
+        lsh_candidate_fraction,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    for fn in (lsh_candidate_fraction, ivf_candidate_fraction):
+        r = fn(empty).collect()[0]
+        assert (
+            r["n_vectors"],
+            r["total_pairs"],
+            r["cand_pairs"],
+            r["cand_fraction"],
+            r["join_rows"],
+            r["max_bucket"],
+        ) == (0, 0, 0, 0.0, 0, 0), (fn.__name__, r)
+
+    one = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "vec_id bigint, embedding array<double>"
+    )
+    for fn in (lsh_candidate_fraction, ivf_candidate_fraction):
+        r = fn(one).collect()[0]
+        assert r["n_vectors"] == 1 and r["total_pairs"] == 0, (fn.__name__, r)
+        assert r["cand_pairs"] == 0 and r["cand_fraction"] == 0.0, (fn.__name__, r)
+        assert r["join_rows"] == 0 and r["max_bucket"] == 1, (fn.__name__, r)
+
+
+def test_binary_neardup_catches_trailer_variants(spark):
+    """The byte-gram tier catches what exact sha256 misses: a blob with a
+    metadata TRAILER appended pairs with its original at est_jaccard near
+    1, an unrelated blob pairs with neither, and NULL/empty/short blobs
+    flow through without crashing (NULL/empty contribute no grams)."""
+    from mine_database_spark.operators.multimodal import (
+        binary_neardup,
+        binary_shingle_table,
+    )
+
+    base = bytes(range(256)) + bytes(reversed(range(256)))  # 512 bytes
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(base + b"<meta:exif-strip>")),  # near-dup of 1
+            (3, bytearray(b"\x89PNG" + b"\xab\xcd" * 300)),  # unrelated
+            (4, bytearray(b"abc")),  # shorter than k: whole-hex shingle
+            (5, None),  # NULL blob: no grams
+            (6, bytearray(b"")),  # empty blob: no grams
+        ],
+        "media_id long, blob binary",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["est_jaccard"]
+        for r in binary_neardup(media).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.75, pairs
+    assert not any(3 in p or 5 in p or 6 in p for p in pairs), pairs
+
+    # the short blob's single shingle is its whole hex (sample_mod=1 so
+    # mod-sampling can't drop it): an exact copy pairs at est 1.0
+    short = spark.createDataFrame(
+        [(4, bytearray(b"abc")), (7, bytearray(b"abc"))],
+        "media_id long, blob binary",
+    )
+    got = binary_neardup(short, sample_mod=1).collect()
+    assert len(got) == 1 and got[0]["est_jaccard"] == 1.0, got
+    sh = binary_shingle_table(short, sample_mod=1).collect()
+    assert all(r["shingle"] == b"abc".hex().upper() for r in sh), sh
+
+    import pytest as _pytest
+
+    for bad in (
+        dict(k=0),
+        dict(k=8, max_bytes=4),
+        dict(sample_mod=0),
+    ):
+        with _pytest.raises(ValueError):
+            binary_shingle_table(media, **bad)
 
 
 def test_stream_binary_dedup_drops_known_blobs(spark, tmp_path):
@@ -4746,3 +4846,121 @@ def test_novelty_curve_planted_saturation(spark):
     assert (got[1]["n_grams"], got[1]["n_novel"], got[1]["novelty"]) == (3, 0, 0.0)
     assert (got[2]["n_grams"], got[2]["n_novel"]) == (8, 7)
     assert got[2]["novelty"] == round(7 / 8, 6)
+
+
+def test_stream_decontaminate_spans_equals_batch(spark, tmp_path):
+    """The streaming span-repair twin must emit EXACTLY the batch
+    decontaminate_spans rows on the planted cases: the quoting doc loses
+    exactly the quoted window coverage, the clean doc passes
+    byte-identical, a verbatim benchmark copy scrubs to empty, and the
+    sub-8-token doc passes through — proving the row-local
+    intersect/fold/rebuild reproduces the batch explode + semi-join +
+    gaps-and-islands pipeline bit-for-bit, with zero stream state."""
+    from mine_database_spark.operators.dedup import decontaminate_spans
+    from mine_database_spark.streaming.windows import stream_decontaminate_spans
+
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    train_rows = [
+        # quotes bench tokens q1..q8 (one full window) mid-document
+        (1, "intro words here q1 q2 q3 q4 q5 q6 q7 q8 and a clean tail"),
+        (2, "a perfectly clean document with no benchmark overlap at all"),
+        (3, bench_text),  # verbatim benchmark copy -> scrubs to empty
+        (4, "too short to hold"),  # < 8 tokens: passes through
+        # two disjoint quotes -> two cut intervals
+        (5, "q1 q2 q3 q4 q5 q6 q7 q8 bridge words between quotes then "
+            "q2 q3 q4 q5 q6 q7 q8 q9 trailing clean tokens here"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    batch = {r["doc_id"]: r for r in decontaminate_spans(train, bench).collect()}
+
+    src = tmp_path / "span_src"
+    src.mkdir()
+    with open(src / "t.csv", "w") as fh:
+        for i, text in train_rows:
+            fh.write(f'{i},"{text}"\n')
+    stream = spark.readStream.schema("doc_id long, text string").csv(str(src))
+    q = (
+        stream_decontaminate_spans(stream, bench)
+        .writeStream.format("memory")
+        .queryName("span_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow stream did not finish"
+    got = {
+        r["doc_id"]: r for r in spark.sql("select * from span_stream_test").collect()
+    }
+    assert set(got) == set(batch)
+    for doc_id, b in batch.items():
+        s = got[doc_id]
+        assert (s["clean_text"], s["n_toks"], s["n_dropped"]) == (
+            b["clean_text"], b["n_toks"], b["n_dropped"]
+        ), doc_id
+    # spot-pin the semantics (not just twin-equality): verbatim copy empty,
+    # clean doc untouched, short doc untouched, double-quote doc loses both
+    # windows' coverage
+    assert got[3]["clean_text"] == "" and got[3]["n_dropped"] == got[3]["n_toks"]
+    assert got[2]["clean_text"] == train_rows[1][1] and got[2]["n_dropped"] == 0
+    assert got[4]["clean_text"] == train_rows[3][1]
+    assert got[1]["n_dropped"] == 8
+    assert got[5]["n_dropped"] == 16
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_decontaminate_spans(stream, bench, span_words=0)
+
+
+def test_write_zorder_read_side_row_group_skipping(spark, tmp_path):
+    """READ-side proof of the z-order layout (the zone-map coverage test
+    above is write-side only): a tight range predicate on EITHER
+    clustered column must actually skip most parquet row groups in the
+    executed scan — the scan's numOutputRows metric (rows the reader
+    emitted AFTER row-group pruning, BEFORE the post-scan filter) stays
+    well under the table size, with the predicate visible as a
+    PushedFilter. Contrast: the same predicate on the TRAILING column of
+    a plain single-column sort reads essentially everything — the gap
+    z-ordering exists to close."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.sources.writers import write_zorder
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1000)).alias("y"),
+    )
+    zout = str(tmp_path / "zorder_read")
+    write_zorder(df, zout, ["x", "y"], bits=10, n_files=16)
+    sout = str(tmp_path / "xsorted")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(sout)
+
+    def scan_rows(path, col):
+        q = spark.read.parquet(path).where(
+            (F.col(col) >= 100) & (F.col(col) < 150)
+        )
+        got = len(q.collect())
+        plan = q._jdf.queryExecution().executedPlan()
+        leaf = plan.collectLeaves().apply(0)
+        assert "PushedFilters: [" in plan.toString()
+        return got, leaf.metrics().apply("numOutputRows").value()
+
+    want = df.where((F.col("x") >= 100) & (F.col("x") < 150)).count()
+    want_y = df.where((F.col("y") >= 100) & (F.col("y") < 150)).count()
+
+    for col, w in (("x", want), ("y", want_y)):
+        got, scanned = scan_rows(zout, col)
+        assert got == w, (col, got, w)
+        # a 5% range on a 4x4 z-grid touches ~4 of 16 single-row-group
+        # files; allow slack to 50% — the claim is SKIPPING, not a layout
+        # constant
+        assert scanned <= 10000, (col, scanned)
+
+    # the plain sort serves its leading column...
+    got, scanned = scan_rows(sout, "x")
+    assert got == want and scanned <= 10000, scanned
+    # ...but reads essentially the whole table for the trailing one
+    got, scanned = scan_rows(sout, "y")
+    assert got == want_y and scanned >= 19000, scanned

@@ -215,7 +215,12 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     for name, fn in sorted(QUERIES.items()):
         if name in ("dup_clusters", "keep_best_dedup", "ann_pq_topk",
                     "ann_pq_rescored", "ann_ivf_pq", "k_core",
-                    "label_propagation", "k_truss"):
+                    "label_propagation", "k_truss",
+                    # lang_id_model is the PQ-codebook class: its NB fit
+                    # collects <= langs x 729 count rows once at model
+                    # construction (offline at 100 TB), then scoring is a
+                    # pure literal scan
+                    "lang_id_model"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
@@ -1098,6 +1103,23 @@ def test_binary_dedup_digest_only_shuffle(spark, sf_smoke):
     full = plan_str(QUERIES["binary_dedup"](spark, sf_smoke))
     # the only columns read from parquet are doc_id and text (digest
     # computes scan-side); no exchange ever lists the blob/text column
+    for seg in full.split("Exchange ")[1:]:
+        first = seg.splitlines()[0]
+        assert "blob" not in first and "text" not in first, first
+
+
+def test_binary_neardup_banded_never_all_pairs(spark, sf_smoke):
+    """The byte-gram near-dup tier is banded like text MinHash-LSH: every
+    join in the plan is an equi-join (band/band_sig or doc_id) — no
+    cartesian, no nested loop, no window, no Python — and no Exchange
+    ever carries the blob/text column: grams are scan-side, only the
+    (doc_id, hash) ints shuffle into the wide-form signature aggregate."""
+    plan = plan_str(QUERIES["binary_neardup"](spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    full = plan_str(QUERIES["binary_neardup"](spark, sf_smoke))
     for seg in full.split("Exchange ")[1:]:
         first = seg.splitlines()[0]
         assert "blob" not in first and "text" not in first, first

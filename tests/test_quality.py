@@ -148,3 +148,69 @@ def test_bigram_logprob_matches_python_twin(spark):
     )
     got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
     assert got == want
+
+
+def test_char_bigram_langid_twins_and_edges(spark):
+    """The distributed NB fit equals the pure-python twin EXACTLY (langs,
+    quantized priors, full 729-wide conditional matrix), and every scored
+    row equals score_py — the integer-quantization contract that makes
+    the oracle replay bit-exact. Edge rows: NULL text and sub-2-char text
+    score on priors alone; NULL labels are excluded from training."""
+    from mine_database_spark.operators.quality import (
+        fit_char_bigram_langid,
+        fit_char_bigram_langid_py,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "der schnelle braune fuchs springt!", "de"),
+        (3, "le renard brun rapide saute", "fr"),
+        (4, "THE LAZY DOG barks 123 times", "en"),
+        (5, None, "en"),
+        (6, "xq", None),  # unlabeled: scored, never trained on
+        (7, "", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = fit_char_bigram_langid(docs)
+    mp = fit_char_bigram_langid_py([(lg, t) for _, t, lg in rows])
+    assert m.langs == mp.langs == ["de", "en", "fr"]
+    assert m.prior_q == mp.prior_q
+    assert m.mat == mp.mat
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["score_q"])
+        for r in m.transform(docs).collect()
+    }
+    for _id, t, _lg in rows:
+        assert got[_id] == m.score_py(t), (_id, got[_id], m.score_py(t))
+    # prior-only rows all agree on the majority class (en: 3 of 7 labeled)
+    assert got[5][0] == "en" and got[7][0] == "en"
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError):
+        fit_char_bigram_langid(empty)
+    with _pytest.raises(ValueError):
+        fit_char_bigram_langid_py([])
+
+
+def test_char_bigram_langid_scoring_is_pure_scan(spark):
+    """The 100 TB scoring pass is a literal scan: no Exchange, no join, no
+    Python eval — the model rides as array literals with O(1) positional
+    element_at (never a map lookup)."""
+    from mine_database_spark.operators.quality import fit_char_bigram_langid
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "de")],
+        "doc_id long, text string, lang string",
+    )
+    plan = (
+        fit_char_bigram_langid(docs)
+        .transform(docs, extra_cols=("lang",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
