@@ -5866,163 +5866,163 @@ FROM orders"""
 # EVERY ROUND alongside code changes; tests/test_oracle_parity.py asserts
 # the dict order below matches gate_order(list(QUERIES), history, GATE_TOUCHED).
 GATE_TOUCHED: tuple[str, ...] = (
-    # r13 ADVICE fixes: type-agnostic tie-breaks + decimal profiling;
-    # span_scrub: cut-merge/rebuild extracted into _scrub_token_ranges
-    "fuzzy_contamination", "label_propagation", "profile_table",
-    "span_scrub",
+    # r14 changes: k_truss gained the converged fixpoint flag (new output
+    # column, oracle extended); the candidate-fraction audit pair's shared
+    # _pair_volume_summary now coalesces degenerate inputs and the IVF
+    # oracle replays the element-NULL validity contract; cc_luhn_scan's
+    # CC_RE became a consistent-separator alternation (values change on
+    # mixed-separator/overlong inputs)
+    "cc_luhn_scan", "ivf_candidate_fraction", "k_truss",
+    "lsh_candidate_fraction",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
-    # never driver-checked:
-    "binary_neardup": q_binary_neardup,
-    "lang_id_model": q_lang_id_model,
-    "lsh_candidate_fraction": q_lsh_candidate_fraction,
-    "binary_dedup": q_binary_dedup,
-    "binary_profile": q_binary_profile,
-    "span_decontaminate": q_span_decontaminate,
-    "cc_luhn_scan": q_cc_luhn_scan,
-    "k_truss": q_k_truss,
-    "ivf_candidate_fraction": q_ivf_candidate_fraction,
-    "novelty_curve": q_novelty_curve,
-    # code changed this round (GATE_TOUCHED):
-    "span_scrub": q_span_scrub,
-    "profile_table": q_profile_table,
-    "label_propagation": q_label_propagation,
-    "fuzzy_contamination": q_fuzzy_contamination,
-    # last driver-green r10:
-    "semantic_dedup": q_semantic_dedup,
-    "doc_chunks": q_doc_chunks,
-    "pack_sequences": q_pack_sequences,
-    "domain_mixture_sample": q_domain_mixture_sample,
-    "incremental_dedup": q_incremental_dedup,
-    "quality_classifier": q_quality_classifier,
-    "corpus_stats": q_corpus_stats,
-    "dataset_split": q_dataset_split,
-    "packed_texts": q_packed_texts,
-    "dedup_exact": q_dedup_exact,
-    "simhash": q_simhash,
-    "text_quality": q_text_quality,
-    "token_stats": q_token_stats,
-    "lang_id": q_lang_id,
-    "vocab_oov": q_vocab_oov,
-    "url_stats": q_url_stats,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "pagerank": q_pagerank,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "cms_token_freq": q_cms_token_freq,
-    "degree_distribution": q_degree_distribution,
-    "blocklist_filter": q_blocklist_filter,
-    "key_skew": q_key_skew,
-    "funnel": q_funnel,
-    "retention": q_retention,
-    "bm25_topk": q_bm25_topk,
-    "ngram_containment": q_ngram_containment,
-    "simhash_hamming": q_simhash_hamming,
-    "dedup_report": q_dedup_report,
-    "char_entropy": q_char_entropy,
-    "pii_pseudonymize": q_pii_pseudonymize,
-    "stratified_sample": q_stratified_sample,
-    "winnow_pairs": q_winnow_pairs,
-    "knn_graph": q_knn_graph,
-    "knn_graph_lsh": q_knn_graph_lsh,
-    "knn_graph_ivf": q_knn_graph_ivf,
-    # last driver-green r11:
-    "zipf_audit": q_zipf_audit,
-    "ngram_diversity": q_ngram_diversity,
-    "rate_anomaly": q_rate_anomaly,
-    "event_transitions": q_event_transitions,
-    "embedding_outliers": q_embedding_outliers,
-    "lang_mismatch": q_lang_mismatch,
-    # ------------- gate boundary: entries below are the tail -------------
-    # last driver-green r11:
-    "token_drift": q_token_drift,
-    "inverted_index": q_inverted_index,
-    "hll_vocab": q_hll_vocab,
-    "url_dedup": q_url_dedup,
-    "operator_census": q_operator_census,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "contamination_check": q_contamination_check,
-    "model_jaccard": q_model_jaccard,
-    "orphan_gc": q_orphan_gc,
-    "regex_filter": q_regex_filter,
-    "token_shards": q_token_shards,
-    "segment_dedup": q_segment_dedup,
-    "assign_ids": q_assign_ids,
-    "multimodal_features": q_multimodal_features,
-    "bpe_token_stats": q_bpe_token_stats,
-    "asof_enrich": q_asof_enrich,
-    "tumbling_window": q_tumbling_window,
-    "sessionize": q_sessionize,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "region_revenue": q_region_revenue,
-    "frontier_select": q_frontier_select,
-    "first_wins_dedup": q_first_wins_dedup,
-    "content_hash_ids": q_content_hash_ids,
-    "collect_set_union": q_collect_set_union,
-    "rule_coverage_cdf": q_rule_coverage_cdf,
-    "intermediate_rules": q_intermediate_rules,
-    "mass_range_join": q_mass_range_join,
-    "provenance_score": q_provenance_score,
-    "weighted_sample": q_weighted_sample,
-    "topk_per_group": q_topk_per_group,
-    "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
-    "snapshot_diff": q_snapshot_diff,
-    "priority_dedup": q_priority_dedup,
-    "length_percentile_filter": q_length_percentile_filter,
-    "source_overlap": q_source_overlap,
-    "mixture_upsample": q_mixture_upsample,
-    "semantic_contamination": q_semantic_contamination,
-    # last driver-green r12:
-    "edit_distance_pairs": q_edit_distance_pairs,
-    "snm_pairs": q_snm_pairs,
-    "decayed_score": q_decayed_score,
-    "hybrid_rrf": q_hybrid_rrf,
-    "mad_anomaly": q_mad_anomaly,
-    "source_top_terms": q_source_top_terms,
-    "triangle_count_deg": q_triangle_count_deg,
-    "ngram_diversity_hll": q_ngram_diversity_hll,
-    "adamic_adar": q_adamic_adar,
-    "collapse_repeats": q_collapse_repeats,
-    "embedding_drift": q_embedding_drift,
-    "shard_balance": q_shard_balance,
-    "text_knn": q_text_knn,
-    "keep_best_dedup": q_keep_best_dedup,
-    "ks_drift": q_ks_drift,
-    "cdc_dedup": q_cdc_dedup,
-    "minhash_estimate": q_minhash_estimate,
-    "triangle_count": q_triangle_count,
-    "token_pmi": q_token_pmi,
-    "k_core": q_k_core,
-    "hist_quantiles": q_hist_quantiles,
-    "html_extract": q_html_extract,
-    "normalized_dedup": q_normalized_dedup,
-    "ms2_search": q_ms2_search,
-    "spectral_cosine": q_spectral_cosine,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_pq_rescored": q_ann_pq_rescored,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "mass_range_join_bucketed": q_mass_range_join_bucketed,
-    "copurchase_reach": q_copurchase_reach,
-    "order_chain_paths": q_order_chain_paths,
-    "tfidf_topk": q_tfidf_topk,
-    "adduct_search": q_adduct_search,
-    "product_of_native": q_product_of_native,
-    "quiet_customers": q_quiet_customers,
-    "bit_prevalence": q_bit_prevalence,
-    "minhash_lsh": q_minhash_lsh,
-    "dup_clusters": q_dup_clusters,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_capped": q_ngram_jaccard_capped,
-    "repetition_stats": q_repetition_stats,
-    "quality_rules": q_quality_rules,
-    "pii_scan": q_pii_scan,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_neardup": q_embed_neardup,
-    "embed_neardup_lsh": q_embed_neardup_lsh,
+    # order generated by `python -m mine_database_spark.queries.rotation`
+    # (never-green first, then GATE_TOUCHED, then stalest last-green round)
+    "binary_neardup": q_binary_neardup,  # NEW
+    "lang_id_model": q_lang_id_model,  # NEW
+    "lsh_candidate_fraction": q_lsh_candidate_fraction,  # TOUCHED
+    "cc_luhn_scan": q_cc_luhn_scan,  # TOUCHED
+    "k_truss": q_k_truss,  # TOUCHED
+    "ivf_candidate_fraction": q_ivf_candidate_fraction,  # TOUCHED
+    "rate_anomaly": q_rate_anomaly,  # r11
+    "event_transitions": q_event_transitions,  # r11
+    "embedding_outliers": q_embedding_outliers,  # r11
+    "lang_mismatch": q_lang_mismatch,  # r11
+    "token_drift": q_token_drift,  # r11
+    "inverted_index": q_inverted_index,  # r11
+    "hll_vocab": q_hll_vocab,  # r11
+    "url_dedup": q_url_dedup,  # r11
+    "operator_census": q_operator_census,  # r11
+    "ann_cosine_topk": q_ann_cosine_topk,  # r11
+    "contamination_check": q_contamination_check,  # r11
+    "model_jaccard": q_model_jaccard,  # r11
+    "orphan_gc": q_orphan_gc,  # r11
+    "regex_filter": q_regex_filter,  # r11
+    "token_shards": q_token_shards,  # r11
+    "segment_dedup": q_segment_dedup,  # r11
+    "assign_ids": q_assign_ids,  # r11
+    "multimodal_features": q_multimodal_features,  # r11
+    "bpe_token_stats": q_bpe_token_stats,  # r11
+    "asof_enrich": q_asof_enrich,  # r11
+    "tumbling_window": q_tumbling_window,  # r11
+    "sessionize": q_sessionize,  # r11
+    "pricing_summary": q_pricing_summary,  # r11
+    "top_revenue_orders": q_top_revenue_orders,  # r11
+    "region_revenue": q_region_revenue,  # r11
+    "frontier_select": q_frontier_select,  # r11
+    "first_wins_dedup": q_first_wins_dedup,  # r11
+    "content_hash_ids": q_content_hash_ids,  # r11
+    "collect_set_union": q_collect_set_union,  # r11
+    "rule_coverage_cdf": q_rule_coverage_cdf,  # r11
+    "intermediate_rules": q_intermediate_rules,  # r11
+    "mass_range_join": q_mass_range_join,  # r11
+    "provenance_score": q_provenance_score,  # r11
+    "weighted_sample": q_weighted_sample,  # r11
+    "topk_per_group": q_topk_per_group,  # r11
+    "unigram_logprob": q_unigram_logprob,  # r11
+    "bigram_logprob": q_bigram_logprob,  # r11
+    "snapshot_diff": q_snapshot_diff,  # r11
+    "priority_dedup": q_priority_dedup,  # r11
+    "length_percentile_filter": q_length_percentile_filter,  # r11
+    "source_overlap": q_source_overlap,  # r11
+    "mixture_upsample": q_mixture_upsample,  # r11
+    "semantic_contamination": q_semantic_contamination,  # r11
+    "edit_distance_pairs": q_edit_distance_pairs,  # r12
+    # --- tail (locally parity-tested + benched every round; rotates back in) ---
+    "snm_pairs": q_snm_pairs,  # r12
+    "decayed_score": q_decayed_score,  # r12
+    "hybrid_rrf": q_hybrid_rrf,  # r12
+    "mad_anomaly": q_mad_anomaly,  # r12
+    "source_top_terms": q_source_top_terms,  # r12
+    "triangle_count_deg": q_triangle_count_deg,  # r12
+    "ngram_diversity_hll": q_ngram_diversity_hll,  # r12
+    "adamic_adar": q_adamic_adar,  # r12
+    "collapse_repeats": q_collapse_repeats,  # r12
+    "embedding_drift": q_embedding_drift,  # r12
+    "shard_balance": q_shard_balance,  # r12
+    "text_knn": q_text_knn,  # r12
+    "keep_best_dedup": q_keep_best_dedup,  # r12
+    "ks_drift": q_ks_drift,  # r12
+    "cdc_dedup": q_cdc_dedup,  # r12
+    "minhash_estimate": q_minhash_estimate,  # r12
+    "triangle_count": q_triangle_count,  # r12
+    "token_pmi": q_token_pmi,  # r12
+    "k_core": q_k_core,  # r12
+    "hist_quantiles": q_hist_quantiles,  # r12
+    "html_extract": q_html_extract,  # r12
+    "normalized_dedup": q_normalized_dedup,  # r12
+    "ms2_search": q_ms2_search,  # r12
+    "spectral_cosine": q_spectral_cosine,  # r12
+    "ann_pq_topk": q_ann_pq_topk,  # r12
+    "ann_pq_rescored": q_ann_pq_rescored,  # r12
+    "ann_ivf_pq": q_ann_ivf_pq,  # r12
+    "mass_range_join_bucketed": q_mass_range_join_bucketed,  # r12
+    "copurchase_reach": q_copurchase_reach,  # r12
+    "order_chain_paths": q_order_chain_paths,  # r12
+    "tfidf_topk": q_tfidf_topk,  # r12
+    "adduct_search": q_adduct_search,  # r12
+    "product_of_native": q_product_of_native,  # r12
+    "quiet_customers": q_quiet_customers,  # r12
+    "bit_prevalence": q_bit_prevalence,  # r12
+    "minhash_lsh": q_minhash_lsh,  # r12
+    "dup_clusters": q_dup_clusters,  # r12
+    "ngram_jaccard": q_ngram_jaccard,  # r12
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,  # r12
+    "repetition_stats": q_repetition_stats,  # r12
+    "quality_rules": q_quality_rules,  # r12
+    "pii_scan": q_pii_scan,  # r12
+    "ann_lsh_topk": q_ann_lsh_topk,  # r12
+    "ann_ivf_topk": q_ann_ivf_topk,  # r12
+    "embed_neardup": q_embed_neardup,  # r12
+    "embed_neardup_lsh": q_embed_neardup_lsh,  # r12
+    "binary_dedup": q_binary_dedup,  # r13
+    "binary_profile": q_binary_profile,  # r13
+    "span_decontaminate": q_span_decontaminate,  # r13
+    "novelty_curve": q_novelty_curve,  # r13
+    "span_scrub": q_span_scrub,  # r13
+    "profile_table": q_profile_table,  # r13
+    "label_propagation": q_label_propagation,  # r13
+    "fuzzy_contamination": q_fuzzy_contamination,  # r13
+    "semantic_dedup": q_semantic_dedup,  # r13
+    "doc_chunks": q_doc_chunks,  # r13
+    "pack_sequences": q_pack_sequences,  # r13
+    "domain_mixture_sample": q_domain_mixture_sample,  # r13
+    "incremental_dedup": q_incremental_dedup,  # r13
+    "quality_classifier": q_quality_classifier,  # r13
+    "corpus_stats": q_corpus_stats,  # r13
+    "dataset_split": q_dataset_split,  # r13
+    "packed_texts": q_packed_texts,  # r13
+    "dedup_exact": q_dedup_exact,  # r13
+    "simhash": q_simhash,  # r13
+    "text_quality": q_text_quality,  # r13
+    "token_stats": q_token_stats,  # r13
+    "lang_id": q_lang_id,  # r13
+    "vocab_oov": q_vocab_oov,  # r13
+    "url_stats": q_url_stats,  # r13
+    "winnow_fingerprints": q_winnow_fingerprints,  # r13
+    "pagerank": q_pagerank,  # r13
+    "bloom_decontaminate": q_bloom_decontaminate,  # r13
+    "cms_token_freq": q_cms_token_freq,  # r13
+    "degree_distribution": q_degree_distribution,  # r13
+    "blocklist_filter": q_blocklist_filter,  # r13
+    "key_skew": q_key_skew,  # r13
+    "funnel": q_funnel,  # r13
+    "retention": q_retention,  # r13
+    "bm25_topk": q_bm25_topk,  # r13
+    "ngram_containment": q_ngram_containment,  # r13
+    "simhash_hamming": q_simhash_hamming,  # r13
+    "dedup_report": q_dedup_report,  # r13
+    "char_entropy": q_char_entropy,  # r13
+    "pii_pseudonymize": q_pii_pseudonymize,  # r13
+    "stratified_sample": q_stratified_sample,  # r13
+    "winnow_pairs": q_winnow_pairs,  # r13
+    "knn_graph": q_knn_graph,  # r13
+    "knn_graph_lsh": q_knn_graph_lsh,  # r13
+    "knn_graph_ivf": q_knn_graph_ivf,  # r13
+    "zipf_audit": q_zipf_audit,  # r13
+    "ngram_diversity": q_ngram_diversity,  # r13
 }
 
 ORACLES: dict[str, str] = {
