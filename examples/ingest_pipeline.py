@@ -234,6 +234,31 @@ def run(
     counts["assets_unique"] = keep.count()
     counts["asset_profile"] = profile
 
+    # 6b. byte-gram NEAR-dup collapse over the exact-dedup survivors: a
+    #    re-fetched asset with a tracking trailer appended has a new
+    #    sha256, so stage 6's exact tier ships it again — the byte-8-gram
+    #    MinHash tier pairs it with its original before decode. Step-0
+    #    plants exactly that: every seventh surviving asset re-fetched
+    #    under a third id with a trailer; survivors = assets not the
+    #    larger id of a near-dup pair (min-id survivor, the stage-6 rule).
+    from mine_database_spark.operators.multimodal import binary_neardup
+
+    survivors = assets.join(
+        keep.select("media_id"), "media_id", "left_semi"
+    )
+    refetched = survivors.where(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 2000000).alias("media_id"),
+        F.concat(F.col("blob"), F.lit(b"<trk:utm-trailer>")).alias("blob"),
+    )
+    tiered = survivors.unionAll(refetched)
+    near_pairs = binary_neardup(tiered).where(F.col("est_jaccard") >= 0.5)
+    near_losers = near_pairs.select(F.col("b_id").alias("media_id")).distinct()
+    counts["asset_neardup_pairs"] = near_pairs.count()
+    counts["assets_after_neardup"] = (
+        tiered.join(near_losers, "media_id", "left_anti").count()
+    )
+    counts["asset_neardup"] = near_pairs
+
     counts["wall_seconds"] = round(time.time() - start, 1)
     counts["docs"] = docs
     return counts

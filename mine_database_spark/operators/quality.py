@@ -857,28 +857,47 @@ LANGID_V = 27 * 27  # dense bigram-index space: class(c1)*27 + class(c2)
 LANGID_QUANT = 1_000_000
 
 
-def _langid_gram_idx(text_col: str) -> Column:
+LANGID_MAX_CHARS = 512
+
+
+def _langid_gram_idx(text_col: str, max_chars: int = LANGID_MAX_CHARS) -> Column:
     """array<int> of char-bigram indexes for one row — the shared gram
     extraction of fit and score. Lowercase; a-z map to 0-25, every other
     char (space, digits, punctuation, non-ascii) to bucket 26; a text
-    with fewer than 2 chars (or NULL) yields an empty array. One
-    transform over the gram positions; each position pays two
-    substring+ascii evaluations (the char as c1 and as c2 — interpreted
-    HOFs have no subexpression elimination), a constant factor the
-    bigram index needs anyway."""
-    cls1 = "(CASE WHEN ascii(substring(__t, j, 1)) BETWEEN 97 AND 122 THEN ascii(substring(__t, j, 1)) - 97 ELSE 26 END)"
-    cls2 = "(CASE WHEN ascii(substring(__t, j + 1, 1)) BETWEEN 97 AND 122 THEN ascii(substring(__t, j + 1, 1)) - 97 ELSE 26 END)"
+    with fewer than 2 chars (or NULL) yields an empty array. Only the
+    first `max_chars` code points participate — language is a HEAD
+    property (the fastText/CLD convention), and the cap bounds per-row
+    scoring cost by max_chars·K regardless of document length, which is
+    what makes the scan's cost model flat at 100 TB.
+
+    Shape note: the obvious transform(sequence(...), j ->
+    substring(t, j, 1)) is QUADRATIC per row — UTF8String.substring
+    seeks from the string head each call (code points, not bytes), so a
+    c-char text pays O(c²) char scans. split-to-char-array once, then
+    class each char via one zip_with over the two shifted slices — O(c),
+    measured ~3x end-to-end on the registered query at sf0.01."""
+    t = f"substring(lower(coalesce({text_col}, '')), 1, {int(max_chars)})"
+    cls = (
+        f"transform(split({t}, ''),"
+        " c -> CASE WHEN ascii(c) BETWEEN 97 AND 122 THEN ascii(c) - 97"
+        " ELSE 26 END)"
+    )
+    n = f"length({t})"  # code points == split-array size
     e = (
-        "CASE WHEN length(__t) >= 2 THEN "
-        f"transform(sequence(1, length(__t) - 1), j -> {cls1} * 27 + {cls2}) "
+        f"CASE WHEN {n} >= 2 THEN "
+        f"zip_with(slice({cls}, 1, {n} - 1),"
+        f"         slice({cls}, 2, {n} - 1),"
+        f"         (c1, c2) -> c1 * 27 + c2) "
         "ELSE array() END"
-    ).replace("__t", f"lower(coalesce({text_col}, ''))")
+    )
     return F.expr(e).cast("array<int>")
 
 
-def _gram_idx_py(text: str | None) -> list[int]:
+def _gram_idx_py(
+    text: str | None, max_chars: int = LANGID_MAX_CHARS
+) -> list[int]:
     """Pure-python twin of _langid_gram_idx (same contract, same output)."""
-    t = (text or "").lower()
+    t = (text or "").lower()[:max_chars]
     if len(t) < 2:
         return []
 
@@ -920,29 +939,49 @@ class CharBigramLangID:
         through untouched (e.g. the declared-language column for a
         mismatch audit)."""
         gidx = _langid_gram_idx(text_col).alias("__g")
-
-        def fold(row: Column):
-            # closure factory: pyspark introspects the lambda's arity, so a
-            # default-arg capture would read as a 3-arg lambda
-            return lambda acc, gi: acc + F.element_at(row, gi + 1)
-
-        score_cols = []
-        for k in range(len(self.langs)):
-            row = F.lit(self.mat[k]).cast("array<bigint>")
-            score_cols.append(
-                F.lit(self.prior_q[k]).cast("bigint")
-                + F.aggregate(F.col("__g"), F.lit(0).cast("bigint"), fold(row))
-            )
-        scores = F.array(*score_cols)
+        k_langs = len(self.langs)
+        # ONE fold over the gram list accumulating the K-vector of scores
+        # against a GRAM-MAJOR flattened matrix (slot g*K..g*K+K-1 holds
+        # gram g's log-probs for every language): per-gram work is one
+        # O(K) slice + zip_with instead of K independent folds re-walking
+        # the array — interpreted-HOF step count drops K-fold (measured
+        # ~2.5x end-to-end at sf0.01 with K=5)
+        flat = F.lit(
+            [self.mat[k][i] for i in range(LANGID_V) for k in range(k_langs)]
+        ).cast("array<bigint>")
+        sums = F.aggregate(
+            F.col("__g"),
+            F.lit([0] * k_langs).cast("array<bigint>"),
+            lambda acc, g: F.zip_with(
+                acc,
+                F.slice(flat, g * k_langs + 1, k_langs),
+                lambda a, b: a + b,
+            ),
+        )
+        scores = F.zip_with(
+            F.lit(self.prior_q).cast("array<bigint>"), sums, lambda p, s: p + s
+        )
         langs = F.lit(self.langs)
         extras = [F.col(c) for c in extra_cols]
-        return docs.select(F.col(id_col), *extras, gidx).select(
+        # the __b explode([1]) Generate is a deliberate CollapseProject
+        # barrier (the similarity.py PQ recipe): pred_lang and score_q both
+        # read the scores vector, and an interpreted projection (HOFs are
+        # CodegenFallback) re-evaluates the WHOLE fold once per reference —
+        # 3x the scoring cost, measured — unless the fold materializes in
+        # its own projection below the consumers
+        staged = (
+            docs.select(F.col(id_col), *extras, gidx)
+            .select(id_col, *extra_cols, scores.alias("__sc"))
+            .withColumn("__b", F.explode(F.array(F.lit(1))))
+        )
+        return staged.select(
             id_col,
             *extra_cols,
             F.element_at(
-                langs, F.array_position(scores, F.array_max(scores)).cast("int")
+                langs,
+                F.array_position(F.col("__sc"), F.array_max("__sc")).cast("int"),
             ).alias("pred_lang"),
-            F.array_max(scores).alias("score_q"),
+            F.array_max("__sc").alias("score_q"),
         )
 
     def score_py(self, text: str | None) -> tuple[str, int]:

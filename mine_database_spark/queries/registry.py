@@ -1648,7 +1648,12 @@ _LANGID_GRAM_SQL = """
   ELSE [] END"""
 
 _Q_LANG_ID_MODEL_SQL = f"""
-WITH d AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
+WITH d AS (
+  -- quality.LANGID_MAX_CHARS head window: language is a head property and
+  -- the cap bounds per-row scoring cost (the fastText/CLD convention)
+  SELECT doc_id, lang, substr(lower(coalesce(text, '')), 1, 512) AS t
+  FROM documents
+),
 gi AS (SELECT doc_id, lang, {_LANGID_GRAM_SQL} AS g FROM d),
 nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1),
 ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM nd),

@@ -166,3 +166,17 @@ def test_ingest_pipeline_binary_asset_stage(spark):
     # second-id re-fetches collapse)
     assert out["assets_unique"] == n_docs
     assert out["asset_formats"] == len(prof)
+    # 6b near-dup tier: every planted trailer re-fetch (original id +
+    # 2000000) pairs with its original at est_jaccard >= 0.5 and is
+    # dropped — the exact tier CANNOT see these (new sha256)
+    near = out.pop("asset_neardup")
+    losers = {r["b_id"] for r in near.collect()}
+    planted = {
+        r["media_id"] + 2000000
+        for r in docs.where(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+        .collect()
+    }
+    assert planted <= losers, planted - losers
+    assert out["assets_after_neardup"] <= n_docs
+    assert out["assets_after_neardup"] >= n_docs - out["asset_neardup_pairs"]

@@ -348,6 +348,7 @@ def test_plan_shape_queries_invariant_under_aqe_stress(spark, sf_smoke):
         "shard_balance",  # rides token_shards' prefix-sum exchange reuse
         "snm_pairs",  # rides distributed_rank's prefix-sum exchange reuse
         "binary_dedup",  # digest-keyed group + join-back (skew-splittable)
+        "binary_neardup",  # band self-join + signature groupBy (skew-splittable)
     ]
     stress = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
