@@ -243,9 +243,15 @@ def run(
     #    larger id of a near-dup pair (min-id survivor, the stage-6 rule).
     from mine_database_spark.operators.multimodal import binary_neardup
 
+    # stage boundary: the survivors feed BOTH sides of 6b's union and then
+    # binary_neardup's band SELF-join — without a checkpoint the lazy plan
+    # (stages 1-5 + the dedup join-back) appears ~8x in the joined tree and
+    # Catalyst constraint propagation goes combinatorial (the round-9
+    # plan-growth class; measured: this stage alone held a driver thread
+    # in getAllValidConstraints for 20+ minutes, vs seconds checkpointed)
     survivors = assets.join(
         keep.select("media_id"), "media_id", "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     refetched = survivors.where(F.col("media_id") % 7 == 0).select(
         (F.col("media_id") + 2000000).alias("media_id"),
         F.concat(F.col("blob"), F.lit(b"<trk:utm-trailer>")).alias("blob"),
