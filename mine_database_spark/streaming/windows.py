@@ -638,7 +638,15 @@ def stream_decontaminate_spans(
             ),
         ),
     ).otherwise(F.expr("array()").cast("array<struct<s:int,d:string>>"))
-    base = base.withColumn("__spans", spans)
+    # each explode([1]) below is a CollapseProject barrier (the
+    # similarity.py recipe): the span/cut stages reference their
+    # predecessor more than once, and an interpreted projection (HOFs are
+    # CodegenFallback) re-evaluates an INLINED subtree — including its
+    # md5-per-window digests — once per reference; materializing each
+    # stage as an attribute keeps per-row work linear in the doc
+    base = base.withColumn("__spans", spans).withColumn(
+        "__b1", F.explode(F.array(F.lit(1)))
+    )
     dirty_digests = F.array_intersect(
         F.transform(F.col("__spans"), lambda s: s["d"]),
         F.coalesce(F.col("__bench"), F.expr("array()").cast("array<string>")),
@@ -674,7 +682,9 @@ def stream_decontaminate_spans(
             )
         ),
     )
-    base = base.withColumn("__cuts", cuts)
+    base = base.withColumn("__cuts", cuts).withColumn(
+        "__b2", F.explode(F.array(F.lit(1)))
+    )
     kept = F.when(F.size(F.col("__cuts")) == 0, F.col("__toks")).otherwise(
         F.transform(
             F.filter(
@@ -688,9 +698,14 @@ def stream_decontaminate_spans(
             lambda s: s["t"],
         )
     )
+    base = base.withColumn("__kept", kept).withColumn(
+        "__b3", F.explode(F.array(F.lit(1)))
+    )
     return base.select(
         "doc_id",
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
         F.size(F.col("__toks")).cast("bigint").alias("n_toks"),
-        (F.size(F.col("__toks")) - F.size(kept)).cast("bigint").alias("n_dropped"),
+        (F.size(F.col("__toks")) - F.size(F.col("__kept")))
+        .cast("bigint")
+        .alias("n_dropped"),
     )
