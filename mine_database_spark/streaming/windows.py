@@ -709,3 +709,19 @@ def stream_decontaminate_spans(
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+def stream_lang_id(
+    doc_stream: DataFrame,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of quality.CharBigramLangID.transform: arriving docs
+    score against a FITTED model's quantized log-prob literals — a
+    stateless projection (append mode, no aggregation, no watermark, no
+    state store), the stream_bloom_decontaminate shape: the fit happened
+    offline (or on the static corpus), the stream pays only the per-row
+    head-window scan. Emits (id_col, pred_lang, score_q) per doc,
+    bit-identical to the batch scorer (pinned in pytest)."""
+    return model.transform(doc_stream, id_col=id_col, text_col=text_col)

@@ -4964,3 +4964,55 @@ def test_write_zorder_read_side_row_group_skipping(spark, tmp_path):
     # ...but reads essentially the whole table for the trailing one
     got, scanned = scan_rows(sout, "y")
     assert got == want_y and scanned >= 19000, scanned
+
+
+def test_stream_lang_id_equals_batch(spark, tmp_path):
+    """The streaming lang-ID twin emits exactly the batch scorer's rows:
+    fit on a static labeled corpus, score a file stream of unseen docs —
+    predictions and quantized scores match bit-for-bit (stateless
+    projection, append mode)."""
+    from mine_database_spark.operators.quality import fit_char_bigram_langid
+    from mine_database_spark.streaming.windows import stream_lang_id
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "der schnelle braune fuchs springt ueber den hund", "de"),
+            (3, "le renard brun rapide saute par dessus le chien", "fr"),
+            (4, "the cat sat on the warm mat all day", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    m = fit_char_bigram_langid(corpus)
+    arriving = [
+        (10, "the dog and the fox are friends"),
+        (11, "der hund und der fuchs"),
+        (12, "x"),  # sub-2-char: scores on priors alone
+    ]
+    batch = {
+        r["doc_id"]: (r["pred_lang"], r["score_q"])
+        for r in m.transform(
+            spark.createDataFrame(arriving, "doc_id long, text string")
+        ).collect()
+    }
+
+    src = tmp_path / "langid_src"
+    src.mkdir()
+    with open(src / "d.csv", "w") as fh:
+        for i, text in arriving:
+            fh.write(f'{i},"{text}"\n')
+    stream = spark.readStream.schema("doc_id long, text string").csv(str(src))
+    q = (
+        stream_lang_id(stream, m)
+        .writeStream.format("memory")
+        .queryName("langid_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow stream did not finish"
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["score_q"])
+        for r in spark.sql("select * from langid_stream_test").collect()
+    }
+    assert got == batch, (got, batch)
