@@ -278,6 +278,9 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": total,
         "value_kind": "min_floor",
+        # transition alias (r14 advice): consumers trending the min series
+        # keep a continuous `value_min` across the r14 convention switch
+        "value_min": total,
         "value_median": total_median,
         "unit": "sec",
         "queries": times,
@@ -311,6 +314,9 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": total,
         "value_kind": "min_floor",
+        # transition alias (r14 advice): consumers trending the min series
+        # keep a continuous `value_min` across the r14 convention switch
+        "value_min": total,
         "value_median": total_median,
         "unit": "sec",
         "queries": {},

@@ -836,7 +836,11 @@ def k_truss(
     on the flag rather than assume fixpoint (r13 advice). Fixed `iters`
     rounds keep the plan deterministic and SQL-replayable (the
     k_core/pagerank recipe); convergence on the bench graph is pinned in
-    pytest. The flag costs two counts over already-checkpointed rounds.
+    pytest. The flag costs exactly two counts, both over eagerly-
+    checkpointed edge sets: the LAST round's input (the base checkpoint
+    when iters == 1, else round iters−1's post-peel checkpoint) and its
+    output — earlier rounds never count (r14 advice: the previous shape
+    counted every round plus the base, 1 + iters counts total).
 
     Scale: each round is ONE id-oriented wedge self-join (each triangle
     generated exactly once, the triangle_count recipe) + a 3-edge explode
@@ -883,9 +887,11 @@ def k_truss(
         )
 
     n_in = 0
-    n_out = e.count()
-    for _ in range(iters):
-        n_in = n_out
+    for i in range(iters):
+        if i == iters - 1:
+            # only the LAST round's before/after sizes decide `converged`;
+            # e here is always an eager checkpoint (base or prior round)
+            n_in = e.count()
         sup = support(e)
         e = (
             e.join(sup, ["a", "b"], "left")
@@ -893,7 +899,7 @@ def k_truss(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        n_out = e.count()
+    n_out = e.count()
     return e.join(support(e), ["a", "b"], "left").select(
         "a",
         "b",
