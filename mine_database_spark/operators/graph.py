@@ -285,6 +285,20 @@ def pagerank_fixed(
     Reference context: the reference's graph ops are BFS reach/pruning
     (pickaxe.py:898-1021); PageRank extends the same edge-table model with
     the canonical iterative-centrality workload.
+
+    No `converged` flag, deliberately (r14 verdict #6 asked each fixed-
+    round operator to emit one or say why not): the peel family
+    (k_core/k_truss/LPA) reaches an EXACT fixpoint a set-equality check
+    can certify, but power iteration converges only asymptotically —
+    consecutive iterates are (essentially) never bit-equal, so the
+    k_truss-style flag would read false forever, and any tolerance-based
+    variant smuggles in a float epsilon this integer formulation exists
+    to avoid. Callers bound the error a priori instead: the iterate
+    satisfies ‖r_t − r*‖₁ ≤ d^t·‖r_0 − r*‖₁ (d = damping_pct/100), a
+    deterministic geometric bound — pick iters from the tolerance, e.g.
+    d=0.85 gives <1e-3 of residual mass at iters≈43, and the ranking
+    ORDER stabilizes far earlier (the python-twin pytest pins the full
+    iters=5 ordering on its hand-built graph).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -658,6 +672,13 @@ def k_core(
     any scale factor without a hand-tuned constant. Fixed `iters` rounds
     keep the plan deterministic and SQL-replayable (the pagerank recipe);
     a pytest pins convergence (round iters == iters+1) on the bench graph.
+    Every output row carries `converged` — true iff the LAST peel round
+    removed zero edges, i.e. the result is the true k-core fixpoint; with
+    insufficient `iters` under-peeled nodes can remain, and callers
+    branching on core membership should gate on the flag (the k_truss
+    contract, r14 verdict #6). The flag costs two counts, both over
+    eagerly-checkpointed rounds when iters >= 2 (one symmetrized-edge
+    derivation pass when iters == 1).
 
     Scale: each round is one degree aggregate + two node semi-joins over
     the shrinking edge set — O(edges) per round. The keep-list is
@@ -716,7 +737,14 @@ def k_core(
         kdf = kdf.localCheckpoint(eager=True)
     e = sym
     deg = deg0
-    for _ in range(iters):
+    n_in = 0
+    for i in range(iters):
+        if i == iters - 1:
+            # only the LAST round's before/after edge counts decide
+            # `converged` (the k_truss recipe); for iters >= 2 this reads
+            # the prior round's checkpoint, for iters == 1 it pays one
+            # derivation pass over the symmetrized edge set
+            n_in = e.count()
         keep = (
             deg.crossJoin(F.broadcast(kdf))
             .where(F.col("d") >= F.col("k"))
@@ -724,7 +752,12 @@ def k_core(
         )
         e = _peel_round(e, keep, broadcast_keep).localCheckpoint(eager=True)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    return deg.select(F.col("src").alias("node"), F.col("d").alias("core_degree"))
+    n_out = e.count()
+    return deg.select(
+        F.col("src").alias("node"),
+        F.col("d").alias("core_degree"),
+        F.lit(n_out == n_in).alias("converged"),
+    )
 
 
 def label_propagation(
@@ -750,7 +783,13 @@ def label_propagation(
     Fixed rounds, not convergence, on purpose (the pagerank_fixed / k_core
     recipe): synchronous LPA has no convergence guarantee, and a fixed
     round count keeps the oracle an iterative CTE replay. Returns (node,
-    label) for every node in the symmetrized edge set.
+    label, converged) for every node in the symmetrized edge set —
+    `converged` true iff the LAST round changed zero labels (a fixpoint
+    of the synchronous update; oscillating configurations report false
+    forever, which is exactly the signal callers need before trusting
+    community assignments — the k_truss contract, r14 verdict #6). The
+    flag costs one node-keyed equi-join + count over the two final
+    checkpointed label states.
 
     Scale: each round is one edge⋈labels equi-join (labels shuffle; the
     edge table's partitioning is reusable across rounds), one (node,
@@ -774,9 +813,20 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev = labels
     for _ in range(iters):
+        prev = labels
         labels = _lpa_round(sym, labels).localCheckpoint(eager=True)
-    return labels
+    # converged iff the LAST round changed zero labels: one equi-join +
+    # count over the two final checkpointed O(nodes) label states (the
+    # k_truss/k_core last-round-only recipe, r14 verdict #6)
+    n_changed = (
+        labels.alias("n")
+        .join(prev.alias("p"), "node")
+        .where(F.col("n.label") != F.col("p.label"))
+        .count()
+    )
+    return labels.withColumn("converged", F.lit(n_changed == 0))
 
 
 def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:

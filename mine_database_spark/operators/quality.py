@@ -24,6 +24,7 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mine_database_spark.functions.lits import bigint_array_lit
 from mine_database_spark.functions.text import (
     STOPWORDS_EN,
     nonspace_chars,
@@ -836,7 +837,8 @@ def novelty_curve(
 
 # --- model-based language ID -------------------------------------------------
 #
-# Char-bigram multinomial Naive Bayes over a 27-class alphabet (a-z + an
+# Char-bigram multinomial Naive Bayes over a script-aware class alphabet
+# (a-z + digits + one class per major Unicode script block + an
 # everything-else bucket), the model-based upgrade of the registry's
 # stopword-density lang_id heuristic. Mirrors the reference's pluggable-
 # scorer pattern (filters/feasibility.py gates a learned model the same
@@ -852,45 +854,107 @@ def novelty_curve(
 # documents) produces bit-identical scores and therefore identical argmax
 # predictions. Ties break toward the alphabetically-first language on
 # both sides.
+#
+# The class map (r14 advice: the original 27-class Latin-only alphabet
+# collapsed every non-Latin script into one bucket, making e.g. Russian
+# and Greek indistinguishable gram streams): code points class via ONE
+# CASE expression shared verbatim by Spark, DuckDB, and the python twin
+# — both engines' ascii() returns the Unicode code point of the first
+# character, so the CASE is engine-neutral. Script-block granularity
+# (not per-character) keeps V = NCLS² dense and the model literal small
+# while separating scripts; languages sharing a script (ru/uk, hi/mr)
+# still separate through their differing bigram distributions over the
+# a-z-like within-block classes only when those blocks get their own
+# fine classes — which Latin has (26 letters) and other scripts trade
+# for the transition-shape signal (block-to-block, block-to-space
+# bigram mix), the CLD1-era design point.
 
-LANGID_V = 27 * 27  # dense bigram-index space: class(c1)*27 + class(c2)
+# (lo, hi, class) Unicode code-point ranges, checked after the a-z fast
+# path; two ranges may share a class (Arabic + supplement, CJK + ext A).
+_LANGID_BLOCKS: tuple[tuple[int, int, int], ...] = (
+    (0x30, 0x39, 26),  # ASCII digits
+    (0xC0, 0x24F, 27),  # Latin-1 Supplement + Latin Extended-A/B (accents)
+    (0x370, 0x3FF, 28),  # Greek and Coptic
+    (0x400, 0x4FF, 29),  # Cyrillic
+    (0x590, 0x5FF, 30),  # Hebrew
+    (0x600, 0x6FF, 31),  # Arabic
+    (0x750, 0x77F, 31),  # Arabic Supplement (same class)
+    (0x900, 0x97F, 32),  # Devanagari
+    (0x980, 0x9FF, 33),  # Bengali
+    (0xE00, 0xE7F, 34),  # Thai
+    (0x3040, 0x309F, 35),  # Hiragana
+    (0x30A0, 0x30FF, 36),  # Katakana
+    (0x3400, 0x4DBF, 37),  # CJK Extension A (same class as Unified)
+    (0x4E00, 0x9FFF, 37),  # CJK Unified Ideographs
+    (0x1100, 0x11FF, 38),  # Hangul Jamo
+    (0xAC00, 0xD7A3, 38),  # Hangul Syllables
+)
+LANGID_OTHER_CLS = 39  # space, punctuation, unlisted blocks
+LANGID_NCLS = 40
+LANGID_V = LANGID_NCLS * LANGID_NCLS  # dense: class(c1)*NCLS + class(c2)
 LANGID_QUANT = 1_000_000
 
 
 LANGID_MAX_CHARS = 512
 
 
+def langid_class_sql(cp: str) -> str:
+    """The engine-neutral CASE classing a code-point SQL expression `cp`
+    into [0, LANGID_NCLS) — the ONE source of truth for Spark plans, the
+    DuckDB oracle (registry _Q_LANG_ID_MODEL_SQL interpolates this), and
+    (via the same block table) the python twin."""
+    whens = " ".join(
+        f"WHEN {cp} BETWEEN {lo} AND {hi} THEN {c}"
+        for lo, hi, c in _LANGID_BLOCKS
+    )
+    return (
+        f"CASE WHEN {cp} BETWEEN 97 AND 122 THEN {cp} - 97 "
+        f"{whens} ELSE {LANGID_OTHER_CLS} END"
+    )
+
+
 def _langid_gram_idx(text_col: str, max_chars: int = LANGID_MAX_CHARS) -> Column:
     """array<int> of char-bigram indexes for one row — the shared gram
-    extraction of fit and score. Lowercase; a-z map to 0-25, every other
-    char (space, digits, punctuation, non-ascii) to bucket 26; a text
-    with fewer than 2 chars (or NULL) yields an empty array. Only the
-    first `max_chars` code points participate — language is a HEAD
-    property (the fastText/CLD convention), and the cap bounds per-row
-    scoring cost by max_chars·K regardless of document length, which is
-    what makes the scan's cost model flat at 100 TB.
+    extraction of fit and score. Lowercase; chars class per
+    langid_class_sql (a-z -> 0-25, digits/script blocks -> their class,
+    rest -> LANGID_OTHER_CLS); a text with fewer than 2 chars (or NULL)
+    yields an empty array. Only the first `max_chars` code points
+    participate — language is a HEAD property (the fastText/CLD
+    convention), and the cap bounds per-row scoring cost by max_chars·K
+    regardless of document length, which is what makes the scan's cost
+    model flat at 100 TB.
 
     Shape note: the obvious transform(sequence(...), j ->
     substring(t, j, 1)) is QUADRATIC per row — UTF8String.substring
     seeks from the string head each call (code points, not bytes), so a
-    c-char text pays O(c²) char scans. split-to-char-array once, then
-    class each char via one zip_with over the two shifted slices — O(c),
-    measured ~3x end-to-end on the registered query at sf0.01."""
+    c-char text pays O(c²) char scans. split-to-char-array once, class
+    via two chained transforms (ascii once per char, then the CASE on
+    the int — not per-WHEN re-derivation), then one zip_with over the
+    two shifted slices — O(c), measured ~3x end-to-end at sf0.01."""
     t = f"substring(lower(coalesce({text_col}, '')), 1, {int(max_chars)})"
     cls = (
-        f"transform(split({t}, ''),"
-        " c -> CASE WHEN ascii(c) BETWEEN 97 AND 122 THEN ascii(c) - 97"
-        " ELSE 26 END)"
+        f"transform(transform(split({t}, ''), c -> ascii(c)),"
+        f" p -> {langid_class_sql('p')})"
     )
     n = f"length({t})"  # code points == split-array size
     e = (
         f"CASE WHEN {n} >= 2 THEN "
         f"zip_with(slice({cls}, 1, {n} - 1),"
         f"         slice({cls}, 2, {n} - 1),"
-        f"         (c1, c2) -> c1 * 27 + c2) "
+        f"         (c1, c2) -> c1 * {LANGID_NCLS} + c2) "
         "ELSE array() END"
     )
     return F.expr(e).cast("array<int>")
+
+
+def _langid_cls_py(o: int) -> int:
+    """Python twin of langid_class_sql over one code point."""
+    if 97 <= o <= 122:
+        return o - 97
+    for lo, hi, c in _LANGID_BLOCKS:
+        if lo <= o <= hi:
+            return c
+    return LANGID_OTHER_CLS
 
 
 def _gram_idx_py(
@@ -900,19 +964,15 @@ def _gram_idx_py(
     t = (text or "").lower()[:max_chars]
     if len(t) < 2:
         return []
-
-    def cls(ch: str) -> int:
-        o = ord(ch)
-        return o - 97 if 97 <= o <= 122 else 26
-
-    return [cls(t[j]) * 27 + cls(t[j + 1]) for j in range(len(t) - 1)]
+    cs = [_langid_cls_py(ord(ch)) for ch in t]
+    return [cs[j] * LANGID_NCLS + cs[j + 1] for j in range(len(t) - 1)]
 
 
 class CharBigramLangID:
     """Fitted char-bigram NB: `langs` sorted ascending, `prior_q[k]` the
-    quantized log prior of langs[k], `mat[k]` the dense 729-long list of
+    quantized log prior of langs[k], `mat[k]` the dense LANGID_V-long list of
     quantized log conditionals (Laplace-smoothed over the full index
-    space, so unseen grams get ln(1/(total+729)) — no sparse/default
+    space, so unseen grams get ln(1/(total+LANGID_V)) — no sparse/default
     split to keep in sync)."""
 
     def __init__(self, langs: list[str], prior_q: list[int], mat: list[list[int]]):
@@ -930,14 +990,37 @@ class CharBigramLangID:
         id_col: str = "doc_id",
         text_col: str = "text",
         extra_cols: tuple[str, ...] = (),
+        shape: str = "agg",
     ) -> DataFrame:
-        """(id, *extra_cols, pred_lang, score_q) — pure scan: the model is
-        literal arrays (one Literal per language, O(1) positional
-        element_at), the per-language score an integer fold over the
-        row's gram indexes, argmax a fixed expression. No join, no
-        shuffle, no Python — the 100 TB scoring shape. `extra_cols` pass
-        through untouched (e.g. the declared-language column for a
-        mismatch audit)."""
+        """(id, *extra_cols, pred_lang, score_q) scored per document; two
+        plan shapes, bit-identical outputs (equality-pinned in pytest):
+
+        - shape='agg' (default — measured min-of-3 scoring passes on the
+          40-class model: tied at sf0.1 (7.5 s vs fold's 7.7), ahead and
+          steadier at the 10x replicated corpus (11.7/11.8 s vs
+          12.7/16.7) — the codegen aggregate scales flatter than the
+          interpreted fold, the r12 LPA max_by precedent): explode the
+          gram list, look each gram's K
+          log-probs up positionally in K per-language literal arrays
+          (element_at on a Literal — O(1), no join), and groupBy(id)
+          summing K bigint columns. Everything is whole-stage-codegen
+          HashAggregate with map-side partial aggregation, so the
+          shuffle carries ~one K-wide row per document per partition;
+          the interpreted-HOF fold is avoided entirely. explode_outer
+          keeps zero-gram documents (score = prior only).
+        - shape='fold': zero-shuffle single scan; the per-language score
+          is an integer F.aggregate fold over the row's gram indexes
+          against a gram-major flattened matrix literal. HOFs are
+          CodegenFallback (interpreted), which is why the codegen agg
+          shape wins despite its shuffle — kept as the no-shuffle
+          option for shuffle-constrained pipelines.
+
+        `extra_cols` pass through untouched (e.g. the declared-language
+        column for a mismatch audit)."""
+        if shape == "agg":
+            return self._transform_agg(docs, id_col, text_col, extra_cols)
+        if shape != "fold":
+            raise ValueError(f"unknown shape {shape!r} (want 'agg' or 'fold')")
         gidx = _langid_gram_idx(text_col).alias("__g")
         k_langs = len(self.langs)
         # ONE fold over the gram list accumulating the K-vector of scores
@@ -946,12 +1029,14 @@ class CharBigramLangID:
         # O(K) slice + zip_with instead of K independent folds re-walking
         # the array — interpreted-HOF step count drops K-fold (measured
         # ~2.5x end-to-end at sf0.01 with K=5)
-        flat = F.lit(
-            [self.mat[k][i] for i in range(LANGID_V) for k in range(k_langs)]
-        ).cast("array<bigint>")
+        # bigint_array_lit, not F.lit: the 8000-element list literal costs
+        # ~6 s of py4j per plan build vs ~7 ms through the parser
+        flat = bigint_array_lit(
+            self.mat[k][i] for i in range(LANGID_V) for k in range(k_langs)
+        )
         sums = F.aggregate(
             F.col("__g"),
-            F.lit([0] * k_langs).cast("array<bigint>"),
+            bigint_array_lit([0] * k_langs),
             lambda acc, g: F.zip_with(
                 acc,
                 F.slice(flat, g * k_langs + 1, k_langs),
@@ -959,7 +1044,7 @@ class CharBigramLangID:
             ),
         )
         scores = F.zip_with(
-            F.lit(self.prior_q).cast("array<bigint>"), sums, lambda p, s: p + s
+            bigint_array_lit(self.prior_q), sums, lambda p, s: p + s
         )
         langs = F.lit(self.langs)
         extras = [F.col(c) for c in extra_cols]
@@ -974,6 +1059,72 @@ class CharBigramLangID:
             .select(id_col, *extra_cols, scores.alias("__sc"))
             .withColumn("__b", F.explode(F.array(F.lit(1))))
         )
+        return staged.select(
+            id_col,
+            *extra_cols,
+            F.element_at(
+                langs,
+                F.array_position(F.col("__sc"), F.array_max("__sc")).cast("int"),
+            ).alias("pred_lang"),
+            F.array_max("__sc").alias("score_q"),
+        )
+
+    def _transform_agg(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        extra_cols: tuple[str, ...],
+    ) -> DataFrame:
+        """The explode+groupBy codegen shape (see transform docstring).
+        Grouping carries `extra_cols` alongside the id (functionally
+        dependent on it by contract) so no join-back is needed; NULL
+        grams from explode_outer contribute NULL to every sum (sum
+        ignores NULL) -> coalesce(0) leaves prior-only scores for empty
+        texts, exactly matching the fold shape's empty-array fold."""
+        k_langs = len(self.langs)
+        # parser-built literals (functions/lits.py): K x LANGID_V elements
+        # through F.lit would cost seconds of py4j per plan build
+        per_lang = [bigint_array_lit(self.mat[k]) for k in range(k_langs)]
+        exploded = docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.explode_outer(_langid_gram_idx(text_col)).alias("__g"),
+        )
+        # the isNotNull guard is load-bearing, not style: element_at over a
+        # PARSER-built array (CreateArray pre-folding) with a NULL ordinal
+        # returns the LAST element, not NULL — SimplifyExtractValueOps
+        # rewrites it to a CaseKeyWhen whose NULL key falls through to the
+        # else branch (verified r15 on Spark 4.1; a py4j Literal array
+        # returns NULL as documented). Guarding the ordinal keeps the
+        # explode_outer NULL row contributing nothing to any sum.
+        sums = exploded.groupBy(id_col, *extra_cols).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("__g").isNotNull(),
+                        F.element_at(per_lang[k], F.col("__g") + 1),
+                    )
+                ).alias(f"__s{k}")
+                for k in range(k_langs)
+            ]
+        )
+        scores = F.array(
+            *[
+                (
+                    F.lit(self.prior_q[k])
+                    + F.coalesce(F.col(f"__s{k}"), F.lit(0))
+                ).cast("bigint")
+                for k in range(k_langs)
+            ]
+        )
+        langs = F.lit(self.langs)
+        # materialize the K-long scores array once below its two consumers
+        # (same CollapseProject barrier rationale as the fold shape; here
+        # the array is cheap, but the barrier keeps the plan shape uniform)
+        staged = sums.select(
+            id_col, *extra_cols, scores.alias("__sc")
+        ).withColumn("__b", F.explode(F.array(F.lit(1))))
         return staged.select(
             id_col,
             *extra_cols,
@@ -1006,8 +1157,8 @@ def fit_char_bigram_langid(
 ) -> CharBigramLangID:
     """Fit the NB on a labeled corpus: gram counts aggregate DISTRIBUTED
     (one explode + one (lang, gram) groupBy — map-side combinable, state
-    bounded by langs x 729), then ONE small-by-contract collect of at
-    most langs x 729 count rows + langs doc counts (the PQ-codebook
+    bounded by langs x LANGID_V), then ONE small-by-contract collect of
+    at most langs x LANGID_V count rows + langs doc counts (the PQ-codebook
     class of collect: model construction, run offline at 100 TB and
     shipped as literals). Rows with NULL labels are excluded from
     training; a language whose every text is too short simply has all-

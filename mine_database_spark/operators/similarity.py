@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mine_database_spark.functions.lits import double_array_lit
+
 from mine_database_spark.functions.vectors import cosine, cosine_maybe_unrolled
 
 
@@ -318,7 +320,9 @@ def lsh_band_table(
     literals (no driver-side Spark action at plan build)."""
     bits = []
     for p in range(n_planes):
-        w = F.array(*[F.lit(_plane_weight(p, i)) for i in range(dim)])
+        # parser-built literal (functions/lits.py): n_planes x dim F.lit
+        # calls round-trip py4j per element and dominate plan build
+        w = double_array_lit(_plane_weight(p, i) for i in range(dim))
         dot = F.aggregate(
             F.zip_with(F.col("__v"), w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )

@@ -22,6 +22,12 @@ from pyspark.storagelevel import StorageLevel
 
 from mine_database_spark.session import load_tables
 from mine_database_spark.functions.text import hex_uniform, tokens
+from mine_database_spark.operators.quality import (
+    LANGID_MAX_CHARS as _LANGID_MAX_CHARS,
+    LANGID_NCLS as _LANGID_NCLS,
+    LANGID_V as _LANGID_V,
+    langid_class_sql as _langid_class_sql,
+)
 from mine_database_spark.operators import dedup as dd
 from mine_database_spark.operators import graph as gr
 from mine_database_spark.operators import packing as pk
@@ -1616,10 +1622,13 @@ FROM r
 
 def q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based language ID (quality.CharBigramLangID): char-bigram
-    multinomial NB over the 27-class alphabet, FIT on this corpus's own
-    (lang, text) labels (distributed gram counts + one small-by-contract
-    collect of <= langs x 729 rows, then integer-quantized log-prob
-    literals), scored as a pure zero-Python scan, with the mismatch audit
+    multinomial NB over the script-aware LANGID_NCLS-class alphabet (a-z +
+    digits + one class per major Unicode script block; r14 advice), FIT on
+    this corpus's own (lang, text) labels (distributed gram counts + one
+    small-by-contract collect of <= langs x LANGID_V rows, then integer-
+    quantized log-prob literals), scored as a pure zero-Python scan
+    (explode+groupBy aggregate shape — measured against the HOF-fold twin,
+    see CharBigramLangID.transform), with the mismatch audit
     against the declared label (q_lang_mismatch's contract, upgraded from
     the stopword heuristic). The synthetic corpus draws every language
     from one vocabulary, so accuracy here reads near the majority-class
@@ -1641,20 +1650,29 @@ def q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANGID_GRAM_SQL = """
+# the char-class CASE is generated from quality's block table so the
+# oracle can never drift from the Spark/python classing (one source of
+# truth); cls evaluates ascii() once per char (the Spark shape), then
+# bigrams index the 1-based class list
+_LANGID_GRAM_SQL = f"""
   CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1), j ->
-    (CASE WHEN ascii(substr(t, j, 1)) BETWEEN 97 AND 122 THEN ascii(substr(t, j, 1)) - 97 ELSE 26 END) * 27
-    + (CASE WHEN ascii(substr(t, j + 1, 1)) BETWEEN 97 AND 122 THEN ascii(substr(t, j + 1, 1)) - 97 ELSE 26 END))
+    cls[j] * {_LANGID_NCLS} + cls[j + 1])
   ELSE [] END"""
+
+_LANGID_CLS_SQL = (
+    "list_transform(list_transform(generate_series(1, len(t)), j -> "
+    f"ascii(substr(t, j, 1))), p -> {_langid_class_sql('p')})"
+)
 
 _Q_LANG_ID_MODEL_SQL = f"""
 WITH d AS (
   -- quality.LANGID_MAX_CHARS head window: language is a head property and
   -- the cap bounds per-row scoring cost (the fastText/CLD convention)
-  SELECT doc_id, lang, substr(lower(coalesce(text, '')), 1, 512) AS t
+  SELECT doc_id, lang, substr(lower(coalesce(text, '')), 1, {_LANGID_MAX_CHARS}) AS t
   FROM documents
 ),
-gi AS (SELECT doc_id, lang, {_LANGID_GRAM_SQL} AS g FROM d),
+dc AS (SELECT doc_id, lang, t, {_LANGID_CLS_SQL} AS cls FROM d),
+gi AS (SELECT doc_id, lang, {_LANGID_GRAM_SQL} AS g FROM dc),
 nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1),
 ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM nd),
 gexp AS (SELECT lang, unnest(g) AS gidx FROM gi WHERE lang IS NOT NULL),
@@ -1665,9 +1683,9 @@ tot AS (
 ),
 grid AS (
   SELECT t.lang AS ml, s.i AS gidx,
-         CAST(round(ln((coalesce(c.c, 0) + 1) / CAST(t.tc + 729 AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+         CAST(round(ln((coalesce(c.c, 0) + 1) / CAST(t.tc + {_LANGID_V} AS DOUBLE)) * 1000000) AS BIGINT) AS lp
   FROM tot t
-  CROSS JOIN (SELECT unnest(generate_series(0, 728)) AS i) s
+  CROSS JOIN (SELECT unnest(generate_series(0, {_LANGID_V} - 1)) AS i) s
   LEFT JOIN cnt c ON c.lang = t.lang AND c.gidx = s.i
 ),
 prior AS (
@@ -5429,8 +5447,12 @@ def _kcore_sql(iters: int = 6, k: int = 2, min_w: int = 2) -> str:
             f" JOIN n{i} a ON e.src = a.node JOIN n{i} b ON e.dst = b.node),"
         )
     parts[-1] = parts[-1].rstrip(",")
+    # converged mirrors the operator's fixpoint flag: the last peel round
+    # removed zero edges (|e{iters-1}| = |e{iters}|) — the k_truss recipe
     parts.append(
-        f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree"
+        f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree,"
+        f" (SELECT COUNT(*) FROM e{iters-1}) = (SELECT COUNT(*) FROM e{iters})"
+        f" AS converged"
         f" FROM e{iters} GROUP BY src"
     )
     return "\n".join(parts)
@@ -5776,7 +5798,14 @@ def _lpa_sql(iters: int = 4) -> str:
             f") WHERE rn = 1),"
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"SELECT node, label FROM l{iters}")
+    # converged mirrors the operator's fixpoint flag: the last round
+    # changed zero labels (the k_truss/k_core recipe)
+    parts.append(
+        f"SELECT node, label,"
+        f" (SELECT COUNT(*) FROM l{iters-1} p JOIN l{iters} n"
+        f" ON p.node = n.node AND p.label <> n.label) = 0 AS converged"
+        f" FROM l{iters}"
+    )
     return "\n".join(parts)
 
 

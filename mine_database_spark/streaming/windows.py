@@ -723,5 +723,10 @@ def stream_lang_id(
     state store), the stream_bloom_decontaminate shape: the fit happened
     offline (or on the static corpus), the stream pays only the per-row
     head-window scan. Emits (id_col, pred_lang, score_q) per doc,
-    bit-identical to the batch scorer (pinned in pytest)."""
-    return model.transform(doc_stream, id_col=id_col, text_col=text_col)
+    bit-identical to the batch scorer (pinned in pytest). shape='fold'
+    is load-bearing: the batch-default 'agg' shape groups by doc — a
+    streaming aggregation demanding watermark + update mode — while the
+    fold is a per-row projection that keeps this append-mode stateless."""
+    return model.transform(
+        doc_stream, id_col=id_col, text_col=text_col, shape="fold"
+    )

@@ -145,15 +145,21 @@ def _run_once(spark, fn, sf_dir: str, timeout_sec: float) -> float | None:
         th.join(60)
         return None
     if err:
+        if isinstance(err[0], ValueError):  # e.g. the ngram candidate guard
+            return "guarded"
         raise err[0]
     return elapsed[0]
 
 
 def time_query(spark, fn, sf_dir: str, passes: int, timeout_sec: float):
     """min over `passes` timed runs (after one warm run); 'killed' if any
-    run (warm included) exceeds timeout_sec."""
-    if _run_once(spark, fn, sf_dir, timeout_sec) is None:  # warm
+    run (warm included) exceeds timeout_sec, 'guarded' if the query's own
+    pre-flight volume guard refused the configuration."""
+    first = _run_once(spark, fn, sf_dir, timeout_sec)  # warm
+    if first is None:
         return "killed"
+    if first == "guarded":
+        return "guarded"
     spark.catalog.clearCache()
     best = math.inf
     for _ in range(passes):
@@ -161,6 +167,8 @@ def time_query(spark, fn, sf_dir: str, passes: int, timeout_sec: float):
         t = _run_once(spark, fn, sf_dir, timeout_sec)
         if t is None:
             return "killed"
+        if t == "guarded":
+            return "guarded"
         best = min(best, t)
     return round(best, 3)
 

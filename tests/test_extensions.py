@@ -554,6 +554,36 @@ def test_ngram_jaccard_df_cap(spark):
     assert capped.count() == 0
 
 
+def test_ngram_jaccard_candidate_volume_guard(spark):
+    """The uncapped configuration pre-flights Σ df·(df−1)/2 and raises
+    above max_candidate_pairs (r14 verdict #4): a planted hot shingle
+    trips it AT PLAN BUILD; the capped twin and the candidates path skip
+    the check entirely, and max_candidate_pairs=None forces through."""
+    import pytest as _pytest
+
+    from mine_database_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 6 docs all sharing one hot bigram → Σ df(df−1)/2 = 15 + singles
+    rows = [(f"d{i}", f"xx yy u{i} v{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        ngram_jaccard_pairs(docs, k=2, threshold=0.01, max_candidate_pairs=10)
+
+    # capped config never runs the check (same ceiling, no raise)
+    assert (
+        ngram_jaccard_pairs(
+            docs, k=2, threshold=0.01, df_cap=2, max_candidate_pairs=10
+        ).count()
+        == 0
+    )
+    # explicit opt-out runs uncapped: every doc pairs with every other
+    forced = ngram_jaccard_pairs(
+        docs, k=2, threshold=0.01, max_candidate_pairs=None
+    )
+    assert forced.count() == 15
+
+
 def test_lsh_ann_recall_gate(spark):
     """Banded hyperplane-LSH top-k must return a full k rows per query and
     recall@10 >= 0.8 vs brute force, with exact-equal scores on shared pairs."""
@@ -3721,14 +3751,23 @@ def test_k_core_planted_and_converged(spark):
 
     rows = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)]
     pe = spark.createDataFrame(rows, "src long, dst long")
-    got = sorted(map(tuple, k_core(pe, k=3, iters=6).collect()))
+    core = lambda df: sorted((r["node"], r["core_degree"]) for r in df.collect())
+    r6 = k_core(pe, k=3, iters=6).collect()
+    got = sorted((r["node"], r["core_degree"]) for r in r6)
     assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
-    assert sorted(map(tuple, k_core(pe, iters=6).collect())) == got  # median path
-    assert sorted(map(tuple, k_core(pe, k=3, iters=8).collect())) == got
+    # 6 rounds reach fixpoint on this graph -> converged on every row
+    assert all(r["converged"] for r in r6)
+    assert core(k_core(pe, iters=6)) == got  # median path
+    assert core(k_core(pe, k=3, iters=8)) == got
     # k above the max core empties cleanly
     assert k_core(pe, k=4, iters=6).count() == 0
     # the hint-pinned small-core path returns the identical core
-    assert sorted(map(tuple, k_core(pe, k=3, iters=6, broadcast_keep=True).collect())) == got
+    assert core(k_core(pe, k=3, iters=6, broadcast_keep=True)) == got
+    # the chain 4-5-6-7 peels over MULTIPLE rounds: after one round the
+    # peel has not reached fixpoint, so converged must read False (the
+    # planted non-converged case the r14-verdict contract demands)
+    r1 = k_core(pe, k=3, iters=1).collect()
+    assert len(r1) > 0 and not any(r["converged"] for r in r1)
 
 
 def test_k_core_registry_fixpoint(spark, sf_smoke):
@@ -3740,6 +3779,7 @@ def test_k_core_registry_fixpoint(spark, sf_smoke):
     from pyspark.sql import functions as F
 
     r6 = sorted(map(tuple, QUERIES["k_core"](spark, sf_smoke).collect()))
+    assert all(t[2] for t in r6)  # registered 6-round peel is a fixpoint
     (l,) = _t(spark, sf_smoke, "lineitem")
     li = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id")).distinct()
     pairs = (
@@ -4091,16 +4131,22 @@ def test_label_propagation_planted_communities_vs_cc(spark):
     edges = spark.createDataFrame(
         k4a + k4b + [(4, 10)], "src long, dst long"
     )
-    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=4).collect()}
+    r4 = label_propagation(edges, iters=4).collect()
+    got = {r["node"]: r["label"] for r in r4}
     assert {got[n] for n in (1, 2, 3, 4)} == {1}
     assert {got[n] for n in (10, 11, 12, 13)} == {10}
+    # round 4 changes nothing on this graph -> fixpoint flag set
+    assert all(r["converged"] for r in r4)
     cc = connected_components(edges, "src", "dst")
     assert cc.select("component").distinct().count() == 1
-    # isolated edge: both ends adopt the smaller id in round 1
+    # isolated edge: both ends adopt the smaller id in round 1 — which
+    # CHANGED a label, so one round is not yet a certified fixpoint (the
+    # planted non-converged case); a second round certifies it
     pair = spark.createDataFrame([(7, 9)], "src long, dst long")
-    assert {
-        r["label"] for r in label_propagation(pair, iters=1).collect()
-    } == {7}
+    r1 = label_propagation(pair, iters=1).collect()
+    assert {r["label"] for r in r1} == {7}
+    assert not any(r["converged"] for r in r1)
+    assert all(r["converged"] for r in label_propagation(pair, iters=2).collect())
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -152,7 +152,7 @@ def test_bigram_logprob_matches_python_twin(spark):
 
 def test_char_bigram_langid_twins_and_edges(spark):
     """The distributed NB fit equals the pure-python twin EXACTLY (langs,
-    quantized priors, full 729-wide conditional matrix), and every scored
+    quantized priors, full LANGID_V-wide conditional matrix), and every scored
     row equals score_py — the integer-quantization contract that makes
     the oracle replay bit-exact. Edge rows: NULL text and sub-2-char text
     score on priors alone; NULL labels are excluded from training."""
@@ -176,14 +176,17 @@ def test_char_bigram_langid_twins_and_edges(spark):
     assert m.langs == mp.langs == ["de", "en", "fr"]
     assert m.prior_q == mp.prior_q
     assert m.mat == mp.mat
-    got = {
-        r["doc_id"]: (r["pred_lang"], r["score_q"])
-        for r in m.transform(docs).collect()
-    }
-    for _id, t, _lg in rows:
-        assert got[_id] == m.score_py(t), (_id, got[_id], m.score_py(t))
-    # prior-only rows all agree on the majority class (en: 3 of 7 labeled)
-    assert got[5][0] == "en" and got[7][0] == "en"
+    # BOTH plan shapes equal the python twin row-for-row (the agg shape's
+    # codegen aggregate and the fold shape's HOF scan are bit-identical)
+    for shape in ("agg", "fold"):
+        got = {
+            r["doc_id"]: (r["pred_lang"], r["score_q"])
+            for r in m.transform(docs, shape=shape).collect()
+        }
+        for _id, t, _lg in rows:
+            assert got[_id] == m.score_py(t), (shape, _id, got[_id])
+        # prior-only rows agree on the majority class (en: 3 of 7 labeled)
+        assert got[5][0] == "en" and got[7][0] == "en"
 
     import pytest as _pytest
 
@@ -195,18 +198,20 @@ def test_char_bigram_langid_twins_and_edges(spark):
 
 
 def test_char_bigram_langid_scoring_is_pure_scan(spark):
-    """The 100 TB scoring pass is a literal scan: no Exchange, no join, no
-    Python eval — the model rides as array literals with O(1) positional
-    element_at (never a map lookup)."""
+    """shape='fold' is the zero-shuffle literal scan: no Exchange, no
+    join, no Python eval — the model rides as array literals. The default
+    'agg' shape trades one doc-keyed Exchange for whole-stage-codegen
+    aggregation (measured faster, registry q_lang_id_model) but must stay
+    join-free and Python-free too."""
     from mine_database_spark.operators.quality import fit_char_bigram_langid
 
     docs = spark.createDataFrame(
         [(1, "alpha beta", "en"), (2, "gamma delta", "de")],
         "doc_id long, text string, lang string",
     )
+    m = fit_char_bigram_langid(docs)
     plan = (
-        fit_char_bigram_langid(docs)
-        .transform(docs, extra_cols=("lang",))
+        m.transform(docs, extra_cols=("lang",), shape="fold")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -214,3 +219,56 @@ def test_char_bigram_langid_scoring_is_pure_scan(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    agg_plan = (
+        m.transform(docs, extra_cols=("lang",), shape="agg")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in agg_plan, agg_plan
+    assert "HashAggregate" in agg_plan, agg_plan
+    assert (
+        "BatchEvalPython" not in agg_plan and "ArrowEvalPython" not in agg_plan
+    ), agg_plan
+
+
+def test_char_bigram_langid_separates_scripts(spark):
+    """r14 advice: under the old 27-class Latin alphabet every non-Latin
+    char fell into one bucket, so Russian and Greek produced IDENTICAL
+    gram streams and could never be told apart. The script-aware class
+    map gives each major Unicode block its own class; a model fit on
+    labeled ru/el rows must now classify held-out ru/el text correctly
+    (and the gram streams themselves must differ)."""
+    from mine_database_spark.operators.quality import (
+        _gram_idx_py,
+        fit_char_bigram_langid,
+    )
+
+    ru = [
+        "теперь они читают книги в библиотеке каждый день",
+        "хорошая погода стоит уже неделю в городе",
+        "мы пишем письма друзьям по вечерам дома",
+    ]
+    el = [
+        "τώρα διαβάζουν βιβλία στη βιβλιοθήκη κάθε μέρα",
+        "ο καιρός είναι καλός εδώ και μια εβδομάδα",
+        "γράφουμε γράμματα στους φίλους τα βράδια",
+    ]
+    # the regression the class map fixes: distinct scripts, distinct grams
+    assert _gram_idx_py(ru[0]) != _gram_idx_py(el[0])
+
+    rows = [(i, t, "ru") for i, t in enumerate(ru)]
+    rows += [(100 + i, t, "el") for i, t in enumerate(el)]
+    train = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = fit_char_bigram_langid(train)
+
+    held = spark.createDataFrame(
+        [
+            (1, "они читают письма в городе"),
+            (2, "διαβάζουν γράμματα κάθε βράδυ"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in m.transform(held).collect()}
+    assert got == {1: "ru", 2: "el"}, got
