@@ -122,7 +122,6 @@ def minhash_neardup_stream(
 
     if num_hashes > len(MH_AB):
         raise ValueError(f"num_hashes must be <= {len(MH_AB)}")
-    n_bands = num_hashes // rows_per_band
     from mine_database_spark.functions.text import word_shingle_strings
 
     xs = F.transform(
@@ -132,6 +131,23 @@ def minhash_neardup_stream(
     base = docs.select(
         F.col(id_col).cast("bigint").alias("doc_id"), xs.alias("__xs")
     ).where(F.size("__xs") > 0)
+    keyed = _row_local_band_keys(base, num_hashes, rows_per_band)
+    ttl_ms = None if state_ttl_minutes is None else int(round(state_ttl_minutes * 60_000))
+    return _first_wins_bucket_stream(keyed, ttl_ms)
+
+
+def _row_local_band_keys(
+    base: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, band_sig) from a (doc_id, __xs) frame whose __xs is
+    the row's MH-domain shingle values — the scan-side half shared by the
+    text and binary streaming near-dup twins. Same universal-hash family
+    MH_AB and band digest as the batch stack (dedup.minhash_signatures /
+    lsh_band_keys), so batch and stream bucket IDENTICALLY."""
+    from mine_database_spark.operators.dedup import MH_AB, MH_P
+
+    n_bands = num_hashes // rows_per_band
+
     def _perm(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % MH_P
 
@@ -153,10 +169,17 @@ def minhash_neardup_stream(
             for b in range(n_bands)
         ]
     )
-    keyed = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
-    ttl_ms = None if state_ttl_minutes is None else int(round(state_ttl_minutes * 60_000))
+
+
+def _first_wins_bucket_stream(keyed: DataFrame, ttl_ms: int | None) -> DataFrame:
+    """The shared first-wins band-bucket state stage: each (band,
+    band_sig) bucket's GroupState remembers the FIRST doc_id that hit it;
+    every later doc emits (doc_id, band, matched_id). State is ONE small
+    tuple per bucket; `ttl_ms` evicts quiet buckets (their next hit is
+    treated as first-seen)."""
 
     def bucket_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -201,6 +224,79 @@ def minhash_neardup_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+def binary_neardup_stream(
+    media: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    k: int = 8,
+    max_bytes: int = 4096,
+    sample_mod: int = 4,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    state_ttl_minutes: float | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate candidates over BINARY payloads — the
+    unbounded-input twin of operators.multimodal.binary_neardup,
+    completing the byte-gram tier's streaming coverage next to
+    stream_binary_dedup's exact sha256 (r14 verdict #7): a re-fetched
+    asset with a new tracking trailer is caught ON ARRIVAL, before any
+    decode.
+
+    Row-local scan side mirrors binary_shingle_table exactly: hex byte
+    k-grams at every offset of the blob's first `max_bytes` bytes (whole
+    hex as one gram for 1..k-1-byte blobs; nothing for empty/NULL),
+    mod-sampled on the gram md5's raw 32-bit value % sample_mod (shift-
+    invariant selection, and the SAME value the batch path tests) — then
+    the shared MH_AB minhash/banding, so batch and stream bucket
+    IDENTICALLY (pinned in pytest). The filter runs on HOISTED raw
+    hashes (one md5 per distinct gram; an interpreted HOF re-evaluates a
+    repeated subexpression per reference otherwise), and x = raw % MH_P
+    matches dedup.minhash_signatures bit-for-bit.
+
+    Emits (doc_id, band, matched_id) first-wins candidates per bucket,
+    one small state tuple per bucket (`state_ttl_minutes` as the other
+    dedup streams). Chain the batch verifier (binary_neardup's n_agree /
+    est_jaccard, or a byte diff) over the emitted pairs offline.
+
+    Scale: blobs never shuffle — grams, sampling, signatures, and band
+    digests are all scan-side expressions; only (doc_id, band, band_sig)
+    rows reach the state exchange, hash-partitioned by bucket."""
+    from mine_database_spark.operators.dedup import MH_P
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_bytes < k:
+        raise ValueError(f"max_bytes must be >= {k}, got {max_bytes}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    hx = F.hex(F.expr(f"substring({blob_col}, 1, {int(max_bytes)})"))
+    nbytes = (F.length(hx) / 2).cast("int")
+    grams = (
+        F.when(
+            nbytes >= k,
+            F.transform(
+                F.sequence(F.lit(1), nbytes - (k - 1)),
+                lambda j: F.substring(hx, j * 2 - 1, 2 * k),
+            ),
+        )
+        .when(nbytes >= 1, F.array(hx))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    raws = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+    )
+    if sample_mod > 1:
+        raws = F.filter(raws, lambda r: r % sample_mod == 0)
+    xs = F.transform(raws, lambda r: r % MH_P)
+    base = media.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), xs.alias("__xs")
+    ).where(F.size("__xs") > 0)
+    keyed = _row_local_band_keys(base, num_hashes, rows_per_band)
+    ttl_ms = None if state_ttl_minutes is None else int(round(state_ttl_minutes * 60_000))
+    return _first_wins_bucket_stream(keyed, ttl_ms)
 
 
 def priority_dedup_stream(

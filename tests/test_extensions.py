@@ -4869,6 +4869,92 @@ def test_stream_binary_dedup_drops_known_blobs(spark, tmp_path):
     assert got == {2}
 
 
+def test_streaming_binary_neardup_trailer_variants(spark, tmp_path):
+    """binary_neardup_stream catches a re-fetched trailer-variant asset ON
+    ARRIVAL (r14 verdict #7): blob with an appended tracking trailer
+    buckets with its original across micro-batches; an unrelated blob
+    emits nothing; a re-delivered first blob never self-pairs. Stream
+    band keys must equal the BATCH stack's over the same blobs (the
+    stage-6b equality contract: same grams, same mod-sampling, same
+    MH_AB minhash, same band digest)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+    )
+    from mine_database_spark.operators.multimodal import binary_shingle_table
+    from mine_database_spark.streaming.stateful import binary_neardup_stream
+
+    base = bytes(range(256)) + bytes(reversed(range(256)))  # 512 bytes
+    variant = base + b"<meta:tracking-trailer>"  # re-fetch, new tail
+    unrelated = b"\x89PNG" + b"\xab\xcd" * 300
+    src = tmp_path / "bin_neardup_src"
+    src.mkdir()
+    with open(src / "a.csv", "w") as fh:
+        fh.write(f"1,{base.hex()}\n2,{unrelated.hex()}\n")
+    with open(src / "b.csv", "w") as fh:
+        # batch b re-delivers blob 1 (at-least-once) alongside the variant
+        fh.write(f"3,{variant.hex()}\n1,{base.hex()}\n")
+    stream = (
+        spark.readStream.schema("media_id long, hex string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+        .select("media_id", F.unhex(F.col("hex")).alias("blob"))
+    )
+    q = (
+        binary_neardup_stream(stream, state_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("bin_neardup_stream_test")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time as _time
+
+    rows = []
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            rows = spark.sql("select * from bin_neardup_stream_test").collect()
+            if rows:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    pairs = {(r["doc_id"], r["matched_id"]) for r in rows}
+    assert pairs == {(3, 1)}, pairs
+    assert not any(r["doc_id"] == r["matched_id"] for r in rows), rows
+
+    # stream band keys == batch band keys blob-for-blob
+    media = spark.createDataFrame(
+        [(1, bytearray(base)), (3, bytearray(variant)), (2, bytearray(unrelated))],
+        "media_id long, blob binary",
+    )
+    batch_keys = {
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in lsh_band_keys(
+            minhash_signatures(binary_shingle_table(media))
+        ).collect()
+    }
+    by_doc: dict[int, set] = {}
+    for d, b, sig in batch_keys:
+        by_doc.setdefault(d, set()).add((b, sig))
+    # the trailer variant shares at least one band with its original
+    # (that is what made it a stream candidate) and none with unrelated
+    # (whose few distinct repeating-pattern grams all mod-sample away
+    # here — zero band keys, the strongest form of "no shared bucket")
+    assert by_doc[1] & by_doc[3], by_doc
+    unrelated_keys = by_doc.get(2, set())
+    assert not (by_doc[1] & unrelated_keys) and not (by_doc[3] & unrelated_keys)
+
+    import pytest as _pytest
+
+    for bad in (dict(k=0), dict(k=8, max_bytes=4), dict(sample_mod=0)):
+        with _pytest.raises(ValueError):
+            binary_neardup_stream(stream, **bad)
+
+
 def test_novelty_curve_planted_saturation(spark):
     """First doc is all-novel (novelty 1.0); an exact restatement later
     is all-seen (0.0); a half-quoting doc scores its exact mixed
