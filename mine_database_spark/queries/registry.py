@@ -5900,71 +5900,33 @@ FROM orders"""
 # EVERY ROUND alongside code changes; tests/test_oracle_parity.py asserts
 # the dict order below matches gate_order(list(QUERIES), history, GATE_TOUCHED).
 GATE_TOUCHED: tuple[str, ...] = (
-    # r14 changes: k_truss gained the converged fixpoint flag (new output
-    # column, oracle extended); the candidate-fraction audit pair's shared
-    # _pair_volume_summary now coalesces degenerate inputs and the IVF
-    # oracle replays the element-NULL validity contract; cc_luhn_scan's
-    # CC_RE became a consistent-separator alternation (values change on
-    # mixed-separator/overlong inputs)
-    "cc_luhn_scan", "ivf_candidate_fraction", "k_truss",
-    "lsh_candidate_fraction",
+    # r15 changes: lang_id_model's class map went script-aware (40
+    # Unicode-block classes, V=1600; values change on any non-Latin text)
+    # and its registered scorer switched to the explode+groupBy agg
+    # shape; k_core and label_propagation gained the converged fixpoint
+    # flag (new output column, oracles extended); k_truss's flag counts
+    # restructured to last-round-only; ngram_jaccard gained the
+    # candidate-volume pre-flight (eager guard action, values unchanged);
+    # the four LSH-band queries' plane-weight literals now build through
+    # the SQL parser (identical values, new plan-build path)
+    "ann_lsh_topk", "embed_neardup_lsh", "k_core", "k_truss",
+    "knn_graph_lsh", "label_propagation", "lang_id_model",
+    "lsh_candidate_fraction", "ngram_jaccard",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
     # order generated by `python -m mine_database_spark.queries.rotation`
     # (never-green first, then GATE_TOUCHED, then stalest last-green round)
-    "binary_neardup": q_binary_neardup,  # NEW
-    "lang_id_model": q_lang_id_model,  # NEW
+    "k_core": q_k_core,  # TOUCHED
+    "ngram_jaccard": q_ngram_jaccard,  # TOUCHED
+    "ann_lsh_topk": q_ann_lsh_topk,  # TOUCHED
+    "embed_neardup_lsh": q_embed_neardup_lsh,  # TOUCHED
+    "label_propagation": q_label_propagation,  # TOUCHED
+    "knn_graph_lsh": q_knn_graph_lsh,  # TOUCHED
+    "lang_id_model": q_lang_id_model,  # TOUCHED
     "lsh_candidate_fraction": q_lsh_candidate_fraction,  # TOUCHED
-    "cc_luhn_scan": q_cc_luhn_scan,  # TOUCHED
     "k_truss": q_k_truss,  # TOUCHED
-    "ivf_candidate_fraction": q_ivf_candidate_fraction,  # TOUCHED
-    "rate_anomaly": q_rate_anomaly,  # r11
-    "event_transitions": q_event_transitions,  # r11
-    "embedding_outliers": q_embedding_outliers,  # r11
-    "lang_mismatch": q_lang_mismatch,  # r11
-    "token_drift": q_token_drift,  # r11
-    "inverted_index": q_inverted_index,  # r11
-    "hll_vocab": q_hll_vocab,  # r11
-    "url_dedup": q_url_dedup,  # r11
-    "operator_census": q_operator_census,  # r11
-    "ann_cosine_topk": q_ann_cosine_topk,  # r11
-    "contamination_check": q_contamination_check,  # r11
-    "model_jaccard": q_model_jaccard,  # r11
-    "orphan_gc": q_orphan_gc,  # r11
-    "regex_filter": q_regex_filter,  # r11
-    "token_shards": q_token_shards,  # r11
-    "segment_dedup": q_segment_dedup,  # r11
-    "assign_ids": q_assign_ids,  # r11
-    "multimodal_features": q_multimodal_features,  # r11
-    "bpe_token_stats": q_bpe_token_stats,  # r11
-    "asof_enrich": q_asof_enrich,  # r11
-    "tumbling_window": q_tumbling_window,  # r11
-    "sessionize": q_sessionize,  # r11
-    "pricing_summary": q_pricing_summary,  # r11
-    "top_revenue_orders": q_top_revenue_orders,  # r11
-    "region_revenue": q_region_revenue,  # r11
-    "frontier_select": q_frontier_select,  # r11
-    "first_wins_dedup": q_first_wins_dedup,  # r11
-    "content_hash_ids": q_content_hash_ids,  # r11
-    "collect_set_union": q_collect_set_union,  # r11
-    "rule_coverage_cdf": q_rule_coverage_cdf,  # r11
-    "intermediate_rules": q_intermediate_rules,  # r11
-    "mass_range_join": q_mass_range_join,  # r11
-    "provenance_score": q_provenance_score,  # r11
-    "weighted_sample": q_weighted_sample,  # r11
-    "topk_per_group": q_topk_per_group,  # r11
-    "unigram_logprob": q_unigram_logprob,  # r11
-    "bigram_logprob": q_bigram_logprob,  # r11
-    "snapshot_diff": q_snapshot_diff,  # r11
-    "priority_dedup": q_priority_dedup,  # r11
-    "length_percentile_filter": q_length_percentile_filter,  # r11
-    "source_overlap": q_source_overlap,  # r11
-    "mixture_upsample": q_mixture_upsample,  # r11
-    "semantic_contamination": q_semantic_contamination,  # r11
-    "edit_distance_pairs": q_edit_distance_pairs,  # r12
-    # --- tail (locally parity-tested + benched every round; rotates back in) ---
     "snm_pairs": q_snm_pairs,  # r12
     "decayed_score": q_decayed_score,  # r12
     "hybrid_rrf": q_hybrid_rrf,  # r12
@@ -5983,7 +5945,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_estimate": q_minhash_estimate,  # r12
     "triangle_count": q_triangle_count,  # r12
     "token_pmi": q_token_pmi,  # r12
-    "k_core": q_k_core,  # r12
     "hist_quantiles": q_hist_quantiles,  # r12
     "html_extract": q_html_extract,  # r12
     "normalized_dedup": q_normalized_dedup,  # r12
@@ -6002,22 +5963,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bit_prevalence": q_bit_prevalence,  # r12
     "minhash_lsh": q_minhash_lsh,  # r12
     "dup_clusters": q_dup_clusters,  # r12
-    "ngram_jaccard": q_ngram_jaccard,  # r12
     "ngram_jaccard_capped": q_ngram_jaccard_capped,  # r12
     "repetition_stats": q_repetition_stats,  # r12
     "quality_rules": q_quality_rules,  # r12
     "pii_scan": q_pii_scan,  # r12
-    "ann_lsh_topk": q_ann_lsh_topk,  # r12
     "ann_ivf_topk": q_ann_ivf_topk,  # r12
+    # --- tail (locally parity-tested + benched every round; rotates back in) ---
     "embed_neardup": q_embed_neardup,  # r12
-    "embed_neardup_lsh": q_embed_neardup_lsh,  # r12
     "binary_dedup": q_binary_dedup,  # r13
     "binary_profile": q_binary_profile,  # r13
     "span_decontaminate": q_span_decontaminate,  # r13
     "novelty_curve": q_novelty_curve,  # r13
     "span_scrub": q_span_scrub,  # r13
     "profile_table": q_profile_table,  # r13
-    "label_propagation": q_label_propagation,  # r13
     "fuzzy_contamination": q_fuzzy_contamination,  # r13
     "semantic_dedup": q_semantic_dedup,  # r13
     "doc_chunks": q_doc_chunks,  # r13
@@ -6053,10 +6011,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,  # r13
     "winnow_pairs": q_winnow_pairs,  # r13
     "knn_graph": q_knn_graph,  # r13
-    "knn_graph_lsh": q_knn_graph_lsh,  # r13
     "knn_graph_ivf": q_knn_graph_ivf,  # r13
     "zipf_audit": q_zipf_audit,  # r13
     "ngram_diversity": q_ngram_diversity,  # r13
+    "binary_neardup": q_binary_neardup,  # r14
+    "cc_luhn_scan": q_cc_luhn_scan,  # r14
+    "ivf_candidate_fraction": q_ivf_candidate_fraction,  # r14
+    "rate_anomaly": q_rate_anomaly,  # r14
+    "event_transitions": q_event_transitions,  # r14
+    "embedding_outliers": q_embedding_outliers,  # r14
+    "lang_mismatch": q_lang_mismatch,  # r14
+    "token_drift": q_token_drift,  # r14
+    "inverted_index": q_inverted_index,  # r14
+    "hll_vocab": q_hll_vocab,  # r14
+    "url_dedup": q_url_dedup,  # r14
+    "operator_census": q_operator_census,  # r14
+    "ann_cosine_topk": q_ann_cosine_topk,  # r14
+    "contamination_check": q_contamination_check,  # r14
+    "model_jaccard": q_model_jaccard,  # r14
+    "orphan_gc": q_orphan_gc,  # r14
+    "regex_filter": q_regex_filter,  # r14
+    "token_shards": q_token_shards,  # r14
+    "segment_dedup": q_segment_dedup,  # r14
+    "assign_ids": q_assign_ids,  # r14
+    "multimodal_features": q_multimodal_features,  # r14
+    "bpe_token_stats": q_bpe_token_stats,  # r14
+    "asof_enrich": q_asof_enrich,  # r14
+    "tumbling_window": q_tumbling_window,  # r14
+    "sessionize": q_sessionize,  # r14
+    "pricing_summary": q_pricing_summary,  # r14
+    "top_revenue_orders": q_top_revenue_orders,  # r14
+    "region_revenue": q_region_revenue,  # r14
+    "frontier_select": q_frontier_select,  # r14
+    "first_wins_dedup": q_first_wins_dedup,  # r14
+    "content_hash_ids": q_content_hash_ids,  # r14
+    "collect_set_union": q_collect_set_union,  # r14
+    "rule_coverage_cdf": q_rule_coverage_cdf,  # r14
+    "intermediate_rules": q_intermediate_rules,  # r14
+    "mass_range_join": q_mass_range_join,  # r14
+    "provenance_score": q_provenance_score,  # r14
+    "weighted_sample": q_weighted_sample,  # r14
+    "topk_per_group": q_topk_per_group,  # r14
+    "unigram_logprob": q_unigram_logprob,  # r14
+    "bigram_logprob": q_bigram_logprob,  # r14
+    "snapshot_diff": q_snapshot_diff,  # r14
+    "priority_dedup": q_priority_dedup,  # r14
+    "length_percentile_filter": q_length_percentile_filter,  # r14
+    "source_overlap": q_source_overlap,  # r14
+    "mixture_upsample": q_mixture_upsample,  # r14
+    "semantic_contamination": q_semantic_contamination,  # r14
+    "edit_distance_pairs": q_edit_distance_pairs,  # r14
 }
 
 ORACLES: dict[str, str] = {
