@@ -360,6 +360,51 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     )
 
 
+def ngram_candidate_volume(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    df_cap: int = 50,
+) -> DataFrame:
+    """ONE-row audit of the inverted-index pair-join volume — the
+    ngram tier's sibling of the lsh/ivf_candidate_fraction audit pair,
+    and the first-class face of ngram_jaccard_pairs' pre-flight guard:
+    the same Σ df·(df−1)/2 the guard computes, alongside what the
+    df_cap twin would pay, so the uncapped-vs-capped decision is priced
+    from the posting lists BEFORE any pair join runs.
+
+    Columns (all exact integers): n_shingles (distinct shingles),
+    n_postings (posting-list entries = Σ df), cand_pairs (uncapped
+    Σ df·(df−1)/2 — the pair join's exact output size), cand_pairs_capped
+    (same sum restricted to df <= df_cap — ngram_jaccard_capped's
+    volume), n_hot (shingles with df > df_cap, the stop-shingles the cap
+    drops), max_df (the hottest posting list — the quadratic hot spot).
+
+    Scale: one scan → shingle count agg → one-row rollup, every stage
+    map-side combinable; at 100 TB run it on a uniform sample first —
+    cand_pairs scales ~sample_fraction² per shingle, so rescale df by
+    1/fraction before extrapolating (or just run the full scan: it is
+    one aggregation, the same cost class as _get_n's census)."""
+    if df_cap < 1:
+        raise ValueError(f"df_cap must be >= 1, got {df_cap}")
+    sh = shingle_table(docs, id_col, text_col, k)
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    half = "df * (df - 1) div 2"
+    return dfs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.expr(f"sum({half})").cast("bigint").alias("cand_pairs"),
+        F.expr(
+            f"sum(CASE WHEN df <= {int(df_cap)} THEN {half} ELSE 0 END)"
+        ).cast("bigint").alias("cand_pairs_capped"),
+        F.expr(f"sum(CASE WHEN df > {int(df_cap)} THEN 1 ELSE 0 END)")
+        .cast("bigint")
+        .alias("n_hot"),
+        F.max("df").cast("bigint").alias("max_df"),
+    )
+
+
 def simhash60(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash per document from whitespace tokens (with multiplicity).
 

@@ -952,6 +952,31 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {km1}], ' ') AS shingl
 """
 
 
+def q_ngram_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index pair-join volume audit (dedup.ngram_candidate_volume)
+    at the registered ngram_jaccard config (k=2 bigrams, df_cap=50) — the
+    ngram tier's candidate-fraction sibling and the first-class face of
+    the uncapped path's pre-flight guard: exact Σ df·(df−1)/2, the capped
+    twin's volume, hot-shingle count, and the hottest posting list, all
+    from one scan + two map-side-combinable aggregations."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return dd.ngram_candidate_volume(d, k=2, df_cap=50)
+
+
+_Q_NGRAM_CANDIDATE_VOLUME_SQL = (
+    "WITH " + _SHINGLE_SQL.format(k=2, km1=1) + """,
+dfs AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS cand_pairs,
+       CAST(SUM(CASE WHEN df <= 50 THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS cand_pairs_capped,
+       CAST(SUM(CASE WHEN df > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       CAST(MAX(df) AS BIGINT) AS max_df
+FROM dfs
+"""
+)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_dedup(d, k=5, num_hashes=16, rows_per_band=4)
@@ -5918,6 +5943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
     # order generated by `python -m mine_database_spark.queries.rotation`
     # (never-green first, then GATE_TOUCHED, then stalest last-green round)
+    "ngram_candidate_volume": q_ngram_candidate_volume,  # NEW
     "k_core": q_k_core,  # TOUCHED
     "ngram_jaccard": q_ngram_jaccard,  # TOUCHED
     "ann_lsh_topk": q_ann_lsh_topk,  # TOUCHED
@@ -6161,6 +6187,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": _Q_MINHASH_SQL,
     "dup_clusters": _Q_DUP_CLUSTERS_SQL,
     "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+    "ngram_candidate_volume": _Q_NGRAM_CANDIDATE_VOLUME_SQL,
     "ngram_jaccard_capped": _Q_NGRAM_JACCARD_CAPPED_SQL,
     "simhash": _Q_SIMHASH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,

@@ -584,6 +584,30 @@ def test_ngram_jaccard_candidate_volume_guard(spark):
     assert forced.count() == 15
 
 
+def test_ngram_candidate_volume_audit(spark):
+    """The one-row posting-volume audit reports the EXACT numbers the
+    guard and the capped twin act on: 6 docs sharing one hot bigram plus
+    disjoint singles -> hot df=6 contributes 15 pairs, every other
+    shingle df=1 contributes 0; with df_cap=2 the hot shingle is the one
+    hot entry and the capped volume is 0."""
+    from mine_database_spark.operators.dedup import ngram_candidate_volume
+
+    rows = [(f"d{i}", f"xx yy u{i} v{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # bigrams per doc: 'xx yy' (shared), 'yy u{i}', 'u{i} v{i}' (unique)
+    (r,) = ngram_candidate_volume(docs, k=2, df_cap=2).collect()
+    assert r["n_shingles"] == 1 + 12        # shared + 2 unique per doc
+    assert r["n_postings"] == 6 + 12
+    assert r["cand_pairs"] == 15            # 6*5/2 from the hot shingle
+    assert r["cand_pairs_capped"] == 0
+    assert r["n_hot"] == 1 and r["max_df"] == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_candidate_volume(docs, df_cap=0)
+
+
 def test_lsh_ann_recall_gate(spark):
     """Banded hyperplane-LSH top-k must return a full k rows per query and
     recall@10 >= 0.8 vs brute force, with exact-equal scores on shared pairs."""
