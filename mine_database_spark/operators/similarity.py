@@ -386,6 +386,47 @@ def lsh_bucketed_topk(
     )
 
 
+LSH_MAX_CANDIDATE_PAIRS = 2_000_000_000
+"""Default pre-flight ceiling on band self-join candidate volume
+Σ f·(f−1)/2 over (band, band_sig) bucket sizes f — the EXACT row count
+the pair join produces before the distinct. Calibration (measured r15):
+the bench embeddings' near-uniform geometry admits ~65% of all pairs at
+the registered 8x3 band config, so the 10x replicated corpus reached
+~1e11 candidates and KILLED the 24g driver JVM (heap, no timeout could
+save it) where sf0.1 runs in seconds at ~1.2e7 — 2e9 (the
+ngram_jaccard_pairs ceiling) trips well before the lethal regime."""
+
+
+def _band_volume_guard(
+    bands: DataFrame, max_candidate_pairs: int | None, what: str
+) -> None:
+    """Raise when the band self-join would exceed `max_candidate_pairs`
+    candidates — ONE tiny aggregation over the band table (bucket sizes →
+    one-row sum), an EAGER action at plan-build time; the deliberate
+    price of making the measured-JVM-OOM configuration opt-in (r15: see
+    LSH_MAX_CANDIDATE_PAIRS). None skips the check entirely."""
+    if max_candidate_pairs is None:
+        return
+    row = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.expr("sum(f * (f - 1) div 2)").alias("v"))
+        .first()
+    )
+    vol = row["v"] or 0
+    if vol > max_candidate_pairs:
+        raise ValueError(
+            f"{what} would generate {vol} band-bucket candidate pairs "
+            f"(> max_candidate_pairs={max_candidate_pairs}); on weakly-"
+            "clustered embeddings sign-LSH volume follows the 1-theta/pi "
+            "collision geometry and grows ~n^2. Run lsh_candidate_fraction "
+            "to price the config, set bucket_cap (right when volume comes "
+            "from a few degenerate buckets), switch to the IVF twin with "
+            "n_centroids scaled to n (right when the geometry is the "
+            "problem), or pass max_candidate_pairs=None to force through."
+        )
+
+
 def embed_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.35,
@@ -394,6 +435,7 @@ def embed_neardup_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidate_pairs: int | None = LSH_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed: candidate pairs share at
     least one signature band; survivors are exact-cosine rescored against the
@@ -409,10 +451,16 @@ def embed_neardup_lsh(
     so LSH output is a strict subset of the blocked baseline's pairs. The
     rescore itself is score_pairs_blocked — work O(|candidates|·dim) in
     vectorized batch math, never a per-pair vector join — with a quantized
-    fold fallback (identical values) for non-integral id columns."""
+    fold fallback (identical values) for non-integral id columns.
+
+    `max_candidate_pairs` pre-flights the exact band-join volume and
+    raises above the ceiling (_band_volume_guard; r15 measured the
+    unguarded form killing the driver JVM on a 10x dup-heavy corpus) —
+    the ngram_jaccard_pairs guard contract for the embedding tier."""
     from pyspark.sql import types as T
 
     bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    _band_volume_guard(bands, max_candidate_pairs, "embed_neardup_lsh")
     cand = (
         bands.join(
             bands.select(
@@ -714,6 +762,7 @@ def knn_graph_lsh(
     quant_scale: float = 1.0e6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidate_pairs: int | None = LSH_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Approximate kNN graph via banded hyperplane-LSH: band SELF-join for
     candidates, blocked batch rescore (score_pairs_blocked's cogrouped
@@ -746,7 +795,13 @@ def knn_graph_lsh(
     of near-identical embeddings) is quadratic. Production at scale
     should set it; the vectors it affects are exactly the ones with
     hundreds of near-duplicates, whose top-k is served by any surviving
-    band. None (default) keeps exact LSH semantics for the oracle."""
+    band. None (default) keeps exact LSH semantics for the oracle.
+
+    `max_candidate_pairs` pre-flights the exact band-join volume AFTER
+    any bucket_cap filter (the join pays the capped volume) and raises
+    above the ceiling — r15 measured the unguarded registered config
+    exhausting the 24g driver JVM on a 10x dup-heavy corpus before any
+    timeout could fire; see _band_volume_guard for the steer text."""
     bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
     if bucket_cap is not None:
         if bucket_cap < 2:
@@ -758,6 +813,7 @@ def knn_graph_lsh(
             .select("band", "band_sig")
         )
         bands = bands.join(keep, ["band", "band_sig"])
+    _band_volume_guard(bands, max_candidate_pairs, "knn_graph_lsh")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_sig"])

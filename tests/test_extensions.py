@@ -584,6 +584,35 @@ def test_ngram_jaccard_candidate_volume_guard(spark):
     assert forced.count() == 15
 
 
+def test_lsh_band_volume_guard(spark):
+    """Both LSH pair generators pre-flight the exact band-join volume
+    (r15: the unguarded form killed the driver JVM at 10x): a planted
+    mass of identical vectors collides in every band -> volume n(n-1)/2
+    per band trips a tiny ceiling at plan build; None forces through;
+    knn_graph_lsh guards AFTER bucket_cap (a capped table that fits the
+    ceiling passes)."""
+    import pytest as _pytest
+
+    from mine_database_spark.operators.similarity import (
+        embed_neardup_lsh,
+        knn_graph_lsh,
+    )
+
+    n, dim = 12, 8
+    rows = [(i, [1.0] * dim) for i in range(n)]  # identical direction
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        knn_graph_lsh(e, k=3, dim=dim, max_candidate_pairs=10)
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        embed_neardup_lsh(e, dim=dim, max_candidate_pairs=10)
+    # bucket_cap drops the degenerate buckets FIRST -> guard passes
+    capped = knn_graph_lsh(e, k=3, dim=dim, bucket_cap=2, max_candidate_pairs=10)
+    assert capped.count() == 0  # every bucket holds all 12 -> all dropped
+    # explicit opt-out runs unguarded
+    forced = knn_graph_lsh(e, k=3, dim=dim, max_candidate_pairs=None)
+    assert forced.count() > 0
+
+
 def test_ngram_candidate_volume_audit(spark):
     """The one-row posting-volume audit reports the EXACT numbers the
     guard and the capped twin act on: 6 docs sharing one hot bigram plus
