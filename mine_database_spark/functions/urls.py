@@ -48,14 +48,15 @@ def canonical_url(url: Column) -> Column:
         )
     )
     qs = F.array_join(params, "&")
+    # reference qs ONCE (r15, guide §4.1): the split/filter/sort/join chain
+    # is a higher-order function — CodegenFallback, evaluated interpreted
+    # with NO subexpression elimination, so every textual copy re-runs the
+    # whole chain per row. when(qs != '', concat('?', qs)) carries two
+    # copies; nullif(concat('?', qs), '?') carries one and is value-
+    # identical (qs='' -> '?' -> NULL -> coalesce ''; qs=NULL propagates
+    # NULL through concat exactly as the when-form's otherwise('') only
+    # to be swallowed by the outer NULL scheme/host guard).
+    query_part = F.coalesce(F.nullif(F.concat(F.lit("?"), qs), F.lit("?")), F.lit(""))
     return F.when(
         (scheme == "") | (host == ""), F.lit(None).cast("string")
-    ).otherwise(
-        F.concat(
-            scheme,
-            F.lit("://"),
-            host,
-            path,
-            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
-        )
-    )
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, query_part))

@@ -175,6 +175,7 @@ def minhash_jaccard_estimate(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     with_exact: bool = True,
+    storage_level=None,
 ) -> DataFrame:
     """MinHash Jaccard ESTIMATOR over the LSH candidate pairs: est =
     (# agreeing signature positions) / num_hashes — the sketch-side
@@ -196,10 +197,24 @@ def minhash_jaccard_estimate(
     Scale: the estimate is two O(pairs) equi-joins against the signature
     table (num_hashes ints per row); the exact column reuses
     ngram_jaccard_pairs' candidate-restricted inverted index.
-    """
+
+    `storage_level` lazily persists the signature table (three plan
+    branches: band keys + both n_agree join sides) and, with_exact, the
+    candidate-pair table (two). MEASURED at sf0.1 (r15 A/B, min-of-3
+    isolated noop passes): neutral-to-negative — 2.63 s recompute vs
+    2.83 s MEMORY_AND_DISK — AQE's runtime ReusedExchange already
+    dedupes the signature build's exchanges across the branches (unlike
+    binary_neardup, whose dominant gram work sits below its FIRST
+    exchange in the scan stage and genuinely re-runs per branch). The
+    registered query passes None; the option remains for expensive
+    un-reusable inputs."""
     sh = shingle_table(docs, id_col, text_col, k, distinct=False)
     sigs = minhash_signatures(sh, num_hashes)
+    if storage_level is not None:
+        sigs = sigs.persist(storage_level)
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, rows_per_band))
+    if storage_level is not None and with_exact:
+        pairs = pairs.persist(storage_level)
     sa = sigs.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)],

@@ -255,6 +255,7 @@ def pagerank_fixed(
     src_col: str = "src",
     dst_col: str = "dst",
     symmetric: bool = False,
+    storage_level=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic, so the result is
     bit-reproducible across engines and partition counts: ranks live in
@@ -281,6 +282,19 @@ def pagerank_fixed(
     Overflow headroom: Σ ranks ≤ n·scale, so damping_pct·Σ needs
     n·scale·100 < 2^63 — at scale=1e9 that holds to ~90M nodes; lower
     `scale` for larger graphs.
+
+    `storage_level` LAZILY persists the weighted edge table (edges ⋈
+    outdeg) and the node list across the iteration's many references
+    (`ew` per contribution join, `nodes` per rank rebuild). MEASURED at
+    sf0.1 (r15 A/B, min-of-3 isolated noop passes): the persist LOSES —
+    6.47 s recompute vs 7.12 s MEMORY_AND_DISK for the registered
+    co-purchase query — because AQE's runtime ReusedExchange already
+    dedupes the repeated edge-derivation subtrees within one execution,
+    and the cache only adds materialization cost and blocks the reuse
+    path. The registered query therefore passes None (the default). The
+    option remains for inputs whose derivation AQE cannot reuse (e.g. an
+    expensive remote scan with no exchange boundary); at 100 TB prefer
+    feeding this function PRE-MATERIALIZED edges either way.
 
     Reference context: the reference's graph ops are BFS reach/pruning
     (pickaxe.py:898-1021); PageRank extends the same edge-table model with
@@ -318,6 +332,9 @@ def pagerank_fixed(
             .distinct()
         )
     ew = e.join(outdeg, "src")
+    if storage_level is not None:
+        ew = ew.persist(storage_level)
+        nodes = nodes.persist(storage_level)
     base = scale - scale * damping_pct // 100
     ranks = nodes.select("id", F.lit(scale).cast("bigint").alias("r"))
     for _ in range(iters):
@@ -551,6 +568,7 @@ def adamic_adar(
     top_k: int = 100,
     max_degree: int | None = None,
     exclude_existing: bool = True,
+    storage_level=None,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected graph: for a node
     pair (u, v), score = Σ over common neighbors w of 1/ln(deg(w)) —
@@ -575,10 +593,22 @@ def adamic_adar(
     approximation dodge: a hub's weight 1/ln(deg) is the smallest in the
     graph and its C(deg,2) wedges the most expensive — the standard
     production trade. The final top-k is a sort-limit (TakeOrdered).
+
+    `storage_level` lazily persists the canonical edge set (feeds the
+    degree build AND the exclude-existing anti-join) and the weighted
+    adjacency (feeds both wedge-join sides). MEASURED at sf0.1 (r15 A/B,
+    min-of-3 isolated noop passes): the persist LOSES — 3.49 s recompute
+    vs 4.09 s MEMORY_AND_DISK — AQE's runtime ReusedExchange already
+    dedupes the repeated edge-derivation subtrees (the pagerank_fixed
+    finding; contrast semantic_dedup/binary_neardup, whose re-run work
+    sits below the first exchange and does benefit). The registered
+    query passes None; the option remains for un-reusable inputs.
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     canon = _canon_edges(edges, src_col, dst_col)
+    if storage_level is not None:
+        canon = canon.persist(storage_level)
     both = canon.select("a", "b").unionAll(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -594,6 +624,8 @@ def adamic_adar(
     adj = both.join(
         centers.select(F.col("node").alias("a"), w_ppm.alias("w_ppm")), "a"
     ).select(F.col("a").alias("center"), F.col("b").alias("nbr"), "w_ppm")
+    if storage_level is not None:
+        adj = adj.persist(storage_level)
     x = adj.select("center", F.col("nbr").alias("u"), "w_ppm")
     y = adj.select("center", F.col("nbr").alias("v"))
     scored = (

@@ -186,17 +186,25 @@ def binary_shingle_table(
         raise ValueError(f"max_bytes must be >= k, got {max_bytes} < {k}")
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
-    hx = F.hex(F.expr(f"substring({blob_col}, 1, {int(max_bytes)})"))
-    nbytes = (F.length(hx) / 2).cast("int")
+    # Grams are sliced from the BINARY head (byte-addressed, O(1) offset)
+    # and hexed per slice — identical strings to slicing one big hex string
+    # (hex(bytes[j..j+k-1]) == substr(hex(head), 2j-1, 2k)), but O(c·k) per
+    # row instead of O(c²): UTF8String.substring on the 2·max_bytes-char
+    # hex string seeks code points from the head on every call, the
+    # quadratic the lang-ID gram extractor already documents (measured r15:
+    # the seek dominated binary_neardup's scan stage). The guide-§4.1 rule:
+    # keep the expression, fix its access pattern.
+    head = F.expr(f"substring({blob_col}, 1, {int(max_bytes)})")
+    nbytes = F.length(head).cast("int")
     grams = (
         F.when(
             nbytes >= k,
             F.transform(
                 F.sequence(F.lit(1), nbytes - (k - 1)),
-                lambda j: F.substring(hx, j * 2 - 1, 2 * k),
+                lambda j: F.hex(head.substr(j, F.lit(k))),
             ),
         )
-        .when(nbytes >= 1, F.array(hx))
+        .when(nbytes >= 1, F.array(F.hex(head)))
         .otherwise(F.array().cast("array<string>"))
     )
     sh = media.select(
@@ -223,6 +231,7 @@ def binary_neardup(
     sample_mod: int = 4,
     num_hashes: int = 16,
     rows_per_band: int = 4,
+    storage_level=None,
 ) -> DataFrame:
     """NEAR-dup candidate pairs over binary payloads with NO decode — the
     tier binary_dedup (exact sha256) leaves open: a re-encoded or
@@ -247,7 +256,14 @@ def binary_neardup(
     combinable), and candidate volume is banded exactly like text
     MinHash-LSH (never all-pairs; the band join's output is bounded by
     bucket sizes, auditable with the lsh_candidate_fraction recipe on
-    the gram signatures if a corpus clusters weakly)."""
+    the gram signatures if a corpus clusters weakly).
+
+    The signature table feeds THREE plan branches (band keys + both
+    n_agree join sides) and the gram explode + 16 min-aggregates behind
+    it are the query's dominant cost; `storage_level` (e.g.
+    MEMORY_AND_DISK — the registered form) lazily persists it across
+    them. O(docs)·num_hashes ints, so pinning it is safe even at 100 TB
+    where the blobs themselves never shuffle; None keeps pure recompute."""
     from mine_database_spark.operators.dedup import (
         lsh_band_keys,
         lsh_candidate_pairs,
@@ -256,6 +272,8 @@ def binary_neardup(
 
     sh = binary_shingle_table(media, id_col, blob_col, k, max_bytes, sample_mod)
     sigs = minhash_signatures(sh, num_hashes)
+    if storage_level is not None:
+        sigs = sigs.persist(storage_level)
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, rows_per_band))
     sa = sigs.select(
         F.col("doc_id").alias("a_id"),

@@ -50,12 +50,29 @@ def profile_table(
     rest of the profile is unchanged — same split as ngram_diversity vs
     its HLL twin.
 
-    Scale: ONE scan regardless of column count. Multiple DISTINCT
-    aggregates compile to an Expand (each input row fans out once per
-    distinct-column), so cost grows linearly with len(columns) — profile
-    the columns you need, not SELECT *, when the table is wide. All
-    aggregation is partial/map-side combinable; the unpivot runs on a
-    single 1-row result.
+    Scale: multiple DISTINCT aggregates compile to an Expand (each input
+    row fans out once per distinct-column), so cost grows linearly with
+    len(columns) — profile the columns you need, not SELECT *, when the
+    table is wide. All aggregation is partial/map-side combinable; the
+    unpivot runs on a single 1-row result.
+
+    Plan shape (r15, guide §2.4): when exact distincts are mixed with a
+    min/max over any NON-numeric column in one df.agg, the string-typed
+    min/max buffers disqualify HashAggregate (UnsafeRow buffers must be
+    mutable fixed-size) and no TypedImperativeAggregate is present to
+    trigger ObjectHashAggregate — so EVERY phase of the Expand's distinct
+    rewrite plans as SortAggregate, full sorts of the ×(len(cols)+1)
+    expanded rows on both sides of the exchange (measured: the whole
+    cost of the sf0.1 orders profile). Splitting the aggregation —
+    count/nulls/min/max in one GLOBAL agg (grouping-free SortAggregate
+    needs no Sort: it is a streaming fold), the exact distincts in their
+    own Expand+HashAggregate (count buffers are all bigint — codegen,
+    no sort) — removes every Sort from the plan for one extra
+    column-pruned scan; the two 1-row results recombine with a trivial
+    1×1 cross join. The combined single-scan form is kept whenever it is
+    sort-free anyway (approx mode: HLL sketches are TypedImperative →
+    ObjectHashAggregate; all-numeric profiles: every buffer is mutable →
+    plain HashAggregate).
     """
     cols = list(columns) if columns is not None else list(df.columns)
     dtypes = dict(df.dtypes)
@@ -63,9 +80,10 @@ def profile_table(
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
 
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    plain_aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    distinct_aggs = []
     for c in cols:
-        aggs.append(
+        plain_aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias(f"__nulls_{c}")
@@ -75,14 +93,20 @@ def profile_table(
             if exact_distinct
             else F.approx_count_distinct(F.col(c))
         )
-        aggs.append(nd.cast("bigint").alias(f"__nd_{c}"))
+        distinct_aggs.append(nd.cast("bigint").alias(f"__nd_{c}"))
         if _is_numeric(dtypes[c]):
-            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+            plain_aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            plain_aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
         else:
-            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
-    row = df.agg(*aggs)
+            plain_aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            plain_aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    split = exact_distinct and any(not _is_numeric(dtypes[c]) for c in cols)
+    if split:
+        row = df.agg(*plain_aggs).crossJoin(df.agg(*distinct_aggs))
+    elif distinct_aggs:
+        row = df.agg(*plain_aggs, *distinct_aggs)
+    else:
+        row = df.agg(*plain_aggs)
 
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")

@@ -31,7 +31,6 @@ from mine_database_spark.functions.text import (
     stopword_token_count,
     token_count,
     tokens,
-    word_shingles,
 )
 
 # (name, weight) — trained offline on a synthetic clean-vs-spam sample with
@@ -363,13 +362,18 @@ def ngram_diversity(
     shuffle. count_distinct state is O(group vocab) — the exact audit
     form; `ngram_diversity_hll` is the registered constant-memory twin
     (HLL registers over the same shingle column) when group vocabularies
-    blow past executor memory.
+    blow past executor memory. Shingles come from the one-pass regex
+    extractor (word_shingle_strings — pinned equal to the
+    word_shingles(tokens(...)) HOF form, which evaluates interpreted and
+    measured ~2x slower end-to-end here; r15, guide §4.1).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from mine_database_spark.functions.text import word_shingle_strings
+
     grams = docs.select(
         F.col(group_col).alias("grp"),
-        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("g"),
+        F.explode(word_shingle_strings(F.col(text_col), k)).alias("g"),
     )
     agg = grams.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
@@ -448,11 +452,14 @@ def ngram_diversity_hll(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from mine_database_spark.functions.text import word_shingle_strings
     from mine_database_spark.operators.sketches import hll_estimate, hll_registers
 
+    # one-pass regex shingles (pinned equal to the HOF form; see
+    # ngram_diversity's scale note)
     grams = docs.select(
         F.col(group_col).alias("grp"),
-        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("g"),
+        F.explode(word_shingle_strings(F.col(text_col), k)).alias("g"),
     )
     est = hll_estimate(hll_registers(grams, "g", ["grp"]), ["grp"])
     div_est = F.round(F.col("est_distinct") / F.col("total_ngrams"), 6).alias(
@@ -947,6 +954,54 @@ def _langid_gram_idx(text_col: str, max_chars: int = LANGID_MAX_CHARS) -> Column
     return F.expr(e).cast("array<int>")
 
 
+def explode_gram_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+    max_chars: int = LANGID_MAX_CHARS,
+) -> DataFrame:
+    """(id_col, *extra_cols, __g int) exploded char-bigram table — the
+    shared gram extraction of fit_char_bigram_langid and the agg-shape
+    scorer. explode_outer keeps zero-gram documents as one NULL-__g row
+    (scored prior-only; excluded from fit counts by its NULL filter), so
+    the table is a drop-in for both consumers: persist it and ONE
+    extraction pass serves fit AND scoring (r15; the extraction's
+    interpreted HOF chain is the dominant per-row cost).
+
+    Same values as exploding _langid_gram_idx, with the class stream
+    HOISTED into its own projected column below the Generate: the
+    zip_with's two slice() arms otherwise carry two textual copies of the
+    split+ascii+CASE subtree, and interpreted evaluation (HOFs are
+    CodegenFallback) re-derives the full class array per copy — plus
+    length(t) re-lowercases the head per reference. Hoisting evaluates
+    split+ascii+CASE once per row and reads size(__cls) thereafter
+    (size == code-point length for every non-empty head; both sides of
+    the CASE agree on <2-char texts)."""
+    t = f"substring(lower(coalesce({text_col}, '')), 1, {int(max_chars)})"
+    cls = (
+        f"transform(transform(split({t}, ''), c -> ascii(c)),"
+        f" p -> {langid_class_sql('p')})"
+    )
+    gram = (
+        "CASE WHEN size(__cls) >= 2 THEN "
+        "zip_with(slice(__cls, 1, size(__cls) - 1),"
+        "         slice(__cls, 2, size(__cls) - 1),"
+        f"        (c1, c2) -> c1 * {LANGID_NCLS} + c2) "
+        "ELSE array() END"
+    )
+    staged = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.expr(cls).alias("__cls"),
+    )
+    return staged.select(
+        id_col,
+        *extra_cols,
+        F.explode_outer(F.expr(gram).cast("array<int>")).alias("__g"),
+    )
+
+
 def _langid_cls_py(o: int) -> int:
     """Python twin of langid_class_sql over one code point."""
     if 97 <= o <= 122:
@@ -991,6 +1046,7 @@ class CharBigramLangID:
         text_col: str = "text",
         extra_cols: tuple[str, ...] = (),
         shape: str = "agg",
+        exploded: DataFrame | None = None,
     ) -> DataFrame:
         """(id, *extra_cols, pred_lang, score_q) scored per document; two
         plan shapes, bit-identical outputs (equality-pinned in pytest):
@@ -1016,9 +1072,19 @@ class CharBigramLangID:
           option for shuffle-constrained pipelines.
 
         `extra_cols` pass through untouched (e.g. the declared-language
-        column for a mismatch audit)."""
+        column for a mismatch audit).
+
+        `exploded` (agg shape only) supplies a PRE-BUILT exploded gram
+        table — columns (id_col, *extra_cols, __g int) exactly as
+        explode_gram_table produces — so a caller that also FITS on the
+        same corpus shares ONE gram extraction between fit and scoring
+        (persist it; the extraction is the dominant per-row cost and
+        would otherwise run twice — r15, guide §2.4 'don't compute
+        things twice')."""
         if shape == "agg":
-            return self._transform_agg(docs, id_col, text_col, extra_cols)
+            return self._transform_agg(docs, id_col, text_col, extra_cols, exploded)
+        if exploded is not None:
+            raise ValueError("exploded= is only supported with shape='agg'")
         if shape != "fold":
             raise ValueError(f"unknown shape {shape!r} (want 'agg' or 'fold')")
         gidx = _langid_gram_idx(text_col).alias("__g")
@@ -1075,6 +1141,7 @@ class CharBigramLangID:
         id_col: str,
         text_col: str,
         extra_cols: tuple[str, ...],
+        exploded: DataFrame | None = None,
     ) -> DataFrame:
         """The explode+groupBy codegen shape (see transform docstring).
         Grouping carries `extra_cols` alongside the id (functionally
@@ -1086,11 +1153,8 @@ class CharBigramLangID:
         # parser-built literals (functions/lits.py): K x LANGID_V elements
         # through F.lit would cost seconds of py4j per plan build
         per_lang = [bigint_array_lit(self.mat[k]) for k in range(k_langs)]
-        exploded = docs.select(
-            F.col(id_col),
-            *[F.col(c) for c in extra_cols],
-            F.explode_outer(_langid_gram_idx(text_col)).alias("__g"),
-        )
+        if exploded is None:
+            exploded = explode_gram_table(docs, id_col, text_col, extra_cols)
         # the isNotNull guard is load-bearing, not style: element_at over a
         # PARSER-built array (CreateArray pre-folding) with a NULL ordinal
         # returns the LAST element, not NULL — SimplifyExtractValueOps
@@ -1153,7 +1217,10 @@ def _quantize_logprob(num: int, den: int) -> int:
 
 
 def fit_char_bigram_langid(
-    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    exploded: DataFrame | None = None,
 ) -> CharBigramLangID:
     """Fit the NB on a labeled corpus: gram counts aggregate DISTRIBUTED
     (one explode + one (lang, gram) groupBy — map-side combinable, state
@@ -1163,7 +1230,19 @@ def fit_char_bigram_langid(
     shipped as literals). Rows with NULL labels are excluded from
     training; a language whose every text is too short simply has all-
     uniform conditionals. Quantization happens here, in python, once —
-    scoring engines replay integers."""
+    scoring engines replay integers.
+
+    `exploded` supplies a PRE-BUILT exploded gram table carrying at least
+    (lang_col, __g) — exactly what explode_gram_table(docs,
+    extra_cols=(lang_col,)) produces. A caller that fits AND scores the
+    same corpus persists that one table and passes it to both
+    (CharBigramLangID.transform takes the same argument), so the gram
+    extraction — the dominant per-row cost — runs once instead of twice
+    (r15, guide §2.4 'don't compute things you throw away'). The NULL-__g
+    rows explode_outer keeps are filtered here, making the counts
+    identical to the plain-explode form; per-language doc counts still
+    come from `docs` (a column-pruned scan of lang_col only — no gram
+    work)."""
     labeled = docs.where(F.col(lang_col).isNotNull())
     nd = {
         r["lang"]: r["n"]
@@ -1173,11 +1252,17 @@ def fit_char_bigram_langid(
     }
     if not nd:
         raise ValueError("no labeled rows to fit on")
-    counts = (
-        labeled.select(
+    if exploded is None:
+        gram_rows = labeled.select(
             F.col(lang_col).alias("lang"),
             F.explode(_langid_gram_idx(text_col)).alias("gi"),
         )
+    else:
+        gram_rows = exploded.where(
+            F.col(lang_col).isNotNull() & F.col("__g").isNotNull()
+        ).select(F.col(lang_col).alias("lang"), F.col("__g").alias("gi"))
+    counts = (
+        gram_rows
         .groupBy("lang", "gi")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()

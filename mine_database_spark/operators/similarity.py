@@ -317,7 +317,21 @@ def lsh_band_table(
     (P[all n bits agree] decays exponentially); banding trades candidates
     for recall exactly like minhash-LSH: two vectors are candidates if ANY
     band of rows_per_band sign bits matches. Plane constants are inlined
-    literals (no driver-side Spark action at plan build)."""
+    literals (no driver-side Spark action at plan build).
+
+    The plane dots are DELIBERATELY the interpreted aggregate/zip_with
+    fold. r15 tried the statically-unrolled codegen sum (_plane_dot_sql,
+    bit-identical accumulation order) in two shapes and both LOST to the
+    fold at dim=64 (OPTIMIZATION_r15.md): n_planes·dim unrolled terms in
+    the fused whole-stage-codegen processNext() blow janino's 64 KB
+    method limit — inside WSCG the generated code cannot be split into
+    per-expression methods once rows come from the fused pipeline — and
+    the failed compile falls back to interpreted evaluation of the WHOLE
+    stage plus a recompile attempt per execution (measured: ann_lsh_topk
+    2.47 s fold vs 3.9-10.9 s unrolled; knn_graph_lsh 7.99 vs 15-20 s).
+    A numpy-gemm mapInArrow batch dot would be faster still but changes
+    the IEEE accumulation order, and these queries' oracles pin the exact
+    bucket membership — rejected on the results-identical contract."""
     bits = []
     for p in range(n_planes):
         # parser-built literal (functions/lits.py): n_planes x dim F.lit
@@ -456,10 +470,18 @@ def embed_neardup_lsh(
     `max_candidate_pairs` pre-flights the exact band-join volume and
     raises above the ceiling (_band_volume_guard; r15 measured the
     unguarded form killing the driver JVM on a 10x dup-heavy corpus) —
-    the ngram_jaccard_pairs guard contract for the embedding tier."""
+    the ngram_jaccard_pairs guard contract for the embedding tier. When
+    the guard is active the band table is persisted first, so the guard's
+    eager aggregation doubles as its materialization pass and the
+    candidate self-join reuses the cache instead of paying the band
+    projection twice more (the ngram_jaccard_pairs persist-before-guard
+    recipe)."""
     from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
 
     bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    if max_candidate_pairs is not None:
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     _band_volume_guard(bands, max_candidate_pairs, "embed_neardup_lsh")
     cand = (
         bands.join(
@@ -801,7 +823,13 @@ def knn_graph_lsh(
     any bucket_cap filter (the join pays the capped volume) and raises
     above the ceiling — r15 measured the unguarded registered config
     exhausting the 24g driver JVM on a 10x dup-heavy corpus before any
-    timeout could fire; see _band_volume_guard for the steer text."""
+    timeout could fire; see _band_volume_guard for the steer text. When
+    the guard is active the (capped) band table is persisted first, so
+    the guard's eager aggregation doubles as its materialization pass and
+    the candidate self-join reuses the cache (the ngram_jaccard_pairs
+    persist-before-guard recipe)."""
+    from pyspark.storagelevel import StorageLevel
+
     bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
     if bucket_cap is not None:
         if bucket_cap < 2:
@@ -813,6 +841,8 @@ def knn_graph_lsh(
             .select("band", "band_sig")
         )
         bands = bands.join(keep, ["band", "band_sig"])
+    if max_candidate_pairs is not None:
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     _band_volume_guard(bands, max_candidate_pairs, "knn_graph_lsh")
     cand = (
         bands.alias("a")
@@ -1116,6 +1146,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
     n_blocks: int = 8,
+    storage_level=None,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540 — public paper): cluster the corpus embeddings with
@@ -1148,15 +1179,19 @@ def semantic_dedup(
     )
     # NOTE: this (vec_id, list_id) projection appears three times in the
     # final plan (both sides of the pair self-join + the anti-join's left
-    # side), so the broadcast-assignment scan re-runs 3x per execution —
-    # cheap relative to pair scoring, but callers running semantic_dedup
-    # repeatedly at scale should persist the assignment (or pass a stored
-    # kmeans_codebook and materialized assignment) themselves.
+    # side), and the centroid-ranking HOF inside it evaluates interpreted
+    # — `storage_level` (MEMORY_AND_DISK in the registered form, r15)
+    # lazily persists it so the assignment scan runs ONCE per execution;
+    # the table is two ids per vector, safe to pin at any scale. None
+    # keeps pure recompute (callers at 100 TB may instead pass a stored
+    # kmeans_codebook and materialize the assignment themselves).
     assigned = (
         c.crossJoin(F.broadcast(cent_row))
         .withColumn("list_id", _ranked_lists(F.col("v"))[0]["cid"])
         .select("vec_id", "list_id")
     )
+    if storage_level is not None:
+        assigned = assigned.persist(storage_level)
     pairs = (
         assigned.join(
             assigned.select(F.col("vec_id").alias("b_id"), "list_id"), "list_id"
@@ -1985,10 +2020,20 @@ def lsh_candidate_fraction(
     bands = lsh_band_table(
         embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col
     )
-    return _pair_volume_summary(bands, ["band", "band_sig"])
+    # lazy persist: the band projection feeds FOUR plan branches (n_vectors,
+    # bucket sizes, both self-join sides) and AQE reuses none of their
+    # exchanges — the cache computes it once per execution (no build-time
+    # action; BlockManager block locks dedupe concurrent branch computation)
+    from pyspark.storagelevel import StorageLevel
+
+    return _pair_volume_summary(
+        bands, ["band", "band_sig"], storage_level=StorageLevel.MEMORY_AND_DISK
+    )
 
 
-def _pair_volume_summary(assign: DataFrame, keys: list) -> DataFrame:
+def _pair_volume_summary(
+    assign: DataFrame, keys: list, storage_level=None
+) -> DataFrame:
     """Shared audit core of the candidate-fraction pair (LSH bands / IVF
     lists): given a (vec_id, *keys) assignment table, report the one-row
     (n_vectors, total_pairs, cand_pairs, cand_fraction, join_rows,
@@ -2001,7 +2046,14 @@ def _pair_volume_summary(assign: DataFrame, keys: list) -> DataFrame:
     branch could silently swallow: an empty assignment table reports all
     counts 0, and cand_fraction is NULL-guarded to 0.0 whenever
     total_pairs = 0 (n_vectors ≤ 1) — a 0-or-1-vector corpus admits no
-    candidate pairs by definition."""
+    candidate pairs by definition.
+
+    `storage_level` lazily persists the assignment table across its four
+    consuming branches (callers whose assignment build is expensive — the
+    LSH band projection — pass MEMORY_AND_DISK; the default None keeps
+    the pure recompute form)."""
+    if storage_level is not None:
+        assign = assign.persist(storage_level)
     nvec = assign.agg(
         F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_vectors")
     )

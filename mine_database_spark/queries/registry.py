@@ -1018,6 +1018,9 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the exact shingle Jaccard and abs_err — the measured
     accuracy of the sketch the banding decision rides on."""
     (d,) = _t(spark, sf_dir, "documents")
+    # storage_level deliberately None: r15 A/B measured the persist
+    # neutral-to-negative (2.63s recompute vs 2.83s persisted) — AQE
+    # exchange reuse covers the signature rebuild across branches
     return dd.minhash_jaccard_estimate(d, k=5, num_hashes=16, rows_per_band=4)
 
 
@@ -1660,12 +1663,26 @@ def q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor — the pipeline-relevant outputs are the deterministic scores
     and the mismatch flag, which the oracle replays bit-exactly (integer
     score sums; ln() agrees across engines at the 1e-6 quantization grid,
-    the q_quality_classifier exp() precedent)."""
-    from mine_database_spark.operators.quality import fit_char_bigram_langid
+    the q_quality_classifier exp() precedent).
+
+    r15: fit and scoring share ONE persisted exploded gram table
+    (explode_gram_table) — the interpreted split+ascii+CASE gram
+    extraction is the query's dominant per-row cost and previously ran
+    twice (once under fit's count collect, once under the scoring scan);
+    the fit's eager collect doubles as the cache's materialization pass,
+    so the scoring aggregation reads ~doc_count x 511 cached int rows
+    instead of re-deriving them from text."""
+    from mine_database_spark.operators.quality import (
+        explode_gram_table,
+        fit_char_bigram_langid,
+    )
 
     (d,) = _t(spark, sf_dir, "documents")
-    m = fit_char_bigram_langid(d)
-    out = m.transform(d, extra_cols=("lang",))
+    ex = explode_gram_table(d, "doc_id", "text", ("lang",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    m = fit_char_bigram_langid(d, exploded=ex)
+    out = m.transform(d, extra_cols=("lang",), exploded=ex)
     return out.select(
         "doc_id",
         "lang",
@@ -1856,11 +1873,18 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("event_id") % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
-    # NULL-canonical filter AFTER the aggregate: a pre-agg filter gets
-    # pushed below the projection, so the whole canonical_url regex chain
-    # evaluates twice per row (once for the predicate, once for the key) —
-    # post-agg it drops ONE group row instead (measured 3.26s -> 2.70s
-    # median at sf0.1, identical rows)
+    # NULL-canonical filter AFTER the aggregate, ENTANGLED with an
+    # aggregate output: the r13 post-agg placement alone regressed —
+    # a bare grouping-key predicate is pushable, and Catalyst pushed
+    # isnotnull(canonical) back below the aggregate AND the projection,
+    # re-deriving the whole canonical_url regex/HOF chain per input row
+    # inside the Filter (r15 plan file: the before-plan's Filter(2)
+    # carries the full chain; measured 4.0s at sf0.1, ~half of it that
+    # Filter). dup_count is count(1) >= 1 by construction, so
+    # `canonical IS NOT NULL OR dup_count < 0` equals the plain NULL
+    # filter row-for-row, but referencing dup_count pins the predicate
+    # above the aggregate — one chain evaluation per row, one dropped
+    # group row.
     return (
         e.select(F.col("event_id"), canonical_url(url).alias("canonical"))
         .groupBy("canonical")
@@ -1868,7 +1892,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("survivor_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
-        .where(F.col("canonical").isNotNull())
+        .where(F.col("canonical").isNotNull() | (F.col("dup_count") < F.lit(0)))
     )
 
 
@@ -2636,7 +2660,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-cid tiebreak), quantized pair scores, and keep-lowest-id
     policy in SQL — full value check of clustering + scoring + policy."""
     (e,) = _t(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(e, threshold=0.35, n_clusters=16)
+    return sim.semantic_dedup(
+        e, threshold=0.35, n_clusters=16,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
 
 
 _Q_SEMANTIC_DEDUP_SQL = """
@@ -2790,7 +2817,10 @@ def q_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended — whose sha256 differs (binary_dedup misses them) but whose
     byte-gram profile barely moves; the pair (doc_id, doc_id+200000)
     surfaces with est_jaccard near 1. Blobs never shuffle; candidate
-    volume is banded, never all-pairs."""
+    volume is banded, never all-pairs. The 16-column signature table
+    persists across its three consuming branches (r15: the gram explode +
+    min-aggregates behind it are the dominant cost and AQE reuses none of
+    the branches' exchanges)."""
     from mine_database_spark.operators.multimodal import binary_neardup
 
     (d,) = _t(spark, sf_dir, "documents")
@@ -2802,7 +2832,7 @@ def q_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("blob"),
         )
     )
-    return binary_neardup(media, id_col="doc_id")
+    return binary_neardup(media, id_col="doc_id", storage_level=StorageLevel.MEMORY_AND_DISK)
 
 
 _Q_BINARY_NEARDUP_SQL = (
@@ -4333,6 +4363,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     free result bit-reproducible, so the oracle replays all 5 rounds."""
     (l,) = _t(spark, sf_dir, "lineitem")
     edges = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    # storage_level deliberately None: the r15 A/B measured the persist
+    # LOSING here (6.47s recompute vs 7.12s persisted, sf0.1 isolated) —
+    # AQE's ReusedExchange already dedupes the per-iteration edge rebuild
     return gr.pagerank_fixed(edges, iters=5, symmetric=True)
 
 
@@ -5255,6 +5288,9 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented production cap); the score sum is integer-ppm exact."""
     (l,) = _t(spark, sf_dir, "lineitem")
     e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
+    # storage_level deliberately None: r15 A/B measured the persist losing
+    # (3.49s recompute vs 4.09s persisted, sf0.1 isolated) — AQE exchange
+    # reuse already covers the repeated edge derivation (pagerank finding)
     return gr.adamic_adar(e, top_k=100, max_degree=64)
 
 

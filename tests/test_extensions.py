@@ -4830,6 +4830,69 @@ def test_candidate_fraction_degenerate_inputs(spark):
         assert r["join_rows"] == 0 and r["max_bucket"] == 1, (fn.__name__, r)
 
 
+def test_lsh_band_table_unrolled_equals_fold(spark):
+    """Pins lsh_band_table's plane-dot semantics on the edge shapes the
+    parity corpus never exercises: short vectors (zip_with pads the
+    VECTOR side with NULL), long vectors (the fold pads the WEIGHT
+    side), NULL elements, empty arrays, and NULL vectors — all compared
+    against the fold form rebuilt inline. Written r15 as the equivalence
+    gate for an attempted codegen-unrolled rewrite (rejected: janino
+    64 KB limit, see lsh_band_table's docstring); kept because any
+    future rewrite of the band projection must preserve exactly these
+    NULL/ordering semantics to keep the bucket oracles green."""
+    from mine_database_spark.functions.lits import double_array_lit
+    from mine_database_spark.operators.similarity import (
+        _plane_weight,
+        lsh_band_table,
+    )
+
+    dim, n_planes, rpb = 8, 6, 3
+    rows = [
+        (1, [float(i) for i in range(dim)]),          # exact dim
+        (2, [-1.0] * dim),
+        (3, [0.5] * (dim - 3)),                       # short
+        (4, [0.5] * (dim + 3)),                       # long
+        (5, [1.0, None] + [2.0] * (dim - 2)),         # NULL element
+        (6, []),                                      # empty
+        (7, None),                                    # NULL vector
+        (8, [1e-17] * dim),                           # near-zero dots
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = sorted(
+        (r["vec_id"], r["band"], r["band_sig"])
+        for r in lsh_band_table(df, "vec_id", n_planes, rpb, dim).collect()
+    )
+
+    bits = []
+    for p in range(n_planes):
+        w = double_array_lit(_plane_weight(p, i) for i in range(dim))
+        dot = F.aggregate(
+            F.zip_with(F.col("__v"), w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*bits[b * rpb : (b + 1) * rpb]).alias("band_sig"),
+            )
+            for b in range(n_planes // rpb)
+        ]
+    )
+    want = sorted(
+        (r["vec_id"], r["b"]["band"], r["b"]["band_sig"])
+        for r in df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+        )
+        .select("vec_id", F.explode(bands).alias("b"))
+        .collect()
+    )
+    assert got == want
+
+
 def test_binary_neardup_catches_trailer_variants(spark):
     """The byte-gram tier catches what exact sha256 misses: a blob with a
     metadata TRAILER appended pairs with its original at est_jaccard near

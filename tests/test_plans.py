@@ -205,7 +205,17 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
     dup_clusters, the iteration must run to define the result).
     keep_best_dedup composes dup_clusters' CC iteration and inherits its
     exemption for the same reason. label_propagation and k_truss are
-    k_core's class: per-round eager checkpoints ARE the iteration."""
+    k_core's class: per-round eager checkpoints ARE the iteration.
+    ngram_jaccard / knn_graph_lsh / embed_neardup_lsh run their declared
+    pre-flight volume guards (r14 verdict #4 / r15): ONE tiny aggregation
+    over the posting lists / band buckets computing the exact pair-join
+    volume before the join is built — the deliberate price of making the
+    measured-lethal quadratic configurations opt-in (uncapped ngram was
+    measured-killed >20 min, the unguarded LSH config killed the 24g
+    driver JVM at 10x). The guard action doubles as the materialization
+    pass of the persisted shingle/band table, so it is not an extra
+    corpus scan; guarded configs (df_cap / candidates / bucket_cap or
+    max_candidate_pairs=None) skip it and stay action-free."""
     from mine_database_spark.session import load_tables
     from mine_database_spark.queries.registry import QUERIES
 
@@ -220,7 +230,9 @@ def test_registry_builds_are_action_free(spark, sf_smoke):
                     # collects <= langs x 729 count rows once at model
                     # construction (offline at 100 TB), then scoring is a
                     # pure literal scan
-                    "lang_id_model"):
+                    "lang_id_model",
+                    # the pre-flight volume-guard class (see docstring)
+                    "ngram_jaccard", "knn_graph_lsh", "embed_neardup_lsh"):
             continue
         before = set(st.getJobIdsForGroup(None) or [])
         fn(spark, sf_smoke)
@@ -966,21 +978,27 @@ def test_snm_pairs_range_rank_bucket_equijoin(spark, sf_smoke):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_profile_table_single_scan_expand_no_python(spark, sf_smoke):
-    """The whole profile is ONE scan: per-column distincts compile to a
-    single Expand over that scan, aggregation keeps a partial (map-side)
-    stage, the unpivot is an expression over the 1-row result — no join,
-    no Python, exactly one parquet scan."""
+def test_profile_table_split_agg_sort_free(spark, sf_smoke):
+    """r15 shape (OPTIMIZATION_r15.md): the exact-distinct profile of a
+    table WITH string columns splits into two aggregations — the plain
+    count/nulls/min/max agg (GLOBAL, so its SortAggregate is a streaming
+    fold with no Sort) and the distincts' Expand + HashAggregate (bigint
+    buffers, codegen) — recombined by a trivial 1-row × 1-row join. The
+    pre-r15 single df.agg mixed string min/max buffers (no HashAggregate)
+    with the multi-distinct Expand and planned SortAggregate at EVERY
+    phase, fully sorting the ×(len(cols)+1) expanded rows twice. The
+    price is one extra column-pruned scan; the win is zero Sort nodes
+    anywhere, and per-column distincts still compile to a single Expand
+    with map-side partials. Still no Python."""
     plan = plan_str(QUERIES["profile_table"](spark, sf_smoke), mode="simple")
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
     assert "Expand" in plan, plan
-    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # the point of the split: no Sort OPERATOR anywhere (a SortAggregate
+    # with no grouping keys requires no ordering; "Sort [" is the
+    # operator's render, distinct from "SortAggregate")
+    assert "Sort [" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
-    # below the LAST exchange (closest to the scan) there must be a
-    # map-side aggregate over the Expand — the multi-distinct rewrite
-    # compiles to SortAggregate here, so match the generic suffix
-    _, _, below = plan.rpartition("Exchange")
-    assert "Aggregate" in below and "Expand" in below, plan
 
 
 def test_decayed_score_broadcast_anchor_takeordered(spark, sf_smoke):

@@ -233,6 +233,72 @@ def test_char_bigram_langid_scoring_is_pure_scan(spark):
     ), agg_plan
 
 
+def test_char_bigram_langid_shared_gram_table(spark):
+    """r15: q_lang_id_model shares ONE exploded gram table between fit
+    and scoring (the extraction is the dominant per-row cost and ran
+    twice). Pin the refactor: explode_gram_table's rows equal the plain
+    explode of _langid_gram_idx (with explode_outer's NULL rows standing
+    in for the zero-gram docs the plain form drops), fit(exploded=)
+    equals fit(), and transform(exploded=) equals transform() row-for-row
+    — including the NULL-text / sub-2-char / NULL-label edge rows."""
+    from mine_database_spark.operators.quality import (
+        _langid_gram_idx,
+        explode_gram_table,
+        fit_char_bigram_langid,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "der schnelle braune fuchs springt!", "de"),
+        (3, "le renard brun rapide saute", "fr"),
+        (4, "THE LAZY DOG barks 123 times", "en"),
+        (5, None, "en"),
+        (6, "xq", None),
+        (7, "", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ex = explode_gram_table(docs, "doc_id", "text", ("lang",))
+
+    got_grams = sorted(
+        (r["doc_id"], r["__g"]) for r in ex.where(F.col("__g").isNotNull()).collect()
+    )
+    want_grams = sorted(
+        (r["doc_id"], r["g"])
+        for r in docs.select(
+            "doc_id", F.explode(_langid_gram_idx("text")).alias("g")
+        ).collect()
+    )
+    assert got_grams == want_grams
+    # explode_outer keeps exactly the zero-gram docs (NULL text, <2-char
+    # text) as single NULL rows; doc 6 ("xq") has one gram and is absent
+    assert sorted(
+        r["doc_id"] for r in ex.where(F.col("__g").isNull()).collect()
+    ) == [5, 7]
+
+    m_plain = fit_char_bigram_langid(docs)
+    m_shared = fit_char_bigram_langid(docs, exploded=ex)
+    assert m_shared.langs == m_plain.langs
+    assert m_shared.prior_q == m_plain.prior_q
+    assert m_shared.mat == m_plain.mat
+
+    got = {
+        r["doc_id"]: (r["lang"], r["pred_lang"], r["score_q"])
+        for r in m_shared.transform(
+            docs, extra_cols=("lang",), exploded=ex
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["pred_lang"], r["score_q"])
+        for r in m_plain.transform(docs, extra_cols=("lang",)).collect()
+    }
+    assert got == want and len(got) == len(rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        m_plain.transform(docs, shape="fold", exploded=ex)
+
+
 def test_char_bigram_langid_separates_scripts(spark):
     """r14 advice: under the old 27-class Latin alphabet every non-Latin
     char fell into one bucket, so Russian and Greek produced IDENTICAL
