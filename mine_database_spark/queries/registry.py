@@ -4365,8 +4365,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
     # storage_level deliberately None: the r15 A/B measured the persist
     # LOSING here (6.47s recompute vs 7.12s persisted, sf0.1 isolated) —
-    # AQE's ReusedExchange already dedupes the per-iteration edge rebuild
-    return gr.pagerank_fixed(edges, iters=5, symmetric=True)
+    # AQE's ReusedExchange already dedupes the per-iteration edge rebuild.
+    # broadcast_ranks=True: the rank vector is O(part catalog) — 16 bytes
+    # per node, and the operator's own scale=1e9 overflow headroom caps it
+    # at ~9e7 nodes, so the per-iteration O(nodes) sides are join-table-
+    # sized by construction; measured 7.86s → 6.67s (r15 A/B, values
+    # asserted identical — integer sums are order-independent)
+    return gr.pagerank_fixed(edges, iters=5, symmetric=True, broadcast_ranks=True)
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**9, d: int = 85) -> str:
@@ -5826,7 +5831,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest label so the replay is exact."""
     (l,) = _t(spark, sf_dir, "lineitem")
     e = gr.co_occurrence_edges(l, "l_orderkey", "l_partkey")
-    return gr.label_propagation(e, iters=4)
+    # broadcast_labels=True: the label state is O(part catalog) — the
+    # same join-table-sized-by-construction argument as q_pagerank's
+    # broadcast_ranks; measured 13.99s → 11.71s (r15 A/B, contended host,
+    # rows asserted identical — the argmax is order-independent)
+    return gr.label_propagation(e, iters=4, broadcast_labels=True)
 
 
 def _lpa_sql(iters: int = 4) -> str:
@@ -5973,6 +5982,16 @@ GATE_TOUCHED: tuple[str, ...] = (
     "ann_lsh_topk", "embed_neardup_lsh", "k_core", "k_truss",
     "knn_graph_lsh", "label_propagation", "lang_id_model",
     "lsh_candidate_fraction", "ngram_jaccard",
+    # r15 OPTIMIZATION-round rewrites (values identical, plans changed —
+    # forced into the gate so the driver re-proves each one): binary gram
+    # slicing + persisted signature table (binary_neardup), persisted
+    # centroid assignment (semantic_dedup), sort-free split aggregation
+    # (profile_table), single-eval canonicalization + post-agg filter pin
+    # (url_dedup), one-pass shingle extractor (ngram_diversity twins),
+    # per-iteration broadcast hints (pagerank; label_propagation already
+    # listed above)
+    "binary_neardup", "semantic_dedup", "profile_table", "url_dedup",
+    "ngram_diversity", "ngram_diversity_hll", "pagerank",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5984,18 +6003,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,  # TOUCHED
     "ann_lsh_topk": q_ann_lsh_topk,  # TOUCHED
     "embed_neardup_lsh": q_embed_neardup_lsh,  # TOUCHED
+    "ngram_diversity_hll": q_ngram_diversity_hll,  # TOUCHED
     "label_propagation": q_label_propagation,  # TOUCHED
     "knn_graph_lsh": q_knn_graph_lsh,  # TOUCHED
+    "profile_table": q_profile_table,  # TOUCHED
+    "semantic_dedup": q_semantic_dedup,  # TOUCHED
+    "pagerank": q_pagerank,  # TOUCHED
+    "ngram_diversity": q_ngram_diversity,  # TOUCHED
     "lang_id_model": q_lang_id_model,  # TOUCHED
     "lsh_candidate_fraction": q_lsh_candidate_fraction,  # TOUCHED
     "k_truss": q_k_truss,  # TOUCHED
+    "binary_neardup": q_binary_neardup,  # TOUCHED
+    "url_dedup": q_url_dedup,  # TOUCHED
     "snm_pairs": q_snm_pairs,  # r12
     "decayed_score": q_decayed_score,  # r12
     "hybrid_rrf": q_hybrid_rrf,  # r12
     "mad_anomaly": q_mad_anomaly,  # r12
     "source_top_terms": q_source_top_terms,  # r12
     "triangle_count_deg": q_triangle_count_deg,  # r12
-    "ngram_diversity_hll": q_ngram_diversity_hll,  # r12
     "adamic_adar": q_adamic_adar,  # r12
     "collapse_repeats": q_collapse_repeats,  # r12
     "embedding_drift": q_embedding_drift,  # r12
@@ -6023,6 +6048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_of_native": q_product_of_native,  # r12
     "quiet_customers": q_quiet_customers,  # r12
     "bit_prevalence": q_bit_prevalence,  # r12
+    # --- tail (locally parity-tested + benched every round; rotates back in) ---
     "minhash_lsh": q_minhash_lsh,  # r12
     "dup_clusters": q_dup_clusters,  # r12
     "ngram_jaccard_capped": q_ngram_jaccard_capped,  # r12
@@ -6030,16 +6056,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_rules": q_quality_rules,  # r12
     "pii_scan": q_pii_scan,  # r12
     "ann_ivf_topk": q_ann_ivf_topk,  # r12
-    # --- tail (locally parity-tested + benched every round; rotates back in) ---
     "embed_neardup": q_embed_neardup,  # r12
     "binary_dedup": q_binary_dedup,  # r13
     "binary_profile": q_binary_profile,  # r13
     "span_decontaminate": q_span_decontaminate,  # r13
     "novelty_curve": q_novelty_curve,  # r13
     "span_scrub": q_span_scrub,  # r13
-    "profile_table": q_profile_table,  # r13
     "fuzzy_contamination": q_fuzzy_contamination,  # r13
-    "semantic_dedup": q_semantic_dedup,  # r13
     "doc_chunks": q_doc_chunks,  # r13
     "pack_sequences": q_pack_sequences,  # r13
     "domain_mixture_sample": q_domain_mixture_sample,  # r13
@@ -6056,7 +6079,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,  # r13
     "url_stats": q_url_stats,  # r13
     "winnow_fingerprints": q_winnow_fingerprints,  # r13
-    "pagerank": q_pagerank,  # r13
     "bloom_decontaminate": q_bloom_decontaminate,  # r13
     "cms_token_freq": q_cms_token_freq,  # r13
     "degree_distribution": q_degree_distribution,  # r13
@@ -6075,8 +6097,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,  # r13
     "knn_graph_ivf": q_knn_graph_ivf,  # r13
     "zipf_audit": q_zipf_audit,  # r13
-    "ngram_diversity": q_ngram_diversity,  # r13
-    "binary_neardup": q_binary_neardup,  # r14
     "cc_luhn_scan": q_cc_luhn_scan,  # r14
     "ivf_candidate_fraction": q_ivf_candidate_fraction,  # r14
     "rate_anomaly": q_rate_anomaly,  # r14
@@ -6086,7 +6106,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_drift": q_token_drift,  # r14
     "inverted_index": q_inverted_index,  # r14
     "hll_vocab": q_hll_vocab,  # r14
-    "url_dedup": q_url_dedup,  # r14
     "operator_census": q_operator_census,  # r14
     "ann_cosine_topk": q_ann_cosine_topk,  # r14
     "contamination_check": q_contamination_check,  # r14

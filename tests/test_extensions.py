@@ -2670,6 +2670,50 @@ def test_pagerank_python_twin(spark):
     assert got[1] > got[2] == got[3] > got[4]  # hub ranks highest; 4 floor
 
 
+def test_pagerank_broadcast_ranks_identical_and_hinted(spark):
+    """broadcast_ranks=True (the r15 registered-query opt-in) must change
+    ONLY the join strategy: identical rank_units on a planted graph, and
+    the hinted per-iteration joins plan as BroadcastHashJoin where the
+    default form plans the rank join shuffled."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.graph import pagerank_fixed
+
+    e = spark.range(300).select(
+        (F.col("id") % 60).alias("src"), ((F.col("id") * 13 + 7) % 60).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    base = {r["id"]: r["rank_units"] for r in pagerank_fixed(e, iters=3).collect()}
+    bc = {
+        r["id"]: r["rank_units"]
+        for r in pagerank_fixed(e, iters=3, broadcast_ranks=True).collect()
+    }
+    assert bc == base
+    plan = pagerank_fixed(e, iters=3, broadcast_ranks=True)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_label_propagation_broadcast_labels_identical(spark):
+    """broadcast_labels=True (the r15 registered-query opt-in) must be a
+    pure join-strategy change: identical (node, label, converged) rows on
+    a planted two-community graph, and the hinted round plans the label
+    join as a BroadcastHashJoin."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.graph import _lpa_round, label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    e = spark.createDataFrame(tri, "src long, dst long")
+    base = sorted(map(tuple, label_propagation(e, iters=3).collect()))
+    bc = sorted(
+        map(tuple, label_propagation(e, iters=3, broadcast_labels=True).collect())
+    )
+    assert bc == base
+    sym = spark.createDataFrame(tri, "a long, b long")
+    labels = spark.range(7).select(F.col("id").alias("node"), F.col("id").alias("label"))
+    plan = _lpa_round(sym, labels, True)._jdf.queryExecution().toString()
+    assert "broadcast" in plan.lower()
+
+
 def test_key_skew_audit_shares_and_null_key(spark):
     from mine_database_spark.operators.skew import key_skew_audit
 
