@@ -284,11 +284,30 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
       shingles, so the result is exact for the reduced universe — the
       standard production near-dup approximation.
 
-    The shingle table feeds three plan branches (sizes + both self-join
-    sides); `storage_level` (e.g. StorageLevel.MEMORY_AND_DISK) persists it
-    across them at interactive scale. The default None does NOT persist:
-    the table is O(corpus tokens), and pinning it at 100 TB is an
-    eviction/OOM hazard — recomputing the scan is the safe default there.
+    Shape (r16, guide §2.3/§2.4 — the co_occurrence_edges recipe): the
+    pair join is generated from POSTING LISTS — ONE collect_set aggregate
+    per shingle, pairs exploded in-task from each list — replacing the
+    r01-r15 shingle-table self-join. The old shape paid an exchange for
+    the (doc_id, shingle) distinct, another (plus two sorts) for the
+    shingle-keyed self-join, and stored every hot shingle's string df
+    times in the persisted cache; here collect_set dedups (doc_id,
+    shingle) for free (shingle_table is built distinct=False, removing
+    that whole exchange), the pair volume Σ df·(df−1)/2 is emitted by an
+    in-task double explode with a_id < b_id, and every derived branch
+    (sizes, guard volume, pair explode) reads the SAME posting table,
+    whose cache stores each shingle string ONCE. Values are identical by
+    construction (set semantics; pinned vs the self-join form in pytest
+    and by the DuckDB oracle, which keeps the join formulation). A hot
+    shingle's C(df, 2) pairs land in one task in BOTH shapes (an
+    equi-join keys one bucket to one partition), so the skew profile is
+    unchanged — df_cap remains the production control.
+
+    The posting table feeds three plan branches (sizes + guard + pair
+    explode); `storage_level` (e.g. StorageLevel.MEMORY_AND_DISK)
+    persists it across them at interactive scale. The default None does
+    NOT persist: the table is O(corpus tokens) posting entries, and
+    pinning it at 100 TB is an eviction/OOM hazard — recomputing the scan
+    is the safe default there.
 
     Pre-flight guard (r14 verdict #4): when NEITHER guard is active
     (candidates is None and df_cap is None), the pair join's cost is
@@ -307,7 +326,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 
     Returns (a_id, b_id, jaccard) with jaccard rounded to 6 digits.
     """
-    sh = shingle_table(docs, id_col, text_col, k)
+    sh = shingle_table(docs, id_col, text_col, k, distinct=False)
     if candidates is not None:
         cand_docs = (
             candidates.select(F.col("a_id").alias("doc_id"))
@@ -318,33 +337,33 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         # that AQE broadcasts it, but can be huge at 100 TB — let the
         # runtime stats decide
         sh = sh.join(cand_docs, "doc_id", "left_semi")
+    # posting lists: collect_set dedups (doc_id, shingle) in the same
+    # exchange that groups by shingle — the previous separate distinct
+    # pass is gone (see shape note in the docstring)
+    post = sh.groupBy("shingle").agg(F.collect_set("doc_id").alias("ds"))
     if df_cap is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
+        # df == size(ds): the cap is a per-row filter on the posting
+        # table, not the previous df-aggregate + anti-join pair
+        post = post.where(F.size("ds") <= df_cap)
     if storage_level is not None:
-        # measured at sf0.1 (k=2, no df_cap): persist 4s vs 14s without —
-        # the win is AQE planning the hot-shingle self-join from the
-        # materialized table's REAL statistics, not just skipping the 3x
-        # recompute. (localCheckpoint was tried and is NOT equivalent: the
-        # RDD boundary blinds AQE and cost 12-16s.) The table stays pinned
-        # until the SparkContext cleans it — callers looping over many
-        # corpora should unpersist or pass None.
-        sh = sh.persist(storage_level)
+        # measured at sf0.1 (k=2, no df_cap, r16 back-to-back stash A/B):
+        # the posting-table persist keeps the self-join-era win (the r15
+        # form measured persist 4s vs 14s without) while storing each
+        # shingle string ONCE instead of df times — the r15 raw-table
+        # persist was the registry's noisiest cache (pass spread
+        # 10.8-33.3s under pass-boundary clearCache). (localCheckpoint was
+        # tried on the r15 shape and is NOT equivalent: the RDD boundary
+        # blinds AQE and cost 12-16s.) The table stays pinned until the
+        # SparkContext cleans it — callers looping over many corpora
+        # should unpersist or pass None.
+        post = post.persist(storage_level)
     if candidates is None and df_cap is None and max_candidate_pairs is not None:
         # exact pair-join volume from the posting lists (see docstring);
-        # integer arithmetic — df <= n_docs keeps df*(df-1) well under
-        # bigint range at any realistic corpus
-        row = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.expr("sum(df * (df - 1) div 2)").alias("v"))
-            .first()
-        )
+        # size() is cast up front — df*(df-1) on a hot shingle overflows
+        # int32 past ~46k docs
+        row = post.agg(
+            F.expr("sum(cast(size(ds) as bigint) * (size(ds) - 1) div 2)").alias("v")
+        ).first()
         vol = row["v"] or 0
         if vol > max_candidate_pairs:
             raise ValueError(
@@ -355,11 +374,14 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
                 "df_cap=50), restrict with candidates=<LSH pairs>, or set "
                 "max_candidate_pairs=None to force the uncapped run."
             )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    sizes = (
+        post.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(b, "shingle")
+        post.select(F.explode("ds").alias("a_id"), "ds")
+        .select("a_id", F.explode("ds").alias("b_id"))
         .where(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -239,12 +239,57 @@ def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFra
     """Undirected co-occurrence edges: items sharing a group value.
 
     Used to build the co-purchase graph from lineitem (group=order, item=part).
-    Self-joins on the group key — an equi-join Catalyst shuffles on group_col;
-    at scale pre-bucket both sides on the group key to avoid the shuffle.
+    Both directions of every pair are returned (the symmetric closure), no
+    self-loops, deduplicated — exactly the r01-r15 self-join form's output.
+
+    Shape (r16, guide §2.3/§2.4): ONE collect_set aggregate per group plus a
+    pair explode, replacing the previous distinct → self-join-on-group →
+    distinct chain. The old shape paid an exchange for the (g, item)
+    distinct, two more (exchange-reused) for the group-keyed equi-join plus
+    its sort, and a final exchange for the output distinct — and the join
+    materialized every ordered pair BOTH ways before the distinct. Here the
+    per-group item set is built in one exchange (partial_collect_set
+    aggregates map-side; collect_set dedups (g, item) for free, so the
+    separate distinct pass disappears), ordered pairs explode in-task with
+    `src < dst` HALVING the rows entering the output distinct, and the
+    symmetric closure is emitted by a 2-element explode AFTER the dedup —
+    no join anywhere. Measured at sf0.1 (r16 A/B, min-of-3 isolated noop
+    passes, rows identical): the derivation drove pagerank 9.76 → and
+    degree_distribution 3.06 → (see OPTIMIZATION_r16.md for the committed
+    numbers); plan: the derivation's SortMergeJoins are gone.
+
+    Skew note: one output row per group with an items array bounded by the
+    group's distinct-item count — the explode volume is Σ n_g², the same
+    pair volume the join produced. A giant group (hot key) concentrates its
+    n² pairs in one task either way (an equi-join keys the same bucket to
+    one partition); cap or split hot groups upstream in both shapes.
+
+    NULL semantics, pinned by pytest: NULL groups produce no edges (SQL
+    equality never matched them in the join form; groupBy would keep them,
+    so they are filtered explicitly) and NULL items produce no edges
+    (collect_set drops NULLs; the old form's src != dst predicate rejected
+    them).
     """
-    a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src")).distinct()
-    b = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("dst")).distinct()
-    return a.join(b, "g").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    grp = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
+        .where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.collect_set("it").alias("its"))
+    )
+    und = (
+        grp.select(F.explode("its").alias("src"), "its")
+        .select("src", F.explode("its").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank_fixed(

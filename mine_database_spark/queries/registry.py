@@ -5483,6 +5483,33 @@ FROM top
 """
 
 
+def _copurchase_pair_weights(l: DataFrame) -> DataFrame:
+    """(src, dst, w) ordered co-purchase pairs weighted by shared-order
+    count — the weighted input of the k_core/k_truss repeat graph.
+
+    Shape (r16, guide §2.3/§2.4 — the co_occurrence_edges recipe): ONE
+    collect_set per order plus an in-task pair explode replaces the
+    previous distinct (g, id) → self-join-on-g chain; collect_set dedups
+    (g, id) for free, so the pair count per (src, dst) — the number of
+    DISTINCT shared orders — is unchanged (each order contributes each
+    ordered pair at most once, exactly as the join over the distinct li
+    table did). Rows proven identical vs the join form at sf0.01/sf0.1;
+    the DuckDB oracles keep the join formulation."""
+    grp = (
+        l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id"))
+        .where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.collect_set("id").alias("ids"))
+    )
+    return (
+        grp.select(F.explode("ids").alias("src"), "ids")
+        .select("src", F.explode("ids").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the REPEAT co-purchase graph (pairs sharing >= 2 orders,
     graph.k_core, 6 peel rounds): dropping the tree-like periphery —
@@ -5492,14 +5519,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is integer; the peel is 6 fixed rounds (converged on
     this graph at every sf, pinned in pytest)."""
     (l,) = _t(spark, sf_dir, "lineitem")
-    li = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id")).distinct()
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "g")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    pairs = _copurchase_pair_weights(l)
     e2 = pairs.where(F.col("w") >= 2).select("src", "dst")
     return gr.k_core(e2, k=2, iters=6)
 
@@ -5551,14 +5571,7 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer supports, fixed rounds, per-round checkpoints; convergence on
     this graph is pinned in pytest."""
     (l,) = _t(spark, sf_dir, "lineitem")
-    li = l.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("id")).distinct()
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "g")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    pairs = _copurchase_pair_weights(l)
     e2 = pairs.where(F.col("w") >= 2).select("src", "dst")
     return gr.k_truss(e2, k=3, iters=2)
 

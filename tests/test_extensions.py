@@ -5339,3 +5339,86 @@ def test_stream_lang_id_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from langid_stream_test").collect()
     }
     assert got == batch, (got, batch)
+
+
+def test_co_occurrence_edges_matches_self_join_form(spark):
+    """The r16 collect_set + pair-explode shape must emit EXACTLY the
+    r01-r15 self-join form's rows: symmetric closure, no self-loops,
+    deduplicated, NULL groups and NULL items contribute nothing (the join
+    form's SQL equality never matched them; groupBy alone would keep a
+    NULL group, so the operator filters it explicitly)."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.graph import co_occurrence_edges
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),   # dup (g, item) row collapses
+        (None, "x"), (None, "y"),       # NULL group: no edges
+        (2, None), (2, "c"), (2, "d"),  # NULL item: drops, c-d survives
+        (3, "z"),                       # singleton group: no edges
+        (4, "a"), (4, "b"),             # repeat pair in a second group
+    ]
+    df = spark.createDataFrame(rows, "g int, it string")
+
+    a = df.select(F.col("g"), F.col("it").alias("src")).distinct()
+    b = df.select(F.col("g"), F.col("it").alias("dst")).distinct()
+    reference = (
+        a.join(b, "g").where(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+
+    got = sorted(map(tuple, co_occurrence_edges(df, "g", "it").collect()))
+    want = sorted(map(tuple, reference.collect()))
+    assert got == want
+    assert got == [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c")]
+
+
+def test_ngram_jaccard_posting_lists_match_self_join_form(spark):
+    """The r16 posting-list pair generation (collect_set per shingle +
+    in-task pair explode) must reproduce the r01-r15 shingle-table
+    self-join bit for bit — including the df_cap universe reduction, whose
+    sizes and intersections must BOTH exclude capped shingles."""
+    from pyspark.sql import functions as F
+
+    from mine_database_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox leaps over the lazy dog"),
+        ("d3", "a completely different text body entirely here"),
+        ("d4", "the quick brown fox jumps over the lazy dog"),
+        ("d5", "the quick brown cat jumps over the lazy dog"),
+        ("d6", ""),  # zero-shingle doc: appears nowhere
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def reference(df_cap=None, threshold=0.01):
+        sh = shingle_table(docs, "doc_id", "text", 2)
+        if df_cap is not None:
+            hot = (
+                sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > df_cap).select("shingle")
+            )
+            sh = sh.join(hot, "shingle", "left_anti")
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+        inter = (
+            a.join(b, "shingle").where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+            .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+            .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+
+    for cap in (None, 3):
+        got = sorted(map(tuple, ngram_jaccard_pairs(docs, k=2, threshold=0.01, df_cap=cap).collect()))
+        want = sorted(map(tuple, reference(df_cap=cap).collect()))
+        assert got == want and (cap is not None or got), (cap, got, want)
