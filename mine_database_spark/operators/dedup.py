@@ -150,13 +150,21 @@ def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
 
 
 def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
-    """Distinct (a_id, b_id) pairs sharing at least one band bucket, a < b."""
-    a = band_keys.select("band", "band_sig", F.col("doc_id").alias("a_id"))
-    b = band_keys.select("band", "band_sig", F.col("doc_id").alias("b_id"))
+    """Distinct (a_id, b_id) pairs sharing at least one band bucket, a < b.
+
+    Shape (r16, the co_occurrence_edges posting-list recipe, guide
+    §2.3/§2.4): ONE collect_set per (band, band_sig) bucket + an in-task
+    ordered-pair explode replaces the band-keyed self-join — one exchange
+    instead of two sides + two sorts, identical pairs by set semantics
+    (each doc appears once per band, so the bucket set IS the old join
+    group). A bucket's C(f, 2) pairs land in one task in both shapes."""
+    post = band_keys.groupBy("band", "band_sig").agg(
+        F.collect_set("doc_id").alias("ds")
+    )
     return (
-        a.join(b, ["band", "band_sig"])
+        post.select(F.explode("ds").alias("a_id"), "ds")
+        .select("a_id", F.explode("ds").alias("b_id"))
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
         .distinct()
     )
 

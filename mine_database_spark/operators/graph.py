@@ -678,24 +678,28 @@ def adamic_adar(
     both = canon.select("a", "b").unionAll(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    deg = both.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
+    # r16 (the co_occurrence_edges posting-list recipe, guide §2.3/§2.4):
+    # ONE collect_set per center replaces the degree aggregate + the
+    # adjacency join + the center-keyed wedge self-join — `both` carries
+    # distinct rows (canon is distinct), so size(ns) IS the old degree
+    # count and the in-task (u < v) pair explode emits exactly the old
+    # join's wedge set, with each center's weight attached for free.
+    nbrs = both.groupBy(F.col("a").alias("center")).agg(
+        F.collect_set("b").alias("ns")
     )
-    centers = deg.where(F.col("degree") >= 2)
+    degree = F.size("ns").cast("bigint")
+    centers = nbrs.where(degree >= 2)
     if max_degree is not None:
-        centers = centers.where(F.col("degree") <= max_degree)
+        centers = centers.where(degree <= max_degree)
     w_ppm = F.floor(
-        F.lit(1_000_000.0) / F.log(F.col("degree").cast("double"))
+        F.lit(1_000_000.0) / F.log(degree.cast("double"))
     ).cast("bigint")
-    adj = both.join(
-        centers.select(F.col("node").alias("a"), w_ppm.alias("w_ppm")), "a"
-    ).select(F.col("a").alias("center"), F.col("b").alias("nbr"), "w_ppm")
+    adj = centers.select(w_ppm.alias("w_ppm"), "ns")
     if storage_level is not None:
         adj = adj.persist(storage_level)
-    x = adj.select("center", F.col("nbr").alias("u"), "w_ppm")
-    y = adj.select("center", F.col("nbr").alias("v"))
     scored = (
-        x.join(y, "center")
+        adj.select("w_ppm", F.explode("ns").alias("u"), "ns")
+        .select("w_ppm", "u", F.explode("ns").alias("v"))
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(

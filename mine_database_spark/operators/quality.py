@@ -23,6 +23,7 @@ from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mine_database_spark.functions.lits import bigint_array_lit
 from mine_database_spark.functions.text import (
@@ -1000,6 +1001,107 @@ def explode_gram_table(
         *extra_cols,
         F.explode_outer(F.expr(gram).cast("array<int>")).alias("__g"),
     )
+
+
+def explode_gram_table_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+    max_chars: int = LANGID_MAX_CHARS,
+) -> DataFrame:
+    """mapInArrow twin of `explode_gram_table` — same rows (order-free
+    exploded table: (id_col, *extra_cols, __g int), one NULL-__g row per
+    zero-gram document), extracted by vectorized numpy batch code instead
+    of the interpreted split+ascii+CASE+zip_with chain (guide §4.2: the
+    HOF chain is CodegenFallback and was the fit job's dominant per-row
+    cost; char-bigram CLASS INDICES are integers, so the Arrow path is
+    bit-identical by construction — no float accumulation anywhere).
+
+    Per batch: texts lowercase+truncate in CPython (str.lower is the same
+    Unicode default case mapping Spark's lower applies on this corpus —
+    pinned by the _gram_idx_py twin pytest and by the DuckDB value oracle
+    at every SF), all rows concatenate into ONE utf-32 code-point array,
+    the class map applies once (a-z direct, script blocks via
+    searchsorted), and per-row gram slices are gathered by index
+    arithmetic — no per-row Python loop over characters.
+
+    Equality with the SQL form is pinned by
+    tests/test_quality.py (arrow-vs-HOF full-table equality on the bench
+    corpus sample + edge fixtures) and the lang_id_model value oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    in_cols = [id_col, *extra_cols]
+    base = docs.select(*in_cols, F.col(text_col).alias("__t"))
+    out_schema = T.StructType(
+        [base.schema[c] for c in in_cols] + [T.StructField("__g", T.IntegerType())]
+    )
+    # _LANGID_BLOCKS is declaration-ordered, not lo-ordered (Hangul Jamo
+    # 0x1100 is listed after CJK 0x4E00); searchsorted needs ascending lo.
+    # The blocks are disjoint, so sorting never changes which block wins.
+    _sorted = sorted(_LANGID_BLOCKS)
+    blocks_lo = np.array([lo for lo, _, _ in _sorted], dtype=np.int64)
+    blocks_hi = np.array([hi for _, hi, _ in _sorted], dtype=np.int64)
+    blocks_cls = np.array([c for _, _, c in _sorted], dtype=np.int32)
+    other = LANGID_OTHER_CLS
+    ncls = LANGID_NCLS
+    mc = int(max_chars)
+
+    def extract(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            texts = b.column(len(in_cols)).to_pylist()
+            low = [(t or "").lower()[:mc] for t in texts]
+            lens = np.fromiter((len(t) for t in low), dtype=np.int64, count=n)
+            joined = "".join(low)
+            codes = (
+                np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+                .astype(np.int64)
+                if joined
+                else np.zeros(0, dtype=np.int64)
+            )
+            cls = np.full(codes.shape, other, dtype=np.int32)
+            az = (codes >= 97) & (codes <= 122)
+            cls[az] = (codes[az] - 97).astype(np.int32)
+            bi = np.searchsorted(blocks_lo, codes, side="right") - 1
+            inb = (bi >= 0) & ~az
+            inb[inb] = codes[inb] <= blocks_hi[bi[inb]]
+            cls[inb] = blocks_cls[bi[inb]]
+            # all adjacent-pair grams of the concatenation, then keep only
+            # within-row positions (starts[i] .. starts[i] + lens[i] - 2)
+            g_all = (
+                cls[:-1] * ncls + cls[1:]
+                if codes.size > 1
+                else np.zeros(0, dtype=np.int32)
+            )
+            ng = np.maximum(lens - 1, 0)
+            starts = np.cumsum(lens) - lens
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), ng)
+            within = np.arange(row_idx.size, dtype=np.int64) - np.repeat(
+                np.cumsum(ng) - ng, ng
+            )
+            grams = g_all[starts[row_idx] + within].astype(np.int32)
+            empty_rows = np.nonzero(ng == 0)[0]
+            take = pa.array(np.concatenate([row_idx, empty_rows]))
+            g_col = pa.array(
+                np.concatenate([grams, np.zeros(empty_rows.size, dtype=np.int32)]),
+                type=pa.int32(),
+                mask=np.concatenate(
+                    [
+                        np.zeros(grams.size, dtype=bool),
+                        np.ones(empty_rows.size, dtype=bool),
+                    ]
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i).take(take) for i in range(len(in_cols))] + [g_col],
+                names=[*in_cols, "__g"],
+            )
+
+    return base.mapInArrow(extract, out_schema)
 
 
 def _langid_cls_py(o: int) -> int:

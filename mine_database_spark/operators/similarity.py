@@ -412,21 +412,19 @@ ngram_jaccard_pairs ceiling) trips well before the lethal regime."""
 
 
 def _band_volume_guard(
-    bands: DataFrame, max_candidate_pairs: int | None, what: str
+    posts: DataFrame, max_candidate_pairs: int | None, what: str
 ) -> None:
-    """Raise when the band self-join would exceed `max_candidate_pairs`
-    candidates — ONE tiny aggregation over the band table (bucket sizes →
-    one-row sum), an EAGER action at plan-build time; the deliberate
-    price of making the measured-JVM-OOM configuration opt-in (r15: see
+    """Raise when the band pair explode would exceed `max_candidate_pairs`
+    candidates — ONE tiny aggregation over the bucket POSTING table
+    ((band, band_sig, ds) — bucket sizes are size(ds), so no regrouping
+    pass), an EAGER action at plan-build time; the deliberate price of
+    making the measured-JVM-OOM configuration opt-in (r15: see
     LSH_MAX_CANDIDATE_PAIRS). None skips the check entirely."""
     if max_candidate_pairs is None:
         return
-    row = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .agg(F.expr("sum(f * (f - 1) div 2)").alias("v"))
-        .first()
-    )
+    row = posts.agg(
+        F.expr("sum(cast(size(ds) as bigint) * (size(ds) - 1) div 2)").alias("v")
+    ).first()
     vol = row["v"] or 0
     if vol > max_candidate_pairs:
         raise ValueError(
@@ -467,31 +465,35 @@ def embed_neardup_lsh(
     vectorized batch math, never a per-pair vector join — with a quantized
     fold fallback (identical values) for non-integral id columns.
 
-    `max_candidate_pairs` pre-flights the exact band-join volume and
+    `max_candidate_pairs` pre-flights the exact band pair volume and
     raises above the ceiling (_band_volume_guard; r15 measured the
     unguarded form killing the driver JVM on a 10x dup-heavy corpus) —
-    the ngram_jaccard_pairs guard contract for the embedding tier. When
-    the guard is active the band table is persisted first, so the guard's
-    eager aggregation doubles as its materialization pass and the
-    candidate self-join reuses the cache instead of paying the band
-    projection twice more (the ngram_jaccard_pairs persist-before-guard
-    recipe)."""
+    the ngram_jaccard_pairs guard contract for the embedding tier.
+
+    Candidate shape (r16, the co_occurrence_edges posting-list recipe,
+    guide §2.3/§2.4): candidates explode in-task from ONE collect_set per
+    (band, band_sig) bucket instead of the band self-join — one exchange
+    instead of two join sides + two sorts, identical pairs by set
+    semantics (each vector appears once per band). When the guard is
+    active the POSTING table is persisted first, so the guard's eager
+    aggregation doubles as its materialization pass and the pair explode
+    reuses the cache instead of paying the band projection again (the
+    ngram_jaccard_pairs persist-before-guard recipe); the cache stores
+    each band_sig once per bucket instead of once per member."""
     from pyspark.sql import types as T
     from pyspark.storagelevel import StorageLevel
 
     bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    post = bands.groupBy("band", "band_sig").agg(
+        F.collect_set("vec_id").alias("ds")
+    )
     if max_candidate_pairs is not None:
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    _band_volume_guard(bands, max_candidate_pairs, "embed_neardup_lsh")
+        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+    _band_volume_guard(post, max_candidate_pairs, "embed_neardup_lsh")
     cand = (
-        bands.join(
-            bands.select(
-                F.col("vec_id").alias("b_id"), "band", F.col("band_sig").alias("band_sig")
-            ),
-            ["band", "band_sig"],
-        )
-        .where(F.col("vec_id") < F.col("b_id"))
-        .select(F.col("vec_id").alias("a_id"), "b_id")
+        post.select(F.explode("ds").alias("a_id"), "ds")
+        .select("a_id", F.explode("ds").alias("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
     if isinstance(
@@ -819,43 +821,52 @@ def knn_graph_lsh(
     hundreds of near-duplicates, whose top-k is served by any surviving
     band. None (default) keeps exact LSH semantics for the oracle.
 
-    `max_candidate_pairs` pre-flights the exact band-join volume AFTER
-    any bucket_cap filter (the join pays the capped volume) and raises
-    above the ceiling — r15 measured the unguarded registered config
-    exhausting the 24g driver JVM on a 10x dup-heavy corpus before any
-    timeout could fire; see _band_volume_guard for the steer text. When
-    the guard is active the (capped) band table is persisted first, so
-    the guard's eager aggregation doubles as its materialization pass and
-    the candidate self-join reuses the cache (the ngram_jaccard_pairs
-    persist-before-guard recipe)."""
+    `max_candidate_pairs` pre-flights the exact band pair volume AFTER
+    any bucket_cap filter (the pair explode pays the capped volume) and
+    raises above the ceiling — r15 measured the unguarded registered
+    config exhausting the 24g driver JVM on a 10x dup-heavy corpus before
+    any timeout could fire; see _band_volume_guard for the steer text.
+
+    Candidate shape (r16, the co_occurrence_edges posting-list recipe,
+    guide §2.3/§2.4): candidates explode in-task from ONE collect_set per
+    (band, band_sig) bucket instead of the band self-join; ordered pairs
+    (a < b) enter the distinct — HALF the old a != b join's dedup volume
+    — and the symmetric closure the kNN window needs is emitted by a
+    2-struct explode after it. Identical pairs by set semantics (each
+    vector appears once per band); bucket_cap becomes a per-row size(ds)
+    filter (each bucket's member count IS the old per-bucket row count).
+    When the guard is active the (capped) POSTING table is persisted
+    first, so the guard's eager aggregation doubles as its
+    materialization pass and the pair explode reuses the cache (the
+    ngram_jaccard_pairs persist-before-guard recipe)."""
     from pyspark.storagelevel import StorageLevel
 
     bands = lsh_band_table(embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col)
+    post = bands.groupBy("band", "band_sig").agg(
+        F.collect_set("vec_id").alias("ds")
+    )
     if bucket_cap is not None:
         if bucket_cap < 2:
             raise ValueError(f"bucket_cap must be >= 2 (or None), got {bucket_cap}")
-        keep = (
-            bands.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("__bf"))
-            .where(F.col("__bf") <= bucket_cap)
-            .select("band", "band_sig")
-        )
-        bands = bands.join(keep, ["band", "band_sig"])
+        post = post.where(F.size("ds") <= bucket_cap)
     if max_candidate_pairs is not None:
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    _band_volume_guard(bands, max_candidate_pairs, "knn_graph_lsh")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_sig"])
-        .where(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+    _band_volume_guard(post, max_candidate_pairs, "knn_graph_lsh")
+    und = (
+        post.select(F.explode("ds").alias("a_id"), "ds")
+        .select("a_id", F.explode("ds").alias("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
     # threshold −1.1 < min cosine keeps every scored pair; NaN (zero-norm)
     # pairs fail the kernel's >= margin test and drop, matching the
-    # oracle's isnan filter
-    scored = score_pairs_blocked(
-        cand,
+    # oracle's isnan filter. Score each UNORDERED pair once and mirror
+    # AFTER (r16): the quantized kernel is exactly symmetric — the dot is
+    # integer arithmetic below 2^53 and the norm product commutes, so
+    # score(a, b) ≡ score(b, a) bit for bit — and scoring a < b only
+    # halves both the einsum work and the pair shuffle.
+    scored_und = score_pairs_blocked(
+        und,
         embeddings,
         threshold=-1.1,
         n_blocks=n_blocks,
@@ -863,6 +874,18 @@ def knn_graph_lsh(
         id_col=id_col,
         vec_col=vec_col,
     )
+    scored = scored_und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id"), F.col("b_id"), F.col("score")),
+                F.struct(
+                    F.col("b_id").alias("a_id"),
+                    F.col("a_id").alias("b_id"),
+                    F.col("score"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id", "p.score")
     w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -2020,8 +2043,8 @@ def lsh_candidate_fraction(
     bands = lsh_band_table(
         embeddings, "vec_id", n_planes, rows_per_band, dim, id_col, vec_col
     )
-    # lazy persist: the band projection feeds FOUR plan branches (n_vectors,
-    # bucket sizes, both self-join sides) and AQE reuses none of their
+    # lazy persist: the bucket posting table feeds THREE plan branches
+    # (n_vectors, volume aggregate, pair explode) and AQE reuses none of their
     # exchanges — the cache computes it once per execution (no build-time
     # action; BlockManager block locks dedupe concurrent branch computation)
     from pyspark.storagelevel import StorageLevel
@@ -2048,29 +2071,41 @@ def _pair_volume_summary(
     total_pairs = 0 (n_vectors ≤ 1) — a 0-or-1-vector corpus admits no
     candidate pairs by definition.
 
-    `storage_level` lazily persists the assignment table across its four
-    consuming branches (callers whose assignment build is expensive — the
-    LSH band projection — pass MEMORY_AND_DISK; the default None keeps
-    the pure recompute form)."""
+    Shape (r16, the co_occurrence_edges posting-list recipe, guide
+    §2.3/§2.4): ONE collect_list per bucket feeds all three aggregates —
+    f = size(ds) (collect_list, NOT collect_set: `f` and join_rows count
+    assignment ROWS, so a duplicated assignment must keep counting
+    twice), n_vectors from an explode of the same lists, and the distinct
+    candidate pairs from an in-task pair explode (where duplicate pairs
+    collapse in the distinct exactly as the old self-join's did) —
+    replacing the bucket count + the key-keyed self-join.
+
+    `storage_level` lazily persists the bucket posting table across its
+    three consuming branches (callers whose assignment build is expensive
+    — the LSH band projection — pass MEMORY_AND_DISK; the default None
+    keeps the pure recompute form)."""
+    post = assign.groupBy(*keys).agg(F.collect_list("vec_id").alias("ds"))
     if storage_level is not None:
-        assign = assign.persist(storage_level)
-    nvec = assign.agg(
-        F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_vectors")
+        post = post.persist(storage_level)
+    nvec = (
+        post.select(F.explode("ds").alias("v"))
+        .agg(F.count_distinct(F.col("v")).cast("bigint").alias("n_vectors"))
     )
-    buckets = assign.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("f")
-    )
-    vol = buckets.agg(
-        F.coalesce(F.sum(F.expr("f * (f - 1) div 2")), F.lit(0))
+    vol = post.agg(
+        F.coalesce(
+            F.sum(F.expr("cast(size(ds) as bigint) * (size(ds) - 1) div 2")),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("join_rows"),
-        F.coalesce(F.max("f"), F.lit(0)).cast("bigint").alias("max_bucket"),
+        F.coalesce(F.max(F.size("ds")), F.lit(0))
+        .cast("bigint")
+        .alias("max_bucket"),
     )
     cand = (
-        assign.alias("a")
-        .join(assign.alias("b"), keys)
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        post.select(F.explode("ds").alias("a_id"), "ds")
+        .select("a_id", F.explode("ds").alias("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
     )

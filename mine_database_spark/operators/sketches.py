@@ -57,6 +57,16 @@ def cms_table(
     the small aggregate rather than a second pass over the corpus
     (pinned equal by pytest; q_cms_token_freq's r15 shape).
 
+    weight_col CONTRACT (r15 ADVICE): weights must be NON-NULL POSITIVE
+    integers — occurrence counts. F.sum skips NULLs (a cell whose every
+    weight is NULL comes out NULL, not 0), and a zero/negative weight
+    breaks the documented one-sided-error guarantee above (an estimate
+    could then UNDERCOUNT). The raw-stream form (weight_col=None) is the
+    safe default for anything that is not an exact count aggregate; this
+    operator does not scan-validate the column because the check would
+    cost a full pass over what is by contract a small aggregate — callers
+    feeding untrusted weights must validate upstream.
+
     Scale: the aggregate is map-side combinable and its state is at most
     d·w cells (~32k rows at the default) NO MATTER how many items flow in
     — the constant-memory twin of an exact groupBy(item) whose state is

@@ -2841,7 +2841,10 @@ def test_cms_weighted_build_equals_raw_stream(spark):
     sketch as the raw-stream build: c(row,col) = Σ counts of the items
     hashed there either way (integer sums, order-independent). Skewed
     counts + w=64 force real cell collisions so the equality covers the
-    collision-summing path, not just singleton cells."""
+    collision-summing path, not just singleton cells (r15 ADVICE: at the
+    previous w=64 every cell was a singleton, so a regression replacing
+    the weighted SUM with max/first would still have passed — w=8 forces
+    real multi-item cells and the test now ASSERTS one exists)."""
     from pyspark.sql import functions as F
 
     from mine_database_spark.operators.sketches import cms_table
@@ -2853,17 +2856,35 @@ def test_cms_weighted_build_equals_raw_stream(spark):
     agg = spark.createDataFrame(counts, "tok string, exact_n long")
     cells_raw = {
         (r["row"], r["col"]): r["c"]
-        for r in cms_table(raw, "tok", d=4, w=64).collect()
+        for r in cms_table(raw, "tok", d=4, w=8).collect()
     }
     cells_w = {
         (r["row"], r["col"]): r["c"]
-        for r in cms_table(agg, "tok", d=4, w=64, weight_col="exact_n").collect()
+        for r in cms_table(agg, "tok", d=4, w=8, weight_col="exact_n").collect()
     }
     assert cells_raw == cells_w
-    # w=64 with 5 items x 4 rows: assert at least one genuine collision
-    # was exercised OR every cell is a singleton (seed-dependent; the
-    # equality above is the contract either way)
     assert sum(cells_raw.values()) == 4 * sum(n for _, n in counts)
+    # the collision-summing contract only bites when some cell holds
+    # MULTIPLE distinct items: count distinct items per cell (weight 1
+    # per DISTINCT item) and require a genuine collision in the fixture
+    per_cell_items = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_table(
+            spark.createDataFrame([(t,) for t, _ in counts], "tok string"),
+            "tok", d=4, w=8,
+        ).collect()
+    }
+    assert max(per_cell_items.values()) > 1, per_cell_items
+    # reconstruct every cell from per-item addresses: each cell's value
+    # must be the SUM of its contributors' counts (a max/first regression
+    # would fail on the collided cells)
+    want_cells: dict = {}
+    for tok, n in counts:
+        one = spark.createDataFrame([(tok,)], "tok string")
+        for r in cms_table(one, "tok", d=4, w=8).collect():
+            key = (r["row"], r["col"])
+            want_cells[key] = want_cells.get(key, 0) + n
+    assert cells_w == want_cells
 
 
 def test_hll_estimate_accuracy_and_small_range(spark):

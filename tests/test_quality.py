@@ -338,3 +338,42 @@ def test_char_bigram_langid_separates_scripts(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in m.transform(held).collect()}
     assert got == {1: "ru", 2: "el"}, got
+
+
+def test_explode_gram_table_arrow_equals_hof_form(spark):
+    """r16 (VERDICT #5): the mapInArrow numpy gram extractor must emit
+    EXACTLY the interpreted HOF chain's rows — same (id, extras, __g)
+    multiset, same NULL-__g rows for zero-gram docs — across every edge
+    the classer has: case mapping, the 512-char truncation boundary,
+    every script block including the ones adjacent in code-point space
+    (the lo-sorted searchsorted regression: Hangul Jamo is DECLARED after
+    CJK in _LANGID_BLOCKS but sits below it), digits, and NULL/empty/
+    1-char texts."""
+    from mine_database_spark.operators.quality import (
+        explode_gram_table,
+        explode_gram_table_arrow,
+    )
+
+    rows = [
+        (1, None, "x"),
+        (2, "", "x"),
+        (3, "a", "x"),
+        (4, "Ab ÇŽ Ω д ع क য ไ ひ カ 中 한", "y"),     # one char per block
+        (5, "a" * 600, "z"),                            # truncation boundary
+        (6, "naïve Straße İstanbul ß", "y"),            # case-mapping edges
+        (7, "mixed123 DIGITS 456", "w"),
+        (8, "ᄀᇿ가힣㐀䶿", "k"),  # block boundaries
+        (9, "ݐݿऀॿ", "m"),
+        (10, "the quick brown fox jumps over the lazy dog", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(
+        map(tuple, explode_gram_table(docs, "doc_id", "text", ("lang",)).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            explode_gram_table_arrow(docs, "doc_id", "text", ("lang",)).collect(),
+        )
+    )
+    assert a == b and len(a) > 600
