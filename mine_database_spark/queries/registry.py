@@ -6007,91 +6007,58 @@ FROM orders"""
 # EVERY ROUND alongside code changes; tests/test_oracle_parity.py asserts
 # the dict order below matches gate_order(list(QUERIES), history, GATE_TOUCHED).
 GATE_TOUCHED: tuple[str, ...] = (
-    # r15 changes: lang_id_model's class map went script-aware (40
-    # Unicode-block classes, V=1600; values change on any non-Latin text)
-    # and its registered scorer switched to the explode+groupBy agg
-    # shape; k_core and label_propagation gained the converged fixpoint
-    # flag (new output column, oracles extended); k_truss's flag counts
-    # restructured to last-round-only; ngram_jaccard gained the
-    # candidate-volume pre-flight (eager guard action, values unchanged);
-    # the four LSH-band queries' plane-weight literals now build through
-    # the SQL parser (identical values, new plan-build path)
-    "ann_lsh_topk", "embed_neardup_lsh", "k_core", "k_truss",
-    "knn_graph_lsh", "label_propagation", "lang_id_model",
-    "lsh_candidate_fraction", "ngram_jaccard",
-    # r15 OPTIMIZATION-round rewrites (values identical, plans changed —
-    # forced into the gate so the driver re-proves each one): binary gram
-    # slicing + persisted signature table (binary_neardup), persisted
-    # centroid assignment (semantic_dedup), sort-free split aggregation
-    # (profile_table), single-eval canonicalization + post-agg filter pin
-    # (url_dedup), one-pass shingle extractor (ngram_diversity twins),
-    # per-iteration broadcast hints (pagerank; label_propagation already
-    # listed above)
-    "binary_neardup", "semantic_dedup", "profile_table", "url_dedup",
-    "ngram_diversity", "ngram_diversity_hll", "pagerank",
-    # weighted one-scan sketch build from the exact counts (cms_token_freq)
-    "cms_token_freq",
+    # r16 OPTIMIZATION-round rewrites (values identical, plans changed —
+    # forced into the gate so the driver re-proves each one):
+    # - the co_occurrence_edges posting-list derivation (collect_set +
+    #   pair explode replaces distinct → self-join → distinct) feeds the
+    #   six graph queries below, and the same recipe rebuilt the
+    #   k_core/k_truss weighted pair build (_copurchase_pair_weights);
+    #   k_core additionally opts into broadcast_keep
+    "pagerank", "label_propagation", "triangle_count",
+    "triangle_count_deg", "adamic_adar", "degree_distribution",
+    "k_core", "k_truss",
+    # - ngram_jaccard_pairs generates pairs from per-shingle posting
+    #   lists (persisted postings replace the raw shingle cache); the
+    #   minhash tier's lsh_candidate_pairs got the same shape
+    "ngram_jaccard", "ngram_jaccard_capped", "text_knn",
+    "minhash_estimate", "minhash_lsh", "dup_clusters",
+    "keep_best_dedup", "binary_neardup",
+    # - the sign-LSH tier explodes candidates from band-bucket postings
+    #   (embed/knn + both candidate-fraction audits); knn_graph_lsh also
+    #   scores each unordered pair once and mirrors after the rescore
+    "embed_neardup_lsh", "knn_graph_lsh", "lsh_candidate_fraction",
+    "ivf_candidate_fraction",
+    # - lang_id_model extracts grams via the mapInArrow numpy batch
+    #   extractor and drops the shared-table persist
+    "lang_id_model",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- gate (positions 0-49; the driver hashes these) ---
     # order generated by `python -m mine_database_spark.queries.rotation`
     # (never-green first, then GATE_TOUCHED, then stalest last-green round)
-    "ngram_candidate_volume": q_ngram_candidate_volume,  # NEW
+    "minhash_lsh": q_minhash_lsh,  # TOUCHED
+    "dup_clusters": q_dup_clusters,  # TOUCHED
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,  # TOUCHED
+    "degree_distribution": q_degree_distribution,  # TOUCHED
+    "ivf_candidate_fraction": q_ivf_candidate_fraction,  # TOUCHED
     "k_core": q_k_core,  # TOUCHED
     "ngram_jaccard": q_ngram_jaccard,  # TOUCHED
-    "ann_lsh_topk": q_ann_lsh_topk,  # TOUCHED
     "embed_neardup_lsh": q_embed_neardup_lsh,  # TOUCHED
-    "ngram_diversity_hll": q_ngram_diversity_hll,  # TOUCHED
     "label_propagation": q_label_propagation,  # TOUCHED
     "knn_graph_lsh": q_knn_graph_lsh,  # TOUCHED
-    "profile_table": q_profile_table,  # TOUCHED
-    "semantic_dedup": q_semantic_dedup,  # TOUCHED
     "pagerank": q_pagerank,  # TOUCHED
-    "ngram_diversity": q_ngram_diversity,  # TOUCHED
-    "cms_token_freq": q_cms_token_freq,  # TOUCHED
     "lang_id_model": q_lang_id_model,  # TOUCHED
     "lsh_candidate_fraction": q_lsh_candidate_fraction,  # TOUCHED
     "k_truss": q_k_truss,  # TOUCHED
     "binary_neardup": q_binary_neardup,  # TOUCHED
-    "url_dedup": q_url_dedup,  # TOUCHED
-    "snm_pairs": q_snm_pairs,  # r12
-    "decayed_score": q_decayed_score,  # r12
-    "hybrid_rrf": q_hybrid_rrf,  # r12
-    "mad_anomaly": q_mad_anomaly,  # r12
-    "source_top_terms": q_source_top_terms,  # r12
-    "triangle_count_deg": q_triangle_count_deg,  # r12
-    "adamic_adar": q_adamic_adar,  # r12
-    "collapse_repeats": q_collapse_repeats,  # r12
-    "embedding_drift": q_embedding_drift,  # r12
-    "shard_balance": q_shard_balance,  # r12
-    "text_knn": q_text_knn,  # r12
-    "keep_best_dedup": q_keep_best_dedup,  # r12
-    "ks_drift": q_ks_drift,  # r12
-    "cdc_dedup": q_cdc_dedup,  # r12
-    "minhash_estimate": q_minhash_estimate,  # r12
-    "triangle_count": q_triangle_count,  # r12
-    "token_pmi": q_token_pmi,  # r12
-    "hist_quantiles": q_hist_quantiles,  # r12
-    "html_extract": q_html_extract,  # r12
-    "normalized_dedup": q_normalized_dedup,  # r12
-    "ms2_search": q_ms2_search,  # r12
-    "spectral_cosine": q_spectral_cosine,  # r12
-    "ann_pq_topk": q_ann_pq_topk,  # r12
-    "ann_pq_rescored": q_ann_pq_rescored,  # r12
-    "ann_ivf_pq": q_ann_ivf_pq,  # r12
-    "mass_range_join_bucketed": q_mass_range_join_bucketed,  # r12
-    "copurchase_reach": q_copurchase_reach,  # r12
-    "order_chain_paths": q_order_chain_paths,  # r12
-    "tfidf_topk": q_tfidf_topk,  # r12
-    "adduct_search": q_adduct_search,  # r12
-    "product_of_native": q_product_of_native,  # r12
-    "quiet_customers": q_quiet_customers,  # r12
+    "triangle_count_deg": q_triangle_count_deg,  # TOUCHED
+    "adamic_adar": q_adamic_adar,  # TOUCHED
+    "text_knn": q_text_knn,  # TOUCHED
+    "keep_best_dedup": q_keep_best_dedup,  # TOUCHED
+    "minhash_estimate": q_minhash_estimate,  # TOUCHED
+    "triangle_count": q_triangle_count,  # TOUCHED
     "bit_prevalence": q_bit_prevalence,  # r12
-    # --- tail (locally parity-tested + benched every round; rotates back in) ---
-    "minhash_lsh": q_minhash_lsh,  # r12
-    "dup_clusters": q_dup_clusters,  # r12
-    "ngram_jaccard_capped": q_ngram_jaccard_capped,  # r12
     "repetition_stats": q_repetition_stats,  # r12
     "quality_rules": q_quality_rules,  # r12
     "pii_scan": q_pii_scan,  # r12
@@ -6120,7 +6087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_stats": q_url_stats,  # r13
     "winnow_fingerprints": q_winnow_fingerprints,  # r13
     "bloom_decontaminate": q_bloom_decontaminate,  # r13
-    "degree_distribution": q_degree_distribution,  # r13
+    # --- tail (locally parity-tested + benched every round; rotates back in) ---
     "blocklist_filter": q_blocklist_filter,  # r13
     "key_skew": q_key_skew,  # r13
     "funnel": q_funnel,  # r13
@@ -6137,7 +6104,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph_ivf": q_knn_graph_ivf,  # r13
     "zipf_audit": q_zipf_audit,  # r13
     "cc_luhn_scan": q_cc_luhn_scan,  # r14
-    "ivf_candidate_fraction": q_ivf_candidate_fraction,  # r14
     "rate_anomaly": q_rate_anomaly,  # r14
     "event_transitions": q_event_transitions,  # r14
     "embedding_outliers": q_embedding_outliers,  # r14
@@ -6181,6 +6147,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_upsample": q_mixture_upsample,  # r14
     "semantic_contamination": q_semantic_contamination,  # r14
     "edit_distance_pairs": q_edit_distance_pairs,  # r14
+    "ngram_candidate_volume": q_ngram_candidate_volume,  # r15
+    "ann_lsh_topk": q_ann_lsh_topk,  # r15
+    "ngram_diversity_hll": q_ngram_diversity_hll,  # r15
+    "profile_table": q_profile_table,  # r15
+    "semantic_dedup": q_semantic_dedup,  # r15
+    "ngram_diversity": q_ngram_diversity,  # r15
+    "cms_token_freq": q_cms_token_freq,  # r15
+    "url_dedup": q_url_dedup,  # r15
+    "snm_pairs": q_snm_pairs,  # r15
+    "decayed_score": q_decayed_score,  # r15
+    "hybrid_rrf": q_hybrid_rrf,  # r15
+    "mad_anomaly": q_mad_anomaly,  # r15
+    "source_top_terms": q_source_top_terms,  # r15
+    "collapse_repeats": q_collapse_repeats,  # r15
+    "embedding_drift": q_embedding_drift,  # r15
+    "shard_balance": q_shard_balance,  # r15
+    "ks_drift": q_ks_drift,  # r15
+    "cdc_dedup": q_cdc_dedup,  # r15
+    "token_pmi": q_token_pmi,  # r15
+    "hist_quantiles": q_hist_quantiles,  # r15
+    "html_extract": q_html_extract,  # r15
+    "normalized_dedup": q_normalized_dedup,  # r15
+    "ms2_search": q_ms2_search,  # r15
+    "spectral_cosine": q_spectral_cosine,  # r15
+    "ann_pq_topk": q_ann_pq_topk,  # r15
+    "ann_pq_rescored": q_ann_pq_rescored,  # r15
+    "ann_ivf_pq": q_ann_ivf_pq,  # r15
+    "mass_range_join_bucketed": q_mass_range_join_bucketed,  # r15
+    "copurchase_reach": q_copurchase_reach,  # r15
+    "order_chain_paths": q_order_chain_paths,  # r15
+    "tfidf_topk": q_tfidf_topk,  # r15
+    "adduct_search": q_adduct_search,  # r15
+    "product_of_native": q_product_of_native,  # r15
+    "quiet_customers": q_quiet_customers,  # r15
 }
 
 ORACLES: dict[str, str] = {
