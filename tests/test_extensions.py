@@ -5443,3 +5443,43 @@ def test_ngram_jaccard_posting_lists_match_self_join_form(spark):
         got = sorted(map(tuple, ngram_jaccard_pairs(docs, k=2, threshold=0.01, df_cap=cap).collect()))
         want = sorted(map(tuple, reference(df_cap=cap).collect()))
         assert got == want and (cap is not None or got), (cap, got, want)
+
+
+def test_composed_pipeline_storage_is_bounded(spark):
+    """r16 (VERDICT #8): operators that persist (ngram_jaccard_pairs with
+    an explicit storage_level) pin their intermediate until the caller
+    acts — a LOOP over many corpora in one session must not accumulate
+    storage. Pin the documented contract (docs/SHUFFLES.md 'Persist
+    lifecycle'): clearCache at each pipeline boundary returns the
+    persistent-RDD set to base every iteration, and the default
+    storage_level=None pins nothing even when composed."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mine_database_spark.operators.dedup import ngram_jaccard_pairs
+
+    def persistent_ids():
+        return {x for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    spark.catalog.clearCache()
+    base = persistent_ids()
+    for i in range(3):
+        rows = [(j, f"corpus {i} doc {j} shares shingles {j % 3}") for j in range(6)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ngram_jaccard_pairs(
+            docs, k=2, threshold=0.01,
+            storage_level=StorageLevel.MEMORY_AND_DISK,
+        )
+        out.write.mode("overwrite").format("noop").save()   # the stage sink
+        assert persistent_ids() - base, "the opt-in persist must be live"
+        spark.catalog.clearCache()                          # stage boundary
+        leaked = persistent_ids() - base
+        assert leaked == set(), f"iteration {i} leaked cached RDDs: {leaked}"
+    # default None: composing without opting in never pins anything
+    for i in range(2):
+        docs = spark.createDataFrame(
+            [(j, f"plain {i} {j}") for j in range(4)], "doc_id long, text string"
+        )
+        ngram_jaccard_pairs(docs, k=2, threshold=0.01).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    assert persistent_ids() - base == set()
